@@ -1,0 +1,296 @@
+r"""The model zoo: graph nets (AAGC / A3GC / AGC / G-GRU) and the DIP biLSTM.
+
+Capability parity with ``net_aagc.py`` (ref: net_aagc.py:22-38 ``DIP``,
+:595-695 the four ``*_net`` classes), redesigned for JAX: the reference has
+four copy-pasted net classes differing only in cell type; here one generic
+``GraphNet`` is parameterized by a static ``GraphNetConfig`` (cell kind,
+sizes, dropout rates), and the DIP biLSTM is two ``lax.scan`` stacks instead
+of cuDNN.
+
+Topology (identical to ref net_aagc.py:633-645):
+    linear_in: AAGC(in → H)  → ReLU
+    rnn1:      Bi-cell(H → H)         (output 2H)
+    rnn2:      Bi-cell(2H → H)        (output 2H)
+    linear_out: AAGC(2H → out)
+
+All forward functions are pure: ``(params, x, state, rng) -> (y, state)``,
+jit/vmap/pjit-compatible, with dropout active only when an rng is provided.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from a3gc_tpu.models import cells as C
+from a3gc_tpu.models import layers as L
+
+__all__ = [
+    "GraphNetConfig", "GraphNetParams", "init_graph_net", "graph_net_apply",
+    "graph_net_zero_state", "DIPConfig", "DIPParams", "init_dip",
+    "dip_apply",
+]
+
+_HI = jax.lax.Precision.HIGHEST
+
+CELL_KINDS = ("aagc", "a3gc", "agc", "ggru")
+
+
+# ---------------------------------------------------------------------------
+# graph nets
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class GraphNetConfig:
+    """Static net hyperparameters (hashable; safe as a jit static arg)."""
+
+    cell: str = struct.field(pytree_node=False, default="a3gc")
+    units_in: int = struct.field(pytree_node=False, default=12)
+    units_out: int = struct.field(pytree_node=False, default=9)
+    units_hidden: int = struct.field(pytree_node=False, default=256)
+    num_nodes: int = struct.field(pytree_node=False, default=15)
+    linear_dropout: float = struct.field(pytree_node=False, default=0.2)
+    dropout: float = struct.field(pytree_node=False, default=0.3)
+    recurrent_dropout: float = struct.field(pytree_node=False, default=0.3)
+    precision: str = struct.field(pytree_node=False, default="highest")
+
+    @property
+    def matmul_precision(self):
+        return {"highest": jax.lax.Precision.HIGHEST,
+                "default": jax.lax.Precision.DEFAULT}[self.precision]
+
+
+@struct.dataclass
+class GraphNetParams:
+    linear_in: C.GraphConvParams
+    rnn1: object   # cell params with leading direction axis [2, ...]
+    rnn2: object
+    linear_out: C.GraphConvParams
+
+
+def _init_cell(key, cfg: GraphNetConfig, units_in: int, adjacency):
+    if cfg.cell == "ggru":
+        return C.init_ggru_cell(key, units_in, cfg.units_hidden, adjacency)
+    return C.init_gcn_lstm_cell(
+        key, units_in, cfg.units_hidden, adjacency,
+        attention=cfg.cell in ("a3gc", "agc"),
+        shared_fixed_adj=cfg.cell == "agc",
+    )
+
+
+def init_graph_net(key, cfg: GraphNetConfig, adjacency) -> GraphNetParams:
+    r"""Initialize a graph net (ref: net_aagc.py:625-631 and equivalents)."""
+    assert cfg.cell in CELL_KINDS, cfg.cell
+    k = jax.random.split(key, 6)
+    H = cfg.units_hidden
+    return GraphNetParams(
+        linear_in=C.init_graph_conv(k[0], cfg.units_in, H, adjacency),
+        rnn1=L.stack_directions(
+            _init_cell(k[1], cfg, H, adjacency),
+            _init_cell(k[2], cfg, H, adjacency)),
+        rnn2=L.stack_directions(
+            _init_cell(k[3], cfg, 2 * H, adjacency),
+            _init_cell(k[4], cfg, 2 * H, adjacency)),
+        linear_out=C.init_graph_conv(k[5], 2 * H, cfg.units_out, adjacency),
+    )
+
+
+def graph_net_zero_state(cfg: GraphNetConfig, batch: int, dtype=jnp.float32):
+    r"""Zero recurrent state (ref: net_aagc.py:608-613 zero (h,c) per layer &
+    direction). Layout: per layer, a pytree with leading direction axis 2."""
+    shape = (2, batch, cfg.num_nodes, cfg.units_hidden)
+    if cfg.cell == "ggru":
+        per_layer = jnp.zeros(shape, dtype)
+        return (per_layer, per_layer)
+    hc = (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+    return (hc, hc)
+
+
+def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
+                    x: jnp.ndarray, state=None,
+                    rng: Optional[jax.Array] = None):
+    r"""Forward pass (ref: net_aagc.py:633-645). x [B,T,N,F_in] →
+    ([B,T,N,F_out], new_state). Dropout only when ``rng`` is given."""
+    prec = cfg.matmul_precision
+    if state is None:
+        state = graph_net_zero_state(cfg, x.shape[0], x.dtype)
+    if rng is not None and cfg.cell != "ggru":
+        r_in, r1, r2 = jax.random.split(rng, 3)
+    else:
+        r_in = r1 = r2 = None
+
+    x = C.graph_conv(params.linear_in, x, dropout_rate=cfg.linear_dropout,
+                     rng=r_in, precision=prec)
+    x = jax.nn.relu(x)
+
+    if cfg.cell == "ggru":
+        step = lambda p, xt, st, **kw: C.ggru_step(p, xt, st, precision=prec)
+        x, s1 = L.bi_rnn(step, params.rnn1, x, state[0])
+        x, s2 = L.bi_rnn(step, params.rnn2, x, state[1])
+    else:
+        def step(p, xt, st, rng=None):
+            return C.gcn_lstm_step(
+                p, xt, st, out_activation="tanh",
+                dropout_rate=cfg.dropout,
+                recurrent_dropout_rate=cfg.recurrent_dropout,
+                rng=rng, precision=prec)
+
+        x, s1 = L.bi_rnn(step, params.rnn1, x, state[0], rng=r1)
+        x, s2 = L.bi_rnn(step, params.rnn2, x, state[1], rng=r2)
+
+    x = C.graph_conv(params.linear_out, x, precision=prec)
+    return x, (s1, s2)
+
+
+# ---------------------------------------------------------------------------
+# DIP biLSTM (ref: net_aagc.py:22-38)
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class DenseParams:
+    kernel: jnp.ndarray  # [in, out]
+    bias: jnp.ndarray    # [out]
+
+
+@struct.dataclass
+class LSTMLayerParams:
+    r"""One direction of one LSTM layer, cuDNN-compatible layout.
+
+    Gate order i, f, g, o (torch convention, ref: torch.nn.LSTM used at
+    net_aagc.py:28). Both bias vectors are kept so checkpoints map 1:1.
+    """
+
+    w_ih: jnp.ndarray   # [F, 4H]
+    w_hh: jnp.ndarray   # [H, 4H]
+    b_ih: jnp.ndarray   # [4H]
+    b_hh: jnp.ndarray   # [4H]
+
+
+@struct.dataclass
+class DIPConfig:
+    n_input: int = struct.field(pytree_node=False, default=60)
+    n_output: int = struct.field(pytree_node=False, default=135)
+    n_hidden: int = struct.field(pytree_node=False, default=512)
+    n_layers: int = struct.field(pytree_node=False, default=2)
+    bidirectional: bool = struct.field(pytree_node=False, default=True)
+    dropout: float = struct.field(pytree_node=False, default=0.2)
+    precision: str = struct.field(pytree_node=False, default="highest")
+
+    @property
+    def matmul_precision(self):
+        return {"highest": jax.lax.Precision.HIGHEST,
+                "default": jax.lax.Precision.DEFAULT}[self.precision]
+
+
+@struct.dataclass
+class DIPParams:
+    linear1: DenseParams
+    lstm: Tuple    # per layer: LSTMLayerParams with leading direction axis
+    linear2: DenseParams
+
+
+def _torch_lstm_uniform(key, shape, hidden):
+    bound = 1.0 / (hidden ** 0.5)
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def init_dip(key, cfg: DIPConfig) -> DIPParams:
+    r"""Initialize DIP (ref: net_aagc.py:26-31): torch Linear / LSTM default
+    uniform inits so training dynamics match the reference."""
+    n_dir = 2 if cfg.bidirectional else 1
+    H = cfg.n_hidden
+    keys = jax.random.split(key, 2 + cfg.n_layers * n_dir)
+
+    def linear(k, fan_in, fan_out):
+        bound = 1.0 / (fan_in ** 0.5)
+        kw, kb = jax.random.split(k)
+        return DenseParams(
+            kernel=jax.random.uniform(kw, (fan_in, fan_out), jnp.float32,
+                                      -bound, bound),
+            bias=jax.random.uniform(kb, (fan_out,), jnp.float32,
+                                    -bound, bound))
+
+    layers = []
+    ki = 2
+    for layer in range(cfg.n_layers):
+        f_in = H if layer == 0 else H * n_dir
+        dir_params = []
+        for _ in range(n_dir):
+            k1, k2, k3, k4 = jax.random.split(keys[ki], 4)
+            ki += 1
+            dir_params.append(LSTMLayerParams(
+                w_ih=_torch_lstm_uniform(k1, (f_in, 4 * H), H),
+                w_hh=_torch_lstm_uniform(k2, (H, 4 * H), H),
+                b_ih=_torch_lstm_uniform(k3, (4 * H,), H),
+                b_hh=_torch_lstm_uniform(k4, (4 * H,), H)))
+        layers.append(L.stack_directions(*dir_params) if n_dir == 2
+                      else dir_params[0])
+    return DIPParams(
+        linear1=linear(keys[0], cfg.n_input, H),
+        lstm=tuple(layers),
+        linear2=linear(keys[1], H * n_dir, cfg.n_output),
+    )
+
+
+def _lstm_step(p: LSTMLayerParams, x: jnp.ndarray, state, *, precision=_HI):
+    """Standard LSTM step, torch gate order. x [B, F], state (h, c) [B, H]."""
+    h, c = state
+    z = (jnp.einsum("bf,fg->bg", x, p.w_ih, precision=precision)
+         + jnp.einsum("bh,hg->bg", h, p.w_hh, precision=precision)
+         + p.b_ih + p.b_hh)
+    H = h.shape[-1]
+    i = jax.nn.sigmoid(z[:, 0:H])
+    f = jax.nn.sigmoid(z[:, H:2 * H])
+    g = jnp.tanh(z[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(z[:, 3 * H:])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, (h_new, c_new)
+
+
+def dip_zero_state(cfg: DIPConfig, batch: int, dtype=jnp.float32):
+    if cfg.bidirectional:
+        z = jnp.zeros((2, batch, cfg.n_hidden), dtype)
+    else:
+        z = jnp.zeros((batch, cfg.n_hidden), dtype)
+    return tuple((z, z) for _ in range(cfg.n_layers))
+
+
+def dip_apply(params: DIPParams, cfg: DIPConfig, x: jnp.ndarray,
+              state=None, rng: Optional[jax.Array] = None):
+    r"""DIP forward (ref: net_aagc.py:33-38): dropout → linear → relu →
+    stacked biLSTM → linear. x [B, T, F] → ([B, T, n_output], state)."""
+    prec = cfg.matmul_precision
+    if state is None:
+        state = dip_zero_state(cfg, x.shape[0], x.dtype)
+    if rng is not None and cfg.dropout > 0:
+        keep = 1.0 - cfg.dropout
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        x = jnp.where(mask, x / keep, 0.0)
+    x = jnp.einsum("btf,fh->bth", x, params.linear1.kernel,
+                   precision=prec) + params.linear1.bias
+    x = jax.nn.relu(x)
+
+    new_states = []
+    for layer_params, layer_state in zip(params.lstm, state):
+        # reuse the graph bi-rnn machinery on a node-less sequence by
+        # treating features as a single pseudo-node
+        x4 = x[:, :, None, :]                       # [B,T,1,F]
+
+        def step(p, xt, st, rng=None):
+            out, st = _lstm_step(p, xt[:, 0, :], st, precision=prec)
+            return out[:, None, :], st
+
+        if cfg.bidirectional:
+            y, fin = L.bi_rnn(step, layer_params, x4, layer_state)
+        else:
+            y, fin = L.uni_rnn(step, layer_params, x4, layer_state)
+        x = y[:, :, 0, :]
+        new_states.append(fin)
+
+    y = jnp.einsum("bth,ho->bto", x, params.linear2.kernel,
+                   precision=prec) + params.linear2.bias
+    return y, tuple(new_states)

@@ -1,0 +1,126 @@
+"""L1 SMPL model: FK / IK / LBS parity against the torch reference
+ParametricModel, both loading the same synthetic SMPL-format pickle."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation as ScipyRotation
+
+from a3gc_tpu.smpl import load_parametric_model, write_synthetic_smpl_pickle
+from a3gc_tpu.smpl.armature import SMPL_PARENT
+
+
+@pytest.fixture(scope="module")
+def smpl_pickle(tmp_path_factory):
+    path = tmp_path_factory.mktemp("smpl") / "synthetic_smpl.pkl"
+    return write_synthetic_smpl_pickle(str(path), n_vertices=240)
+
+
+@pytest.fixture(scope="module")
+def model(smpl_pickle):
+    return load_parametric_model(smpl_pickle)
+
+
+@pytest.fixture(scope="module")
+def ref_model(smpl_pickle, reference_path):
+    from articulate.model import ParametricModel as RefModel
+    return RefModel(smpl_pickle)
+
+
+def random_pose(batch, seed=0, scale=1.0):
+    aa = ScipyRotation.random(batch * 24, random_state=seed).as_rotvec() * scale
+    return ScipyRotation.from_rotvec(aa).as_matrix().reshape(
+        batch, 24, 3, 3).astype(np.float32)
+
+
+class TestLoad:
+    def test_fields(self, model):
+        assert model.n_joints == 24
+        assert model.parent == SMPL_PARENT
+        assert model.skinning_weights.shape == (model.n_vertices, 24)
+        w = np.asarray(model.skinning_weights)
+        np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-5)
+
+    def test_zero_pose(self, model, ref_model):
+        j, v = model.get_zero_pose_joint_and_vertex()
+        rj, rv = ref_model.get_zero_pose_joint_and_vertex()
+        np.testing.assert_allclose(np.asarray(j), rj.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v), rv.numpy(), atol=1e-5)
+
+    def test_zero_pose_with_shape(self, model, ref_model):
+        import torch
+        rng = np.random.default_rng(0)
+        shape = rng.normal(size=(4, 10)).astype(np.float32)
+        j, v = model.get_zero_pose_joint_and_vertex(jnp.asarray(shape))
+        rj, rv = ref_model.get_zero_pose_joint_and_vertex(torch.from_numpy(shape))
+        np.testing.assert_allclose(np.asarray(j), rj.numpy(), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(v), rv.numpy(), atol=2e-4)
+
+
+class TestForwardKinematics:
+    def test_fk_no_mesh(self, model, ref_model):
+        import torch
+        pose = random_pose(8, seed=1)
+        Rg, pg = model.forward_kinematics(jnp.asarray(pose))
+        rRg, rpg = ref_model.forward_kinematics(torch.from_numpy(pose))
+        np.testing.assert_allclose(np.asarray(Rg), rRg.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pg), rpg.numpy(), atol=1e-5)
+
+    def test_fk_with_mesh(self, model, ref_model):
+        import torch
+        pose = random_pose(4, seed=2)
+        Rg, pg, vg = model.forward_kinematics(jnp.asarray(pose), calc_mesh=True)
+        rRg, rpg, rvg = ref_model.forward_kinematics(
+            torch.from_numpy(pose), calc_mesh=True)
+        np.testing.assert_allclose(np.asarray(pg), rpg.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(vg), rvg.numpy(), atol=2e-5)
+
+    def test_fk_with_shape_tran_mesh(self, model, ref_model):
+        import torch
+        rng = np.random.default_rng(3)
+        pose = random_pose(4, seed=3)
+        shape = rng.normal(size=(1, 10)).astype(np.float32)
+        tran = rng.normal(size=(4, 3)).astype(np.float32)
+        Rg, pg, vg = model.forward_kinematics(
+            jnp.asarray(pose), jnp.asarray(shape), jnp.asarray(tran), calc_mesh=True)
+        rRg, rpg, rvg = ref_model.forward_kinematics(
+            torch.from_numpy(pose), torch.from_numpy(shape),
+            torch.from_numpy(tran), calc_mesh=True)
+        np.testing.assert_allclose(np.asarray(pg), rpg.numpy(), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(vg), rvg.numpy(), atol=2e-4)
+
+    def test_fk_pose_blendshape(self, smpl_pickle, reference_path):
+        import torch
+        from articulate.model import ParametricModel as RefModel
+        model = load_parametric_model(smpl_pickle, use_pose_blendshape=True)
+        ref = RefModel(smpl_pickle, use_pose_blendshape=True)
+        pose = random_pose(2, seed=4)
+        _, _, vg = model.forward_kinematics(jnp.asarray(pose), calc_mesh=True)
+        _, _, rvg = ref.forward_kinematics(torch.from_numpy(pose), calc_mesh=True)
+        np.testing.assert_allclose(np.asarray(vg), rvg.numpy(), atol=2e-4)
+
+
+class TestInverseKinematics:
+    def test_ik_round_trip(self, model):
+        pose = random_pose(8, seed=5)
+        glob = model.forward_kinematics_R(jnp.asarray(pose))
+        back = np.asarray(model.inverse_kinematics_R(glob))
+        np.testing.assert_allclose(back, pose, atol=1e-5)
+
+    def test_ik_vs_reference(self, model, ref_model):
+        import torch
+        pose = random_pose(8, seed=6)
+        glob = np.asarray(model.forward_kinematics_R(jnp.asarray(pose)))
+        ours = np.asarray(model.inverse_kinematics_R(jnp.asarray(glob)))
+        ref = ref_model.inverse_kinematics_R(torch.from_numpy(glob)).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+class TestBatchAlias:
+    def test_forward_kinematics_batch_matches(self, model):
+        pose = random_pose(4, seed=7)
+        a = model.forward_kinematics(jnp.asarray(pose), calc_mesh=True)
+        b = model.forward_kinematics_batch(jnp.asarray(pose), calc_mesh=True,
+                                           batch_size=2)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=0)
