@@ -99,14 +99,17 @@ def init_graph_net(key, cfg: GraphNetConfig, adjacency) -> GraphNetParams:
 
 
 def graph_net_zero_state(cfg: GraphNetConfig, batch: int, dtype=jnp.float32):
-    r"""Zero recurrent state (ref: net_aagc.py:608-613 zero (h,c) per layer &
-    direction). Layout: per layer, a pytree with leading direction axis 2."""
+    r"""Zero recurrent state (ref: net_aagc.py:608-613).
+
+    NOTE the reference quirk this must match: ONE state pytree (leading
+    direction axis 2) threads through BOTH rnn layers — rnn2's initial state
+    is rnn1's final state (ref: net_aagc.py:642-643 ``x, h = self.rnn1(x, h);
+    x, h = self.rnn2(x, h)``), possible because both layers share the hidden
+    size."""
     shape = (2, batch, cfg.num_nodes, cfg.units_hidden)
     if cfg.cell == "ggru":
-        per_layer = jnp.zeros(shape, dtype)
-        return (per_layer, per_layer)
-    hc = (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
-    return (hc, hc)
+        return jnp.zeros(shape, dtype)
+    return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
 def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
@@ -128,8 +131,8 @@ def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
 
     if cfg.cell == "ggru":
         step = lambda p, xt, st, **kw: C.ggru_step(p, xt, st, precision=prec)
-        x, s1 = L.bi_rnn(step, params.rnn1, x, state[0])
-        x, s2 = L.bi_rnn(step, params.rnn2, x, state[1])
+        x, state = L.bi_rnn(step, params.rnn1, x, state)
+        x, state = L.bi_rnn(step, params.rnn2, x, state)
     else:
         def step(p, xt, st, rng=None):
             return C.gcn_lstm_step(
@@ -138,11 +141,13 @@ def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
                 recurrent_dropout_rate=cfg.recurrent_dropout,
                 rng=rng, precision=prec)
 
-        x, s1 = L.bi_rnn(step, params.rnn1, x, state[0], rng=r1)
-        x, s2 = L.bi_rnn(step, params.rnn2, x, state[1], rng=r2)
+        # rnn1's final state seeds rnn2 — reference semantics, see
+        # graph_net_zero_state
+        x, state = L.bi_rnn(step, params.rnn1, x, state, rng=r1)
+        x, state = L.bi_rnn(step, params.rnn2, x, state, rng=r2)
 
     x = C.graph_conv(params.linear_out, x, precision=prec)
-    return x, (s1, s2)
+    return x, state
 
 
 # ---------------------------------------------------------------------------
