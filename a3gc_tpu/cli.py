@@ -1,0 +1,338 @@
+r"""Command-line interface: train / evaluate / preprocess / stats / convert.
+
+One typed CLI replaces the reference's 13 near-identical entry scripts
+(train_{a3gc,aagc,agc,ggru,tp,dip}*.py, evaluate_*.py — ref:
+train_a3gc_tp.py:16-43, evaluate_a3gc_tp.py:18-31), keeping their flag
+semantics (--batch_size, --finetuning, --resume, --norm, --cda, --patience,
+--start_at, --hu1/2/3, --mid1/2/3, ...).
+
+Usage:
+    python -m a3gc_tpu.cli train    --model a3gc --batch_size 32 ...
+    python -m a3gc_tpu.cli evaluate --model a3gc --path trained/ ...
+    python -m a3gc_tpu.cli preprocess --dataset dipimu --split train ...
+    python -m a3gc_tpu.cli stats --inputs a.npz b.npz --output stats.npz
+    python -m a3gc_tpu.cli convert-checkpoint --torch ckpt.tar --model a3gc ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+MODEL_CHOICES = ("a3gc", "aagc", "agc", "ggru", "tp", "dip")
+
+
+def _add_common_model_flags(p):
+    p.add_argument("--model", choices=MODEL_CHOICES, default="a3gc")
+    p.add_argument("--hu1", type=int, default=256,
+                   help="stage-1 hidden units (ref: train_a3gc_tp.py:28)")
+    p.add_argument("--hu2", type=int, default=64)
+    p.add_argument("--hu3", type=int, default=128)
+    p.add_argument("--norm", action="store_true",
+                   help="normalize inputs with train stats")
+    p.add_argument("--cda", action="store_true",
+                   help="use contralateral-augmented (sym) data/stats")
+    p.add_argument("--smpl", type=str, default=None,
+                   help="SMPL pickle path (default: config paths; falls back "
+                        "to a synthetic body model for smoke runs)")
+    p.add_argument("--data_root", type=str, default=None)
+
+
+def _load_body_model(args):
+    from a3gc_tpu.config import paths
+    from a3gc_tpu.smpl import load_parametric_model, write_synthetic_smpl_pickle
+
+    candidates = [args.smpl] if args.smpl else [
+        paths.resolve(paths.male_smpl_file)]
+    for c in candidates:
+        if c and os.path.isfile(c):
+            return load_parametric_model(c)
+    import tempfile
+    print("[a3gc_tpu] SMPL pickle not found — using the synthetic body model",
+          file=sys.stderr)
+    return load_parametric_model(
+        write_synthetic_smpl_pickle(
+            os.path.join(tempfile.gettempdir(), "a3gc_synthetic_smpl.pkl")))
+
+
+def _stage_configs(args):
+    """The per-model cascade stage configs (ref model sizes:
+    train_a3gc_tp.py:159-161, train_tp.py:163-165, train_dip.py:128)."""
+    from a3gc_tpu.models import nets as N
+    from a3gc_tpu.models.pipeline import CascadeConfig, PoseNetConfig
+
+    if args.model in ("a3gc", "aagc", "agc", "ggru"):
+        def g(ui, uo, h, rot):
+            return PoseNetConfig(net=N.GraphNetConfig(
+                cell=args.model, units_in=ui, units_out=uo, units_hidden=h),
+                rotsize=rot)
+
+        return CascadeConfig(stage1=g(12, 3, args.hu1, 3),
+                             stage2=g(15, 3, args.hu2, 3),
+                             stage3=g(15, 9, args.hu3, 9)), True
+    if args.model == "tp":
+        def d(ni, no, h, rot):
+            return PoseNetConfig(net=N.DIPConfig(
+                n_input=ni, n_output=no, n_hidden=h), rotsize=rot)
+
+        return CascadeConfig(stage1=d(72, 15, 256, 3),
+                             stage2=d(87, 69, 64, 3),
+                             stage3=d(141, 135, 128, 9)), False
+    # dip: single stage, handled separately
+    return None, False
+
+
+def _load_stats(args):
+    from a3gc_tpu.config import paths
+    from a3gc_tpu.data.stats import load_stats
+    rel = paths.train_stats_sym if args.cda else paths.train_stats
+    p = paths.resolve(rel)
+    if os.path.isfile(p):
+        return load_stats(p)
+    # fall back to the reference's stats assets when available
+    ref = ("/root/reference/data/all_sym_train_stats.pt" if args.cda
+           else "/root/reference/data/all_train_stats.pt")
+    if os.path.isfile(ref):
+        from a3gc_tpu.data.stats import convert_torch_stats
+        return load_stats(convert_torch_stats(ref, p))
+    return None
+
+
+def cmd_train(args):
+    import jax
+    from a3gc_tpu.config import TrainConfig, paths
+    from a3gc_tpu.data import load_adjacency_template
+    from a3gc_tpu.data import pipeline as DPipe
+    from a3gc_tpu.models.pipeline import init_pose_net
+    from a3gc_tpu.parallel import make_mesh
+    from a3gc_tpu.train import StageRunner, run_cascade_training
+    from a3gc_tpu.utils import JsonlLogger, discover_latest, restore_params, save_params
+
+    tc = TrainConfig(batch_size=args.batch_size, lr=args.lr,
+                     weight_decay=args.weight_decay, patience=args.patience,
+                     max_epochs=args.epochs, normalize=args.norm,
+                     cda=args.cda, finetuning=args.finetuning,
+                     start_stage=args.start_at, start_epoch=args.start_epoch,
+                     seed=args.seed)
+
+    cascade, is_graph = _stage_configs(args)
+    assert cascade is not None, "use --model tp/a3gc/... (dip TODO via train-dip)"
+    nira = load_adjacency_template()
+    stats = _load_stats(args) if args.norm else None
+
+    train_npz = args.train_data
+    valid_npz = args.valid_data
+    train = DPipe.load_packed(train_npz)
+    valid = DPipe.load_packed(valid_npz)
+    steps = max(len(train[next(iter(train))]) // tc.batch_size, 1)
+
+    mesh = make_mesh() if args.mesh else None
+    runners = {}
+    stage_cfgs = {1: cascade.stage1, 2: cascade.stage2, 3: cascade.stage3}
+    for stage, scfg in stage_cfgs.items():
+        params = init_pose_net(
+            jax.random.fold_in(jax.random.PRNGKey(tc.seed), stage),
+            scfg, nira)
+        if args.resume:
+            found = discover_latest(
+                args.resume, stage,
+                phase=None)
+            if found:
+                params = restore_params(found[0], params)
+                print(f"resumed stage {stage} from {found[0]}")
+        runners[stage] = StageRunner(stage, scfg, params, tc, steps,
+                                     stats=stats, graph=is_graph, mesh=mesh)
+
+    save_dir = os.path.join(args.save_root, args.name)
+    os.makedirs(save_dir, exist_ok=True)
+    log = JsonlLogger(os.path.join(save_dir, "train_log.jsonl"))
+
+    run_cascade_training(
+        runners,
+        lambda: DPipe.Sampler(train, tc.batch_size, shuffle=True,
+                              seed=tc.seed),
+        lambda: DPipe.Sampler(valid, tc.batch_size, shuffle=False),
+        tc,
+        save_fn=lambda st, ep, p: save_params(
+            p, save_dir, st, ep, finetuning=tc.finetuning),
+        log_fn=log)
+
+
+def cmd_evaluate(args):
+    from a3gc_tpu.compat import (
+        dip_params_from_state_dict, graph_net_params_from_state_dict,
+        load_torch_checkpoint)
+    from a3gc_tpu.data.factory.dipimu import load_test_sequences
+    from a3gc_tpu.eval import evaluate_sequences
+    from a3gc_tpu.metrics import PoseEvaluator
+    from a3gc_tpu.models.pipeline import init_pose_net
+    from a3gc_tpu.utils import discover_latest, restore_params
+    from a3gc_tpu.data import load_adjacency_template
+    import jax
+
+    cascade, is_graph = _stage_configs(args)
+    model = _load_body_model(args)
+    nira = load_adjacency_template()
+
+    stage_cfgs = (cascade.stage1, cascade.stage2, cascade.stage3)
+    params3 = []
+    pins = (args.mid1, args.mid2, args.mid3)
+    for i, scfg in enumerate(stage_cfgs):
+        if args.torch_checkpoints:
+            path = args.torch_checkpoints[i]
+            sd = load_torch_checkpoint(path)
+            if is_graph:
+                params3.append(graph_net_params_from_state_dict(
+                    sd, args.model))
+            else:
+                params3.append(dip_params_from_state_dict(sd))
+        else:
+            template = init_pose_net(jax.random.PRNGKey(i), scfg, nira)
+            found = discover_latest(args.path, i + 1, phase=args.type,
+                                    epoch=pins[i] if pins[i] >= 0 else None)
+            assert found, f"no checkpoint for stage {i+1} in {args.path}"
+            params3.append(restore_params(found[0], template))
+    params3 = tuple(params3)
+
+    stats = _load_stats(args) if args.norm else None
+    for dataset in args.datasets:
+        sequences = load_test_sequences(dataset)
+        mean, seconds, frames = evaluate_sequences(
+            params3, cascade, model, sequences, stats=stats,
+            normalize=args.norm,
+            report_path=os.path.join(
+                "evaluation_results",
+                f"{args.model}_{os.path.basename(dataset)}.txt"),
+            dataset_name=dataset)
+        print(f"== {dataset}: {frames} frames in {seconds:.3f}s "
+              f"({frames / max(seconds, 1e-9):,.0f} frames/s)")
+        print(PoseEvaluator.format(mean))
+
+
+def cmd_preprocess(args):
+    from a3gc_tpu.data.factory.amass import process_amass_split
+    from a3gc_tpu.data.factory.dipimu import process_dipimu
+    from a3gc_tpu.data.factory.totalcapture import process_totalcapture
+
+    model = _load_body_model(args)
+    if args.dataset == "amass":
+        chunks = process_amass_split(model, mode=args.split, sym=args.cda,
+                                     out_path=args.output)
+        print(f"amass {args.split}: {len(chunks)} chunks -> {args.output}")
+    elif args.dataset == "dipimu":
+        out = process_dipimu(model, split=args.split, sym=args.cda,
+                             out_path=args.output)
+        print(f"dipimu {args.split}: {len(out)} items -> {args.output}")
+    elif args.dataset == "totalcapture":
+        seqs = process_totalcapture(model, out_path=args.output)
+        print(f"totalcapture: {len(seqs)} sequences -> {args.output}")
+
+
+def cmd_stats(args):
+    from a3gc_tpu.data.pipeline import load_packed
+    from a3gc_tpu.data.stats import compute_stats, save_stats
+
+    fields = {}
+    for path in args.inputs:
+        data = load_packed(path)
+        for k, v in data.items():
+            fields.setdefault(k, []).append(v.reshape(-1, *v.shape[2:]))
+    save_stats(compute_stats(fields), args.output)
+    print("stats ->", args.output)
+
+
+def cmd_convert(args):
+    import jax
+    import orbax.checkpoint as ocp
+    from a3gc_tpu.compat import (
+        dip_params_from_state_dict, graph_net_params_from_state_dict,
+        load_torch_checkpoint)
+
+    sd = load_torch_checkpoint(args.torch)
+    if args.model in ("tp", "dip"):
+        params = dip_params_from_state_dict(sd)
+    else:
+        params = graph_net_params_from_state_dict(sd, args.model)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(args.output), params, force=True)
+    ckptr.wait_until_finished()
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"converted {args.torch} ({n:,} params) -> {args.output}")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="a3gc_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="3-stage cascade training")
+    _add_common_model_flags(t)
+    t.add_argument("-b", "--batch_size", type=int, required=True)
+    t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--weight-decay", "--wd", dest="weight_decay", type=float,
+                   default=0.0)
+    t.add_argument("--patience", type=int, default=3)
+    t.add_argument("--epochs", type=int, default=500)
+    t.add_argument("-f", "--finetuning", action="store_true")
+    t.add_argument("--resume", type=str, default="")
+    t.add_argument("--start_at", type=int, default=1)
+    t.add_argument("--start_epoch", type=int, default=0)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--name", type=str, default="save_temp")
+    t.add_argument("--save_root", type=str, default="trained_models")
+    t.add_argument("--train_data", type=str, required=True)
+    t.add_argument("--valid_data", type=str, required=True)
+    t.add_argument("--mesh", action="store_true",
+                   help="shard the batch over all visible devices")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("evaluate", help="cascade evaluation")
+    _add_common_model_flags(e)
+    e.add_argument("--path", type=str, default="",
+                   help="directory of this framework's checkpoints")
+    e.add_argument("--torch_checkpoints", nargs=3, default=None,
+                   help="three reference .tar checkpoints (stage 1 2 3)")
+    e.add_argument("--type", choices=("pretrain", "finetuning"),
+                   default="finetuning")
+    e.add_argument("--mid1", type=int, default=-1)
+    e.add_argument("--mid2", type=int, default=-1)
+    e.add_argument("--mid3", type=int, default=-1)
+    e.add_argument("--datasets", nargs="+", required=True,
+                   help="test npz files (from preprocess)")
+    e.set_defaults(fn=cmd_evaluate)
+
+    pp = sub.add_parser("preprocess", help="offline data factory")
+    _add_common_model_flags(pp)
+    pp.add_argument("--dataset", choices=("amass", "dipimu", "totalcapture"),
+                    required=True)
+    pp.add_argument("--split", choices=("train", "valid", "test"),
+                    default="train")
+    pp.add_argument("--output", type=str, required=True)
+    pp.set_defaults(fn=cmd_preprocess)
+
+    s = sub.add_parser("stats", help="normalization statistics")
+    s.add_argument("--inputs", nargs="+", required=True)
+    s.add_argument("--output", type=str, required=True)
+    s.set_defaults(fn=cmd_stats)
+
+    c = sub.add_parser("convert-checkpoint",
+                       help="torch .tar -> orbax checkpoint")
+    c.add_argument("--torch", type=str, required=True)
+    c.add_argument("--model", choices=MODEL_CHOICES, required=True)
+    c.add_argument("--output", type=str, required=True)
+    c.set_defaults(fn=cmd_convert)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if getattr(args, "data_root", None):
+        os.environ["A3GC_DATA_ROOT"] = args.data_root
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+r"""Online input pipeline: packed arrays → device batches.
+
+Capability parity with ``datasets.py`` (ref: datasets.py:9-171 —
+GraphDataset_tp / Dataset_tp / Dataset_dip), redesigned for TPU:
+
+  * the reference assembles every sample on the CPU inside DataLoader worker
+    processes (normalization, graph scatter, gaussian teacher-forcing noise —
+    ref: datasets.py:45-73) and ships the result over PCIe; here the packed
+    arrays live as plain numpy (host RAM), the sampler yields index slices,
+    and ALL per-sample math — (x−μ)/σ, scatter onto the 15-node graph,
+    noise via ``jax.random`` — runs **inside the jitted train step** on
+    device, where XLA fuses it into the first matmul's prologue;
+  * batches have static shapes [B, T=300, ...] (the factory pre-chunks,
+    ref: postprocess_data.py:42-43), so one compilation serves the epoch.
+
+Layout of a packed dataset (npz or dict of arrays):
+  acc [N, T, 18]  ori [N, T, 54]  pose [N, T, 135]
+  leaf_pos [N, T, 5, 3]  full_pos [N, T, 24, 3]
+(same content as the reference's ``*_pos.pt``, ref: postprocess_data.py:186).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from a3gc_tpu.config import joint_set as JS
+
+__all__ = [
+    "normalize_imu", "scatter_graph_inputs", "graph_batch", "flat_batch",
+    "dip_batch", "Sampler", "load_packed", "GraphBatch",
+]
+
+
+# ---------------------------------------------------------------------------
+# device-side batch assembly (pure, jit-able)
+# ---------------------------------------------------------------------------
+
+def normalize_imu(ori: jnp.ndarray, acc: jnp.ndarray,
+                  stats: Optional[Dict[str, jnp.ndarray]]):
+    r"""Per-channel (x − μ)/σ (ref: datasets.py:40-43)."""
+    if stats is None:
+        return ori, acc
+    ori = (ori - stats["ori_mean_channel"]) / stats["ori_std_channel"]
+    acc = (acc - stats["acc_mean_channel"]) / stats["acc_std_channel"]
+    return ori, acc
+
+
+def scatter_graph_inputs(ori: jnp.ndarray, acc: jnp.ndarray) -> jnp.ndarray:
+    r"""Scatter the 5 non-root sensors' (acc3 + ori9) onto the 15-node graph
+    (ref: datasets.py:56-59). ori [..., 54], acc [..., 18] → [..., 15, 12]."""
+    lead = ori.shape[:-1]
+    acc5 = acc.reshape(lead + (6, 3))[..., :5, :]
+    ori5 = ori.reshape(lead + (6, 9))[..., :5, :]
+    feats = jnp.concatenate((acc5, ori5), axis=-1)            # [..., 5, 12]
+    out = jnp.zeros(lead + (15, 12), dtype=ori.dtype)
+    return out.at[..., jnp.asarray(JS.input_joints), :].set(feats)
+
+
+def _scatter_leaf(full_pos: jnp.ndarray) -> jnp.ndarray:
+    r"""Scatter the 5 leaf-joint positions onto their reduced-graph nodes
+    (ref: datasets.py:61-65). full_pos [..., 24, 3] → [..., 15, 3]."""
+    lead = full_pos.shape[:-2]
+    out = jnp.zeros(lead + (15, 3), dtype=full_pos.dtype)
+    return out.at[..., jnp.asarray(JS.leaf_nodes_reduced), :].set(
+        full_pos[..., jnp.asarray(JS.leaf_nodes), :])
+
+
+GraphBatch = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                   jnp.ndarray, jnp.ndarray]
+
+
+def graph_batch(raw: Dict[str, jnp.ndarray],
+                stats: Optional[Dict[str, jnp.ndarray]] = None,
+                rng: Optional[jax.Array] = None,
+                noise_std: float = 0.025) -> GraphBatch:
+    r"""Assemble a graph-model batch (ref: datasets.py:45-73).
+
+    :param raw: dict with acc [B,T,18], ori [B,T,54], pose [B,T,135],
+        full_pos [B,T,24,3] (root-relative).
+    :param rng: teacher-forcing noise key; None ⇒ no noise (validation,
+        ref: train_a3gc_tp.py:101-109 feeds clean positions).
+    :return: (inputs [B,T,15,12], leaf_pos_input [B,T,15,3],
+        full_pos_input [B,T,15,3], leaf_pos [B,T,45], full_pos [B,T,45],
+        smpl [B,T,135]).
+    """
+    ori, acc = normalize_imu(raw["ori"], raw["acc"], stats)
+    full_pos = raw["full_pos"]
+    if rng is not None:
+        noisy = full_pos + noise_std * jax.random.normal(
+            rng, full_pos.shape, full_pos.dtype)
+    else:
+        noisy = full_pos
+
+    inputs = scatter_graph_inputs(ori, acc)
+    leaf_pos = _scatter_leaf(full_pos)
+    leaf_pos_input = _scatter_leaf(noisy)
+    reduced = jnp.asarray(JS.reduced)
+    full15 = full_pos[..., reduced, :]
+    full15_input = noisy[..., reduced, :]
+
+    B, T = inputs.shape[:2]
+    return (inputs, leaf_pos_input, full15_input,
+            leaf_pos.reshape(B, T, 45), full15.reshape(B, T, 45),
+            raw["pose"])
+
+
+def flat_batch(raw: Dict[str, jnp.ndarray],
+               stats: Optional[Dict[str, jnp.ndarray]] = None,
+               rng: Optional[jax.Array] = None,
+               leaf_noise_std: float = 0.04,
+               full_noise_std: float = 0.025):
+    r"""Assemble a flat TransPose batch (ref: datasets.py:106-125).
+
+    :return: (inputs [B,T,72], leaf_pos_input [B,T,15], full_pos_input
+        [B,T,69], leaf_pos [B,T,15], full_pos [B,T,69], smpl [B,T,135]).
+    """
+    ori, acc = normalize_imu(raw["ori"], raw["acc"], stats)
+    leaf = raw["leaf_pos"]                       # [B,T,5,3]
+    full = raw["full_pos"][..., 1:, :]           # drop root (ref: :114)
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+        leaf_in = leaf + leaf_noise_std * jax.random.normal(
+            r1, leaf.shape, leaf.dtype)
+        full_in = full + full_noise_std * jax.random.normal(
+            r2, full.shape, full.dtype)
+    else:
+        leaf_in, full_in = leaf, full
+    B, T = ori.shape[:2]
+    return (jnp.concatenate((acc, ori), axis=-1),
+            leaf_in.reshape(B, T, 15), full_in.reshape(B, T, 69),
+            leaf.reshape(B, T, 15), full.reshape(B, T, 69), raw["pose"])
+
+
+def dip_batch(raw: Dict[str, jnp.ndarray],
+              stats: Dict[str, jnp.ndarray],
+              no_root: bool = True):
+    r"""Assemble a DIP batch (ref: datasets.py:156-168): drop the root
+    sensor's channels, normalize, concat acc‖ori.
+
+    :return: (inputs [B,T,60], smpl [B,T,...])."""
+    ori, acc = raw["ori"], raw["acc"]
+    om, os_ = stats["ori_mean_channel"], stats["ori_std_channel"]
+    am, as_ = stats["acc_mean_channel"], stats["acc_std_channel"]
+    if no_root:
+        ori, om, os_ = ori[..., :-9], om[..., :-9], os_[..., :-9]
+        acc, am, as_ = acc[..., :-3], am[..., :-3], as_[..., :-3]
+    ori = (ori - om) / os_
+    acc = (acc - am) / as_
+    return jnp.concatenate((acc, ori), axis=-1), raw["pose"]
+
+
+# ---------------------------------------------------------------------------
+# host-side sampling
+# ---------------------------------------------------------------------------
+
+def load_packed(path: str) -> Dict[str, np.ndarray]:
+    """Load a packed npz dataset into host numpy (mmap-friendly)."""
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+class Sampler:
+    r"""Epoch sampler over a packed dataset: shuffles sequence indices and
+    yields raw [B, T, ...] numpy slices. Replaces the reference's 4-worker
+    DataLoader (ref: train_a3gc_tp.py:209-211) — there is nothing to
+    parallelize on host since all math moved on-device; slicing contiguous
+    numpy is memory-bandwidth only.
+    """
+
+    def __init__(self, data: Dict[str, np.ndarray], batch_size: int,
+                 shuffle: bool = True, drop_remainder: bool = True,
+                 seed: int = 0):
+        self.data = data
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self._rng = np.random.default_rng(seed)
+        self.n = len(next(iter(data.values())))
+
+    def __len__(self) -> int:
+        if self.drop_remainder:
+            return self.n // self.batch_size
+        return -(-self.n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = np.arange(self.n)
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        stop = (self.n - self.n % self.batch_size
+                if self.drop_remainder else self.n)
+        for s in range(0, stop, self.batch_size):
+            take = idx[s:s + self.batch_size]
+            yield {k: v[take] for k, v in self.data.items()}

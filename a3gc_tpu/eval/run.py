@@ -1,0 +1,169 @@
+r"""Cascade evaluation: variable-length sequences → metrics + reports.
+
+Capability parity with the eval entry points (ref: evaluate_a3gc_tp.py:96-192,
+evaluate_tp.py, evaluate_dip.py), redesigned for TPU:
+
+  * the reference evaluates each sequence at batch 1 with a fresh graph
+    break between the three stages, IK, and host-side metrics
+    (ref: evaluate_a3gc_tp.py:164-179); here the cascade + IK + the full
+    metric suite run as ONE jitted program per padded bucket length, with
+    frame masking giving native-length-exact results (see layers.bi_rnn);
+  * sequences are grouped into power-of-two buckets so a handful of
+    compilations serve any test set;
+  * per-sequence predictions can be returned for qualitative tooling
+    (the reference's ``--save_preds``, ref: evaluate_a3gc_tp.py:155-178).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from a3gc_tpu.config import joint_set as JS
+from a3gc_tpu.data import pipeline as DPipe
+from a3gc_tpu.metrics import PoseEvaluator, full_motion_metrics
+from a3gc_tpu.models.pipeline import CascadeConfig, cascade_apply
+from a3gc_tpu.smpl.model import ParametricModel
+
+__all__ = ["bucket_length", "prepare_graph_inputs", "CascadeEvaluator",
+           "evaluate_sequences"]
+
+
+def bucket_length(n: int, minimum: int = 128) -> int:
+    """Round a sequence length up to the next power-of-two bucket."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def prepare_graph_inputs(ori: np.ndarray, acc: np.ndarray,
+                         stats: Optional[Dict[str, np.ndarray]] = None
+                         ) -> np.ndarray:
+    r"""Host-side convenience mirroring ``prepare_input``
+    (ref: evaluate_a3gc_tp.py:64-94): normalize + scatter one sequence
+    [T, 54], [T, 18] → [T, 15, 12]. (The jitted path uses
+    data.pipeline.scatter_graph_inputs directly.)"""
+    ori = jnp.asarray(ori, jnp.float32)
+    acc = jnp.asarray(acc, jnp.float32)
+    ori, acc = DPipe.normalize_imu(ori, acc, stats)
+    return np.asarray(DPipe.scatter_graph_inputs(ori, acc))
+
+
+def reduced_to_full(reduced_pose: np.ndarray) -> np.ndarray:
+    r"""Ground-truth expansion: 15 reduced rotmats → 24-joint frame with
+    identity elsewhere (ref: evaluate_a3gc_tp.py:59-62)."""
+    n = reduced_pose.shape[0]
+    full = np.tile(np.eye(3, dtype=np.float32), (n, 24, 1, 1))
+    full[:, np.asarray(JS.reduced)] = reduced_pose.reshape(n, 15, 3, 3)
+    return full
+
+
+class CascadeEvaluator:
+    r"""Evaluates a 3-stage cascade over a set of variable-length sequences.
+
+    One jit cache entry per bucket length; masked metrics make padding
+    invisible. Reports the reference's 5-metric table plus throughput.
+    """
+
+    def __init__(self, params3: Tuple, cfg: CascadeConfig,
+                 model: ParametricModel,
+                 stats: Optional[Dict[str, np.ndarray]] = None,
+                 normalize: bool = False, fps: int = 60):
+        self.params3 = params3
+        self.cfg = cfg
+        self.model = model
+        self.stats = ({k: jnp.asarray(v) for k, v in stats.items()}
+                      if (normalize and stats is not None) else None)
+        self.fps = fps
+
+        @partial(jax.jit, static_argnames=())
+        def _run(params3, ori, acc, pose_t_full, n_valid):
+            # ori [1,T,54] acc [1,T,18] pose_t_full [T,24,3,3]
+            o, a = DPipe.normalize_imu(ori, acc, self.stats)
+            if cfg.is_graph:
+                imu = DPipe.scatter_graph_inputs(o, a)     # [1,T,15,12]
+            else:
+                imu = jnp.concatenate((a, o), axis=-1)     # [1,T,72]
+            T = imu.shape[1]
+            mask = (jnp.arange(T)[None, :] < n_valid).astype(imu.dtype)
+            pose_p = cascade_apply(params3, cfg, self.model, imu,
+                                   frame_mask=mask)         # [T,24,3,3]
+            eye = jnp.eye(3, dtype=pose_p.dtype)
+            ign = jnp.asarray(JS.ignored)
+            pose_p = pose_p.at[:, ign].set(eye)
+            pose_t = pose_t_full.at[:, ign].set(eye)
+            errs = full_motion_metrics(
+                self.model, pose_p, pose_t, n_valid=n_valid, fps=fps,
+                joint_mask=JS.sip_joints)
+            metric = jnp.stack((errs[9], errs[3], errs[0] * 100,
+                                errs[10] / 1000, errs[4] / 100))
+            return metric, pose_p
+
+        self._run = _run
+
+    def warmup(self, lengths: Sequence[int]):
+        """Pre-compile the bucket lengths (excluded from timing)."""
+        for L in sorted({bucket_length(n) for n in lengths}):
+            ori = jnp.zeros((1, L, 54), jnp.float32)
+            acc = jnp.zeros((1, L, 18), jnp.float32)
+            pose = jnp.tile(jnp.eye(3, dtype=jnp.float32), (L, 24, 1, 1))
+            jax.block_until_ready(
+                self._run(self.params3, ori, acc, pose, jnp.asarray(L)))
+
+    def evaluate(self, sequences: List[Dict[str, np.ndarray]],
+                 return_preds: bool = False):
+        r"""Evaluate sequences (each: ori [T,54], acc [T,18], pose [T,135]
+        reduced global rotmats — the reference test_tp schema,
+        ref: evaluate_a3gc_tp.py:147-150).
+
+        :return: (mean metric [5,2] over sequences, total offline seconds,
+            total frames[, list of pred poses])."""
+        metrics, preds = [], []
+        total_time = 0.0
+        total_frames = 0
+        for seq in sequences:
+            T = seq["ori"].shape[0]
+            L = bucket_length(T)
+            pad = L - T
+            ori = np.pad(seq["ori"].reshape(T, 54),
+                         ((0, pad), (0, 0)))[None]
+            acc = np.pad(seq["acc"].reshape(T, 18),
+                         ((0, pad), (0, 0)))[None]
+            gt = reduced_to_full(seq["pose"].reshape(T, 15, 3, 3))
+            gt = np.concatenate(
+                [gt, np.tile(np.eye(3, dtype=np.float32), (pad, 24, 1, 1))])
+            t0 = time.perf_counter()
+            metric, pose_p = self._run(
+                self.params3, jnp.asarray(ori), jnp.asarray(acc),
+                jnp.asarray(gt), jnp.asarray(T))
+            metric = jax.block_until_ready(metric)
+            total_time += time.perf_counter() - t0
+            total_frames += T
+            metrics.append(np.asarray(metric))
+            if return_preds:
+                preds.append(np.asarray(pose_p[:T]))
+        mean = np.stack(metrics).mean(axis=0)
+        out = (mean, total_time, total_frames)
+        return out + (preds,) if return_preds else out
+
+
+def evaluate_sequences(params3, cfg: CascadeConfig, model: ParametricModel,
+                       sequences, stats=None, normalize=False,
+                       report_path: Optional[str] = None,
+                       dataset_name: str = "dataset"):
+    r"""One-call evaluation with the reference's text report
+    (ref: evaluate_a3gc_tp.py:181-187)."""
+    ev = CascadeEvaluator(params3, cfg, model, stats, normalize)
+    ev.warmup([s["ori"].shape[0] for s in sequences])
+    mean, seconds, frames = ev.evaluate(sequences)
+    if report_path:
+        from a3gc_tpu.utils import write_eval_report
+        write_eval_report(report_path, dataset_name, seconds, mean,
+                          PoseEvaluator.METRIC_NAMES)
+    return mean, seconds, frames

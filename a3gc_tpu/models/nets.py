@@ -114,9 +114,12 @@ def graph_net_zero_state(cfg: GraphNetConfig, batch: int, dtype=jnp.float32):
 
 def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
                     x: jnp.ndarray, state=None,
-                    rng: Optional[jax.Array] = None):
+                    rng: Optional[jax.Array] = None,
+                    frame_mask: Optional[jnp.ndarray] = None):
     r"""Forward pass (ref: net_aagc.py:633-645). x [B,T,N,F_in] →
-    ([B,T,N,F_out], new_state). Dropout only when ``rng`` is given."""
+    ([B,T,N,F_out], new_state). Dropout only when ``rng`` is given.
+    ``frame_mask`` [B,T] makes end-padded batches equivalent to
+    native-length sequences (see layers.bi_rnn)."""
     prec = cfg.matmul_precision
     if state is None:
         state = graph_net_zero_state(cfg, x.shape[0], x.dtype)
@@ -131,8 +134,10 @@ def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
 
     if cfg.cell == "ggru":
         step = lambda p, xt, st, **kw: C.ggru_step(p, xt, st, precision=prec)
-        x, state = L.bi_rnn(step, params.rnn1, x, state)
-        x, state = L.bi_rnn(step, params.rnn2, x, state)
+        x, state = L.bi_rnn(step, params.rnn1, x, state,
+                            frame_mask=frame_mask)
+        x, state = L.bi_rnn(step, params.rnn2, x, state,
+                            frame_mask=frame_mask)
     else:
         def step(p, xt, st, rng=None):
             return C.gcn_lstm_step(
@@ -143,8 +148,10 @@ def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
 
         # rnn1's final state seeds rnn2 — reference semantics, see
         # graph_net_zero_state
-        x, state = L.bi_rnn(step, params.rnn1, x, state, rng=r1)
-        x, state = L.bi_rnn(step, params.rnn2, x, state, rng=r2)
+        x, state = L.bi_rnn(step, params.rnn1, x, state, rng=r1,
+                            frame_mask=frame_mask)
+        x, state = L.bi_rnn(step, params.rnn2, x, state, rng=r2,
+                            frame_mask=frame_mask)
 
     x = C.graph_conv(params.linear_out, x, precision=prec)
     return x, state
@@ -265,7 +272,8 @@ def dip_zero_state(cfg: DIPConfig, batch: int, dtype=jnp.float32):
 
 
 def dip_apply(params: DIPParams, cfg: DIPConfig, x: jnp.ndarray,
-              state=None, rng: Optional[jax.Array] = None):
+              state=None, rng: Optional[jax.Array] = None,
+              frame_mask: Optional[jnp.ndarray] = None):
     r"""DIP forward (ref: net_aagc.py:33-38): dropout → linear → relu →
     stacked biLSTM → linear. x [B, T, F] → ([B, T, n_output], state)."""
     prec = cfg.matmul_precision
@@ -290,9 +298,11 @@ def dip_apply(params: DIPParams, cfg: DIPConfig, x: jnp.ndarray,
             return out[:, None, :], st
 
         if cfg.bidirectional:
-            y, fin = L.bi_rnn(step, layer_params, x4, layer_state)
+            y, fin = L.bi_rnn(step, layer_params, x4, layer_state,
+                              frame_mask=frame_mask)
         else:
-            y, fin = L.uni_rnn(step, layer_params, x4, layer_state)
+            y, fin = L.uni_rnn(step, layer_params, x4, layer_state,
+                               frame_mask=frame_mask)
         x = y[:, :, 0, :]
         new_states.append(fin)
 

@@ -55,11 +55,14 @@ def init_pose_net(key, cfg: PoseNetConfig, adjacency=None):
 
 
 def pose_net_forward(params, cfg: PoseNetConfig, imu: jnp.ndarray,
-                     state=None, rng: Optional[jax.Array] = None):
+                     state=None, rng: Optional[jax.Array] = None,
+                     frame_mask: Optional[jnp.ndarray] = None):
     r"""Raw net forward (ref: net_aagc.py:810-812)."""
     if cfg.is_graph:
-        return N.graph_net_apply(params, cfg.net, imu, state, rng)
-    return N.dip_apply(params, cfg.net, imu, state, rng)
+        return N.graph_net_apply(params, cfg.net, imu, state, rng,
+                                 frame_mask=frame_mask)
+    return N.dip_apply(params, cfg.net, imu, state, rng,
+                       frame_mask=frame_mask)
 
 
 def reduced_global_to_full_local(glb_reduced: jnp.ndarray,
@@ -119,7 +122,8 @@ class CascadeConfig:
 
 
 def cascade_apply(params3: Tuple, cfg: CascadeConfig,
-                  model: ParametricModel, imu: jnp.ndarray) -> jnp.ndarray:
+                  model: ParametricModel, imu: jnp.ndarray,
+                  frame_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     r"""Full cascade in one jittable program.
 
     Graph variant (ref: evaluate_a3gc_tp.py:164-171): imu [B, T, 15, 12];
@@ -132,17 +136,17 @@ def cascade_apply(params3: Tuple, cfg: CascadeConfig,
     p1, p2, p3 = params3
     B, T = imu.shape[0], imu.shape[1]
 
-    leaf, _ = pose_net_forward(p1, cfg.stage1, imu)
+    leaf, _ = pose_net_forward(p1, cfg.stage1, imu, frame_mask=frame_mask)
     if cfg.is_graph:
         leaf = leaf.reshape(B, T, JS.n_reduced, 3)
     x2 = jnp.concatenate((imu, leaf), axis=-1)
 
-    full, _ = pose_net_forward(p2, cfg.stage2, x2)
+    full, _ = pose_net_forward(p2, cfg.stage2, x2, frame_mask=frame_mask)
     if cfg.is_graph:
         full = full.reshape(B, T, JS.n_reduced, 3)
     x3 = jnp.concatenate((imu, full), axis=-1)
 
-    out, _ = pose_net_forward(p3, cfg.stage3, x3)
+    out, _ = pose_net_forward(p3, cfg.stage3, x3, frame_mask=frame_mask)
     return reduced_global_to_full_local(
         out.reshape(-1, JS.n_reduced, 3, 3), model, rotsize=9)
 

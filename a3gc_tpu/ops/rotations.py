@@ -30,6 +30,7 @@ __all__ = [
     "degree_to_radian", "normalize_angle", "angle_difference", "angle_between",
     "svd_rotate", "generate_random_rotation_matrix",
     "axis_angle_to_rotation_matrix", "rotation_matrix_to_axis_angle",
+    "project_to_rotation",
     "r6d_to_rotation_matrix", "rotation_matrix_to_r6d",
     "quaternion_to_axis_angle", "axis_angle_to_quaternion",
     "quaternion_to_rotation_matrix", "rotation_matrix_to_quaternion",
@@ -117,20 +118,40 @@ def angle_difference(target, source):
     return normalize_angle(target - source)
 
 
+def project_to_rotation(m: jnp.ndarray) -> jnp.ndarray:
+    r"""Project matrices to the nearest proper rotation (batched 3×3 SVD with
+    the reflection fix). cv2.Rodrigues does this implicitly on every input
+    (verified numerically to 1e-13), so any path that must match the
+    reference's angles on NON-orthonormal input — e.g. the raw 9D 'rotation'
+    outputs of the nets (ref: net_aagc.py:759 view(-1,15,3,3) with no
+    orthonormalization) — must project first."""
+    m = m.reshape(-1, 3, 3)
+    u, _, vt = jnp.linalg.svd(m)
+    det = jnp.linalg.det(jnp.matmul(u, vt,
+                                    precision=jax.lax.Precision.HIGHEST))
+    u = u.at[..., :, 2].multiply(jnp.sign(det)[..., None])
+    return jnp.matmul(u, vt, precision=jax.lax.Precision.HIGHEST)
+
+
 def angle_between(rot1: jnp.ndarray, rot2: jnp.ndarray,
-                  rep: RotationRepresentation = RotationRepresentation.ROTATION_MATRIX
-                  ) -> jnp.ndarray:
+                  rep: RotationRepresentation = RotationRepresentation.ROTATION_MATRIX,
+                  project: bool = True) -> jnp.ndarray:
     r"""Angle in radians between two batches of rotations (ref: angular.py:86-99).
 
     The reference converts the relative rotation to axis-angle via
-    cv2.Rodrigues and takes its norm. Here the angle is read directly off the
-    relative rotation with the atan2 form, which is exact over [0, pi] and
-    numerically stable at both endpoints — no host round-trip.
+    cv2.Rodrigues and takes its norm; cv2 implicitly projects its input to
+    the nearest rotation, which matters because the nets emit unconstrained
+    9D matrices. ``project=True`` reproduces that exactly (on true rotations
+    it is an epsilon-size no-op); the angle itself is then read off with the
+    atan2 form — exact over [0, pi] and stable at both endpoints, no host
+    round-trip.
     """
     r1 = to_rotation_matrix(rot1, rep)
     r2 = to_rotation_matrix(rot2, rep)
     offset = jnp.einsum("nji,njk->nik", r1, r2,
                         precision=jax.lax.Precision.HIGHEST)  # r1^T @ r2
+    if project:
+        offset = project_to_rotation(offset)
     trace = offset[..., 0, 0] + offset[..., 1, 1] + offset[..., 2, 2]
     w = jnp.stack((
         offset[..., 2, 1] - offset[..., 1, 2],
@@ -158,8 +179,12 @@ def axis_angle_to_rotation_matrix(a: jnp.ndarray) -> jnp.ndarray:
     return c * eye + (1 - c) * outer + s * vector_cross_matrix(axis)
 
 
-def rotation_matrix_to_axis_angle(r: jnp.ndarray) -> jnp.ndarray:
+def rotation_matrix_to_axis_angle(r: jnp.ndarray,
+                                  project: bool = False) -> jnp.ndarray:
     r"""Closed-form SO(3) log map, batch (ref: angular.py:154-164). [N, 3].
+
+    ``project=True`` additionally snaps the input to the nearest rotation
+    first, matching cv2.Rodrigues' behavior on non-orthonormal input.
 
     Replaces the reference's per-matrix cv2.Rodrigues host loop with a branch-
     free on-device formulation covering all three regimes:
@@ -172,6 +197,8 @@ def rotation_matrix_to_axis_angle(r: jnp.ndarray) -> jnp.ndarray:
     SIP-error parity budget of 0.1° requires (SURVEY.md §7 hard part #2).
     """
     r = r.reshape(-1, 3, 3)
+    if project:
+        r = project_to_rotation(r)
     trace = r[..., 0, 0] + r[..., 1, 1] + r[..., 2, 2]
     w = 0.5 * jnp.stack((
         r[..., 2, 1] - r[..., 1, 2],

@@ -1,0 +1,8 @@
+from a3gc_tpu.train.loop import (  # noqa: F401
+    StageRunner,
+    TrainState,
+    make_optimizer,
+    run_cascade_training,
+    stage_inputs_graph,
+    stage_inputs_flat,
+)

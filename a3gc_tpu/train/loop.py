@@ -1,0 +1,280 @@
+r"""Training: jitted per-batch steps, per-stage epoch driver, early stopping.
+
+Capability parity with the reference trainers (ref: train_a3gc_tp.py:45-312,
+train_dip.py:37-193), redesigned for TPU:
+
+  * ONE jit-compiled ``train_step`` per stage fuses batch assembly
+    (normalization, graph scatter, teacher-forcing noise), the forward pass,
+    the loss, backward, and the Adam update — the reference crosses the
+    host↔device boundary per batch with CPU-side assembly
+    (ref: train_a3gc_tp.py:57-68);
+  * the batch axis is sharded over the mesh's ``data`` axis; gradients are
+    combined by XLA-inserted psums (no DDP analogue needed);
+  * optimizer semantics match torch exactly: Adam with L2-into-gradient
+    weight decay (torch style, not AdamW) and per-epoch ExponentialLR γ=0.8
+    (ref: train_a3gc_tp.py:234-239); AGC's shared adjacency is frozen via an
+    optax mask like the reference's ``requires_grad=False``
+    (ref: net_aagc.py:238).
+
+Stage input wiring (ref: train_a3gc_tp.py:57-65 train / :101-109 valid):
+  stage 1: inputs = imu,                        target = leaf positions
+  stage 2: inputs = imu ‖ noisy leaf positions, target = all positions
+  stage 3: inputs = imu ‖ noisy all positions,  target = rotations
+Validation feeds *clean* positions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from a3gc_tpu.config import TrainConfig
+from a3gc_tpu.data import pipeline as DP
+from a3gc_tpu.models import cells as C
+from a3gc_tpu.models import nets as N
+from a3gc_tpu.models.pipeline import PoseNetConfig, pose_loss, pose_net_forward
+
+__all__ = [
+    "TrainState", "make_optimizer", "StageRunner", "run_cascade_training",
+    "stage_inputs_graph", "stage_inputs_flat",
+]
+
+
+@struct.dataclass
+class TrainState:
+    params: object
+    opt_state: object
+    step: jnp.ndarray
+
+
+def _adjacency_freeze_mask(params, cfg: PoseNetConfig):
+    r"""True = trainable. Freezes the AGC cells' shared adjacency
+    (requires_grad=False in the reference, ref: net_aagc.py:238)."""
+    if not (cfg.is_graph and cfg.net.cell == "agc"):
+        return jax.tree_util.tree_map(lambda _: True, params)
+
+    def mark(p):
+        return jax.tree_util.tree_map(lambda _: True, p)
+
+    def mark_cell(cell: C.GCNLSTMCellParams):
+        return dataclasses.replace(mark(cell), adj=False)
+
+    m = mark(params)
+    return dataclasses.replace(
+        m, rnn1=mark_cell(params.rnn1), rnn2=mark_cell(params.rnn2))
+
+
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int,
+                   params=None, stage_cfg: Optional[PoseNetConfig] = None):
+    r"""torch-equivalent Adam + per-epoch ExponentialLR(γ)
+    (ref: train_a3gc_tp.py:234-239)."""
+    schedule = optax.exponential_decay(
+        init_value=cfg.lr, transition_steps=max(steps_per_epoch, 1),
+        decay_rate=cfg.lr_decay, staircase=True)
+    chain = []
+    if cfg.weight_decay:
+        # torch Adam folds weight decay into the gradient (L2), unlike AdamW
+        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+    chain += [optax.scale_by_adam(), optax.scale_by_learning_rate(schedule)]
+    opt = optax.chain(*chain)
+    if params is not None and stage_cfg is not None:
+        mask = _adjacency_freeze_mask(params, stage_cfg)
+        opt = optax.multi_transform(
+            {True: opt, False: optax.set_to_zero()}, mask)
+    return opt
+
+
+# ---------------------------------------------------------------------------
+# stage input wiring
+# ---------------------------------------------------------------------------
+
+def stage_inputs_graph(batch: DP.GraphBatch, stage: int, train: bool):
+    r"""Graph-model wiring (ref: train_a3gc_tp.py:57-65 / :101-109)."""
+    imu, leaf_in, full_in, leaf, full, smpl = batch
+    B, T = imu.shape[:2]
+    if stage == 1:
+        return imu, leaf
+    if stage == 2:
+        pos = leaf_in if train else leaf.reshape(B, T, 15, 3)
+        return jnp.concatenate((imu, pos), axis=-1), full
+    pos = full_in if train else full.reshape(B, T, 15, 3)
+    return jnp.concatenate((imu, pos), axis=-1), smpl
+
+
+def stage_inputs_flat(batch, stage: int, train: bool):
+    r"""Flat TransPose wiring (ref: train_tp.py:57-65 / :105-112)."""
+    imu, leaf_in, full_in, leaf, full, smpl = batch
+    if stage == 1:
+        return imu, leaf
+    if stage == 2:
+        pos = leaf_in if train else leaf
+        return jnp.concatenate((imu, pos), axis=-1), full
+    pos = full_in if train else full
+    return jnp.concatenate((imu, pos), axis=-1), smpl
+
+
+# ---------------------------------------------------------------------------
+# per-stage runner
+# ---------------------------------------------------------------------------
+
+class StageRunner:
+    r"""Owns the jitted train/eval steps of one cascade stage."""
+
+    def __init__(self, stage: int, stage_cfg: PoseNetConfig, params,
+                 train_cfg: TrainConfig, steps_per_epoch: int,
+                 stats: Optional[Dict[str, jnp.ndarray]] = None,
+                 graph: bool = True,
+                 mesh=None):
+        self.stage = stage
+        self.stage_cfg = stage_cfg
+        self.cfg = train_cfg
+        self.stats = stats if train_cfg.normalize else None
+        self.graph = graph
+        self.mesh = mesh
+        self.optimizer = make_optimizer(train_cfg, steps_per_epoch, params,
+                                        stage_cfg)
+        self.state = TrainState(params=params,
+                                opt_state=self.optimizer.init(params),
+                                step=jnp.zeros((), jnp.int32))
+
+        assemble = DP.graph_batch if graph else DP.flat_batch
+        wire = stage_inputs_graph if graph else stage_inputs_flat
+        noise_kw = ({"noise_std": train_cfg.full_noise_std} if graph else
+                    {"leaf_noise_std": train_cfg.leaf_noise_std,
+                     "full_noise_std": train_cfg.full_noise_std})
+
+        def loss_fn(params, raw, rng):
+            rng_noise, rng_drop = jax.random.split(rng)
+            batch = assemble(raw, self.stats, rng_noise, **noise_kw)
+            inputs, target = wire(batch, stage, train=True)
+            pred, _ = pose_net_forward(params, stage_cfg, inputs,
+                                       rng=rng_drop)
+            return pose_loss(pred.reshape(target.shape), target)
+
+        @jax.jit
+        def train_step(state: TrainState, raw, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, raw, rng)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss
+
+        @jax.jit
+        def eval_step(params, raw):
+            batch = assemble(raw, self.stats, None, **noise_kw)
+            inputs, target = wire(batch, stage, train=False)
+            pred, _ = pose_net_forward(params, stage_cfg, inputs)
+            return pose_loss(pred.reshape(target.shape), target)
+
+        self.train_step = train_step
+        self.eval_step = eval_step
+
+    def _put(self, raw: Dict[str, np.ndarray]):
+        if self.mesh is not None:
+            from a3gc_tpu.parallel import shard_batch
+            return shard_batch(raw, self.mesh)
+        return raw
+
+    def train_epoch(self, sampler: DP.Sampler, rng: jax.Array) -> float:
+        total, n = 0.0, 0
+        for i, raw in enumerate(sampler):
+            self.state, loss = self.train_step(
+                self.state, self._put(raw), jax.random.fold_in(rng, i))
+            total += float(loss)
+            n += 1
+        return total / max(n, 1)
+
+    def eval_epoch(self, sampler: DP.Sampler) -> float:
+        total, n = 0.0, 0
+        for raw in sampler:
+            total += float(self.eval_step(self.state.params, self._put(raw)))
+            n += 1
+        return total / max(n, 1)
+
+
+class DIPRunner:
+    r"""Single-stage DIP trainer (ref: train_dip.py:37-98): input is the
+    normalized 60-channel no-root IMU vector, target the reduced pose."""
+
+    def __init__(self, stage_cfg: PoseNetConfig, params,
+                 train_cfg: TrainConfig, steps_per_epoch: int,
+                 stats: Dict[str, jnp.ndarray], mesh=None):
+        self.cfg = train_cfg
+        self.mesh = mesh
+        self.optimizer = make_optimizer(train_cfg, steps_per_epoch)
+        self.state = TrainState(params=params,
+                                opt_state=self.optimizer.init(params),
+                                step=jnp.zeros((), jnp.int32))
+        stats = {k: jnp.asarray(v) for k, v in stats.items()}
+
+        def loss_fn(params, raw, rng):
+            inputs, target = DP.dip_batch(raw, stats)
+            pred, _ = pose_net_forward(params, stage_cfg, inputs, rng=rng)
+            return pose_loss(pred.reshape(target.shape), target)
+
+        @jax.jit
+        def train_step(state: TrainState, raw, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, raw, rng)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss
+
+        @jax.jit
+        def eval_step(params, raw):
+            inputs, target = DP.dip_batch(raw, stats)
+            pred, _ = pose_net_forward(params, stage_cfg, inputs)
+            return pose_loss(pred.reshape(target.shape), target)
+
+        self.train_step = train_step
+        self.eval_step = eval_step
+
+    train_epoch = StageRunner.train_epoch
+    eval_epoch = StageRunner.eval_epoch
+    _put = StageRunner._put
+
+
+def run_cascade_training(
+        runners: Dict[int, StageRunner],
+        train_sampler_fn: Callable[[], DP.Sampler],
+        valid_sampler_fn: Callable[[], DP.Sampler],
+        cfg: TrainConfig,
+        save_fn: Optional[Callable[[int, int, object], None]] = None,
+        log_fn: Optional[Callable[[dict], None]] = None):
+    r"""The 3-stage sequential driver with per-stage early stopping
+    (ref: train_a3gc_tp.py:241-312): stages run in order from
+    ``cfg.start_stage``; a stage stops after ``cfg.patience`` epochs without
+    validation improvement; the best params are kept (checkpoints are written
+    on every improvement, like ref: train_a3gc_tp.py:254-258)."""
+    rng = jax.random.PRNGKey(cfg.seed)
+    for stage in sorted(runners):
+        if stage < cfg.start_stage:
+            continue
+        runner = runners[stage]
+        best, tol = float("inf"), 0
+        for epoch in range(cfg.start_epoch, cfg.max_epochs):
+            t0 = time.time()
+            train_loss = runner.train_epoch(
+                train_sampler_fn(), jax.random.fold_in(rng, stage * 10000 + epoch))
+            valid_loss = runner.eval_epoch(valid_sampler_fn())
+            if log_fn:
+                log_fn({"stage": stage, "epoch": epoch,
+                        "train_loss": train_loss, "valid_loss": valid_loss,
+                        "seconds": time.time() - t0})
+            if valid_loss < best:
+                best, tol = valid_loss, 0
+                if save_fn:
+                    save_fn(stage, epoch, runner.state.params)
+            else:
+                tol += 1
+            if tol > cfg.patience:
+                break
+    return runners

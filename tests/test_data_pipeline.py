@@ -1,0 +1,141 @@
+"""L4 input pipeline: batch assembly parity with the reference datasets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from a3gc_tpu.config import joint_set as JS
+from a3gc_tpu.data import pipeline as DP
+from a3gc_tpu.data.stats import compute_stats, load_stats, save_stats
+from a3gc_tpu.data.synthetic import synthetic_packed_dataset
+
+
+@pytest.fixture(scope="module")
+def packed():
+    return synthetic_packed_dataset(n_seqs=6, seq_len=20, seed=0)
+
+
+class TestGraphBatch:
+    def test_scatter_matches_reference_semantics(self, packed):
+        """Reproduce GraphDataset_tp.__getitem__ (ref: datasets.py:45-73)
+        in numpy and compare."""
+        raw = {k: jnp.asarray(v) for k, v in packed.items()}
+        out = DP.graph_batch(raw, stats=None, rng=None)
+        inputs, leaf_in, full_in, leaf, full, smpl = [np.asarray(o) for o in out]
+
+        # reference-style manual assembly for sequence 0
+        ori = packed["ori"][0]
+        acc = packed["acc"][0]
+        fp = packed["full_pos"][0]
+        inputs_ref = np.zeros((20, 15, 12), np.float32)
+        cat = np.concatenate(
+            (acc.reshape(-1, 6, 3)[:, :5], ori.reshape(-1, 6, 9)[:, :5]), -1)
+        for i, el in enumerate(JS.input_joints):
+            inputs_ref[:, el] = cat[:, i]
+        np.testing.assert_allclose(inputs[0], inputs_ref, atol=1e-6)
+
+        leaf_ref = np.zeros((20, 15, 3), np.float32)
+        for i, el in enumerate(JS.leaf_nodes_reduced):
+            leaf_ref[:, el] = fp[:, JS.leaf_nodes[i]]
+        np.testing.assert_allclose(leaf[0].reshape(20, 15, 3), leaf_ref,
+                                   atol=1e-6)
+        np.testing.assert_allclose(
+            full[0].reshape(20, 15, 3), fp[:, np.asarray(JS.reduced)],
+            atol=1e-6)
+        np.testing.assert_allclose(smpl[0], packed["pose"][0], atol=0)
+
+    def test_noise_only_on_inputs(self, packed):
+        raw = {k: jnp.asarray(v) for k, v in packed.items()}
+        clean = DP.graph_batch(raw, rng=None)
+        noisy = DP.graph_batch(raw, rng=jax.random.PRNGKey(0))
+        # targets identical, teacher-forcing inputs perturbed
+        np.testing.assert_allclose(np.asarray(clean[3]), np.asarray(noisy[3]))
+        np.testing.assert_allclose(np.asarray(clean[4]), np.asarray(noisy[4]))
+        assert np.abs(np.asarray(clean[2]) - np.asarray(noisy[2])).max() > 0
+        got = np.std(np.asarray(noisy[2]) - np.asarray(clean[2]))
+        assert 0.01 < got < 0.05   # ~N(0, 0.025)
+
+    def test_normalization(self, packed):
+        stats = {
+            "ori_mean_channel": jnp.full((54,), 0.5),
+            "ori_std_channel": jnp.full((54,), 2.0),
+            "acc_mean_channel": jnp.zeros((18,)),
+            "acc_std_channel": jnp.full((18,), 4.0),
+        }
+        raw = {k: jnp.asarray(v) for k, v in packed.items()}
+        inputs, *_ = DP.graph_batch(raw, stats=stats)
+        base, *_ = DP.graph_batch(raw, stats=None)
+        # acc occupies features 0:3 of each populated node
+        node = JS.input_joints[0]
+        np.testing.assert_allclose(np.asarray(inputs[..., node, :3]),
+                                   np.asarray(base[..., node, :3]) / 4.0,
+                                   atol=1e-6)
+
+
+class TestFlatAndDipBatch:
+    def test_flat_shapes(self, packed):
+        raw = {k: jnp.asarray(v) for k, v in packed.items()}
+        out = DP.flat_batch(raw, rng=jax.random.PRNGKey(1))
+        shapes = [tuple(o.shape) for o in out]
+        assert shapes == [(6, 20, 72), (6, 20, 15), (6, 20, 69),
+                          (6, 20, 15), (6, 20, 69), (6, 20, 135)]
+
+    def test_dip_drops_root_channels(self, packed):
+        stats = {
+            "ori_mean_channel": jnp.zeros((54,)),
+            "ori_std_channel": jnp.ones((54,)),
+            "acc_mean_channel": jnp.zeros((18,)),
+            "acc_std_channel": jnp.ones((18,)),
+        }
+        raw = {k: jnp.asarray(v) for k, v in packed.items()}
+        inputs, smpl = DP.dip_batch(raw, stats)
+        assert inputs.shape == (6, 20, 60)
+        np.testing.assert_allclose(np.asarray(inputs[..., :15]),
+                                   packed["acc"][..., :15], atol=1e-6)
+
+
+class TestSampler:
+    def test_epoch_covers_all(self, packed):
+        s = DP.Sampler(packed, batch_size=2, shuffle=True, seed=1)
+        seen = 0
+        for raw in s:
+            assert raw["acc"].shape == (2, 20, 18)
+            seen += 2
+        assert seen == 6 and len(s) == 3
+
+    def test_shuffle_differs_across_epochs(self, packed):
+        s = DP.Sampler(packed, batch_size=6, shuffle=True, seed=2)
+        a = next(iter(s))["acc"]
+        b = next(iter(s))["acc"]
+        assert not np.allclose(a, b)
+
+
+class TestStats:
+    def test_compute_matches_torch_semantics(self):
+        rng = np.random.default_rng(0)
+        chunks = [rng.normal(size=(40, 18)), rng.normal(size=(25, 18))]
+        stats = compute_stats({"acc": chunks})
+        allx = np.concatenate(chunks)
+        np.testing.assert_allclose(stats["acc_mean_channel"],
+                                   allx.mean(0), atol=1e-5)
+        np.testing.assert_allclose(stats["acc_std_channel"],
+                                   allx.std(0, ddof=1), atol=1e-5)
+        np.testing.assert_allclose(stats["acc_std_all"],
+                                   allx.std(ddof=1), atol=1e-5)
+
+    def test_save_load_round_trip(self, tmp_path):
+        stats = compute_stats({"acc": [np.ones((10, 18))]})
+        p = save_stats(stats, str(tmp_path / "s.npz"))
+        back = load_stats(p)
+        np.testing.assert_allclose(back["acc_mean_channel"],
+                                   stats["acc_mean_channel"])
+
+    def test_convert_torch_stats(self, tmp_path, reference_path):
+        from a3gc_tpu.data.stats import convert_torch_stats
+        src = "/root/reference/data/all_train_stats.pt"
+        out = convert_torch_stats(src, str(tmp_path / "ref.npz"))
+        stats = load_stats(out)
+        assert stats["acc_mean_channel"].shape == (18,)
+        assert stats["ori_std_channel"].shape == (54,)
+        assert stats["full_pos_mean_channel"].shape == (24, 3)

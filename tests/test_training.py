@@ -1,0 +1,152 @@
+"""L6 training: jitted steps learn, early stopping, checkpoints, sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from a3gc_tpu.config import TrainConfig
+from a3gc_tpu.data import load_adjacency_template
+from a3gc_tpu.data import pipeline as DP
+from a3gc_tpu.data.synthetic import synthetic_packed_dataset
+from a3gc_tpu.models import nets as N
+from a3gc_tpu.models.pipeline import PoseNetConfig, init_pose_net
+from a3gc_tpu.parallel import make_mesh
+from a3gc_tpu.train import StageRunner, run_cascade_training
+from a3gc_tpu.utils import discover_latest, restore_params, save_params
+from a3gc_tpu.config import MeshConfig
+
+
+@pytest.fixture(scope="module")
+def nira():
+    return load_adjacency_template()
+
+
+@pytest.fixture(scope="module")
+def packed():
+    return synthetic_packed_dataset(n_seqs=8, seq_len=16, seed=0)
+
+
+def make_stage(stage, nira, cell="a3gc", hidden=16):
+    units_in = {1: 12, 2: 15, 3: 15}[stage]
+    units_out = {1: 3, 2: 3, 3: 9}[stage]
+    net = N.GraphNetConfig(cell=cell, units_in=units_in, units_out=units_out,
+                           units_hidden=hidden, linear_dropout=0.0,
+                           dropout=0.0, recurrent_dropout=0.0)
+    cfg = PoseNetConfig(net=net, rotsize={1: 3, 2: 3, 3: 9}[stage])
+    params = init_pose_net(jax.random.PRNGKey(stage), cfg, nira)
+    return cfg, params
+
+
+class TestStageRunner:
+    @pytest.mark.parametrize("stage", [1, 2, 3])
+    def test_loss_decreases(self, stage, nira, packed):
+        cfg, params = make_stage(stage, nira)
+        tc = TrainConfig(batch_size=4, lr=2e-3)
+        runner = StageRunner(stage, cfg, params, tc, steps_per_epoch=2)
+        sampler = lambda: DP.Sampler(packed, 4, seed=0)
+        first = runner.eval_epoch(sampler())
+        for e in range(3):
+            runner.train_epoch(sampler(), jax.random.PRNGKey(e))
+        last = runner.eval_epoch(sampler())
+        assert np.isfinite(first) and np.isfinite(last)
+        assert last < first
+
+    def test_agc_adjacency_frozen(self, nira, packed):
+        cfg, params = make_stage(3, nira, cell="agc")
+        tc = TrainConfig(batch_size=4)
+        runner = StageRunner(3, cfg, params, tc, steps_per_epoch=2)
+        adj_before = np.asarray(params.rnn1.adj)
+        kernel_before = np.asarray(params.rnn1.kernel)
+        runner.train_epoch(DP.Sampler(packed, 4, seed=0), jax.random.PRNGKey(0))
+        adj_after = np.asarray(runner.state.params.rnn1.adj)
+        kernel_after = np.asarray(runner.state.params.rnn1.kernel)
+        np.testing.assert_allclose(adj_after, adj_before, atol=0)
+        assert np.abs(kernel_after - kernel_before).max() > 0
+
+    def test_a3gc_adjacency_trains(self, nira, packed):
+        cfg, params = make_stage(3, nira, cell="a3gc")
+        tc = TrainConfig(batch_size=4)
+        runner = StageRunner(3, cfg, params, tc, steps_per_epoch=2)
+        adj_before = np.asarray(params.rnn1.adj)
+        runner.train_epoch(DP.Sampler(packed, 4, seed=0), jax.random.PRNGKey(0))
+        assert np.abs(np.asarray(runner.state.params.rnn1.adj)
+                      - adj_before).max() > 0
+
+    def test_lr_schedule_decays_per_epoch(self, nira, packed):
+        from a3gc_tpu.train import make_optimizer
+        import optax
+        tc = TrainConfig(lr=1.0, lr_decay=0.5)
+        sched = optax.exponential_decay(1.0, 2, 0.5, staircase=True)
+        assert sched(0) == 1.0 and sched(1) == 1.0
+        assert sched(2) == 0.5 and sched(4) == 0.25
+
+
+class TestCascadeDriver:
+    def test_early_stopping_and_checkpoints(self, nira, packed, tmp_path):
+        tc = TrainConfig(batch_size=4, max_epochs=4, patience=1)
+        runners = {}
+        for stage in (1, 2, 3):
+            cfg, params = make_stage(stage, nira, hidden=8)
+            runners[stage] = StageRunner(stage, cfg, params, tc,
+                                         steps_per_epoch=2)
+        events = []
+        saved = []
+        run_cascade_training(
+            runners,
+            lambda: DP.Sampler(packed, 4, seed=0),
+            lambda: DP.Sampler(packed, 4, shuffle=False, seed=0),
+            tc,
+            save_fn=lambda st, ep, p: saved.append(
+                save_params(p, str(tmp_path), st, ep)),
+            log_fn=events.append)
+        stages_seen = {e["stage"] for e in events}
+        assert stages_seen == {1, 2, 3}
+        assert saved
+
+        found = discover_latest(str(tmp_path), 1)
+        assert found is not None
+        path, epoch = found
+        cfg, params = make_stage(1, nira, hidden=8)
+        restored = restore_params(path, params)
+        assert jax.tree_util.tree_structure(restored) == \
+            jax.tree_util.tree_structure(params)
+
+    def test_discover_prefers_pretrain(self, nira, tmp_path):
+        cfg, params = make_stage(1, nira, hidden=8)
+        save_params(params, str(tmp_path), 1, 3, finetuning=False)
+        save_params(params, str(tmp_path), 1, 7, finetuning=True)
+        path, epoch = discover_latest(str(tmp_path), 1)
+        assert "pretrain" in path and epoch == 3
+        path, epoch = discover_latest(str(tmp_path), 1, phase="finetuning")
+        assert epoch == 7
+
+
+class TestShardedTraining:
+    def test_train_step_on_8_device_mesh(self, nira, packed):
+        assert jax.device_count() >= 8, "conftest must provide 8 cpu devices"
+        mesh = make_mesh(MeshConfig(data=8, model=1))
+        cfg, params = make_stage(1, nira, hidden=8)
+        tc = TrainConfig(batch_size=8)
+        runner = StageRunner(1, cfg, params, tc, steps_per_epoch=1, mesh=mesh)
+        loss = runner.train_epoch(DP.Sampler(packed, 8, seed=0),
+                                  jax.random.PRNGKey(0))
+        assert np.isfinite(loss)
+        # params must remain replicated (usable on any device)
+        leaf = jax.tree_util.tree_leaves(runner.state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_sharded_equals_single_device(self, nira, packed):
+        mesh = make_mesh(MeshConfig(data=8, model=1))
+        cfg, params = make_stage(1, nira, hidden=8)
+        tc = TrainConfig(batch_size=8, lr=1e-3)
+        r_mesh = StageRunner(1, cfg, params, tc, steps_per_epoch=1, mesh=mesh)
+        r_single = StageRunner(1, cfg, params, tc, steps_per_epoch=1)
+        l1 = r_mesh.train_epoch(DP.Sampler(packed, 8, seed=0),
+                                jax.random.PRNGKey(0))
+        l2 = r_single.train_epoch(DP.Sampler(packed, 8, seed=0),
+                                  jax.random.PRNGKey(0))
+        assert abs(l1 - l2) < 1e-4
+        p1 = np.asarray(r_mesh.state.params.linear_in.kernel)
+        p2 = np.asarray(r_single.state.params.linear_in.kernel)
+        np.testing.assert_allclose(p1, p2, atol=1e-5)
