@@ -27,6 +27,10 @@ MODEL_CHOICES = ("a3gc", "aagc", "agc", "ggru", "tp", "dip")
 
 def _add_common_model_flags(p):
     p.add_argument("--model", choices=MODEL_CHOICES, default="a3gc")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace into DIR")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaNs)")
     p.add_argument("--hu1", type=int, default=256,
                    help="stage-1 hidden units (ref: train_a3gc_tp.py:28)")
     p.add_argument("--hu2", type=int, default=64)
@@ -331,6 +335,13 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if getattr(args, "data_root", None):
         os.environ["A3GC_DATA_ROOT"] = args.data_root
+    if getattr(args, "debug_nans", False):
+        import jax
+        jax.config.update("jax_debug_nans", True)
+    if getattr(args, "profile", None):
+        import jax
+        with jax.profiler.trace(args.profile):
+            return args.fn(args)
     return args.fn(args)
 
 

@@ -1,6 +1,13 @@
 from a3gc_tpu.eval.run import (  # noqa: F401
     CascadeEvaluator,
+    DipEvaluator,
     bucket_length,
     evaluate_sequences,
     prepare_graph_inputs,
+)
+from a3gc_tpu.eval.streaming import StreamingSession  # noqa: F401
+from a3gc_tpu.eval.worst_frames import (  # noqa: F401
+    compare_models,
+    per_frame_errors,
+    select_extreme_frames,
 )

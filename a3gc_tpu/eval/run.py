@@ -153,6 +153,64 @@ class CascadeEvaluator:
         return out + (preds,) if return_preds else out
 
 
+class DipEvaluator:
+    r"""Single-net DIP evaluation (ref: evaluate_dip.py:60-118): input drops
+    the root sensor's channels (acc[..., :-3], ori[..., :-9]), normalizes
+    with train stats, runs ONE net, converts reduced rotations → full local
+    pose, and reports the 5-metric table."""
+
+    def __init__(self, params, cfg, model: ParametricModel,
+                 stats: Dict[str, np.ndarray], fps: int = 60):
+        from a3gc_tpu.models.pipeline import (
+            pose_net_forward, reduced_global_to_full_local)
+        self.params = params
+        self.model = model
+
+        stats = {k: jnp.asarray(v) for k, v in stats.items()}
+
+        @partial(jax.jit)
+        def _run(params, ori, acc, pose_t_full, n_valid):
+            imu, _ = DPipe.dip_batch(
+                {"ori": ori, "acc": acc, "pose": pose_t_full}, stats,
+                no_root=True)
+            mask = (jnp.arange(imu.shape[1])[None] < n_valid).astype(
+                imu.dtype)
+            out, _ = pose_net_forward(params, cfg, imu, frame_mask=mask)
+            pose_p = reduced_global_to_full_local(
+                out.reshape(-1, JS.n_reduced, 3, 3), self.model)
+            eye = jnp.eye(3, dtype=pose_p.dtype)
+            ign = jnp.asarray(JS.ignored)
+            pose_p = pose_p.at[:, ign].set(eye)
+            pose_t = pose_t_full.at[:, ign].set(eye)
+            errs = full_motion_metrics(
+                self.model, pose_p, pose_t, n_valid=n_valid, fps=fps,
+                joint_mask=JS.sip_joints)
+            return jnp.stack((errs[9], errs[3], errs[0] * 100,
+                              errs[10] / 1000, errs[4] / 100))
+
+        self._run = _run
+
+    def evaluate(self, sequences: List[Dict[str, np.ndarray]]):
+        metrics = []
+        total_time, total_frames = 0.0, 0
+        for seq in sequences:
+            T = seq["ori"].shape[0]
+            L = bucket_length(T)
+            pad = L - T
+            ori = np.pad(seq["ori"].reshape(T, 54), ((0, pad), (0, 0)))[None]
+            acc = np.pad(seq["acc"].reshape(T, 18), ((0, pad), (0, 0)))[None]
+            gt = reduced_to_full(seq["pose"].reshape(T, 15, 3, 3))
+            gt = np.concatenate(
+                [gt, np.tile(np.eye(3, dtype=np.float32), (pad, 24, 1, 1))])
+            t0 = time.perf_counter()
+            m = self._run(self.params, jnp.asarray(ori), jnp.asarray(acc),
+                          jnp.asarray(gt), jnp.asarray(T))
+            metrics.append(np.asarray(m))
+            total_time += time.perf_counter() - t0
+            total_frames += T
+        return np.stack(metrics).mean(axis=0), total_time, total_frames
+
+
 def evaluate_sequences(params3, cfg: CascadeConfig, model: ParametricModel,
                        sequences, stats=None, normalize=False,
                        report_path: Optional[str] = None,

@@ -44,6 +44,7 @@ from flax import struct
 __all__ = [
     "GraphConvParams", "AttentionParams", "GCNLSTMCellParams",
     "GGRUCellParams", "graph_conv", "gcn_lstm_step", "ggru_step",
+    "gcn_lstm_gates", "gcn_lstm_step_hoisted", "ggru_step_hoisted",
     "init_graph_conv", "init_gcn_lstm_cell", "init_ggru_cell",
 ]
 
@@ -153,6 +154,52 @@ def _attention_gate(ap: AttentionParams, hy: jnp.ndarray,
     return jax.nn.sigmoid(a)[..., None]                           # [B,N,1]
 
 
+def gcn_lstm_gates(p: GCNLSTMCellParams, z: jnp.ndarray,
+                   state: Tuple[jnp.ndarray, jnp.ndarray], *,
+                   out_activation: str = "tanh",
+                   precision=_HI):
+    r"""Shared tail of the cell step given the pre-activation gate features
+    ``z = [x‖h]·W`` (before graph mix): adjacency mix + bias + nonlinearities
+    + attention. Factored out so the scan body can consume a *hoisted* input
+    projection (see ``gcn_lstm_step_hoisted``)."""
+    h, c = state
+    B, N = z.shape[0], z.shape[1]
+    H = p.bias.shape[-1]
+    y = z.reshape(B, N, 4, H)
+    mixed = jnp.einsum("knm,bmkh->bnkh", p.adj, y, precision=precision)
+    gates = mixed + p.bias                                        # [B,N,4,H]
+    i = jax.nn.sigmoid(gates[..., 0, :])
+    f = jax.nn.sigmoid(gates[..., 1, :])
+    g = jnp.tanh(gates[..., 2, :])
+    o = jax.nn.sigmoid(gates[..., 3, :])
+    c_new = f * c + i * g
+    hy = o * jnp.tanh(c_new)
+    if p.attention is not None:
+        hy = hy + hy * _attention_gate(p.attention, hy, precision=precision)
+    out = jnp.tanh(hy) if out_activation == "tanh" else hy
+    return out, (hy, c_new)
+
+
+def gcn_lstm_step_hoisted(p: GCNLSTMCellParams, u_t: jnp.ndarray,
+                          state, *, hidden_kernel: jnp.ndarray,
+                          out_activation: str = "tanh",
+                          precision=_HI):
+    r"""Cell step with the input projection hoisted out of the scan.
+
+    The gate pre-activation splits as ``[x‖h]·W = x·W_x + h·W_h`` (the fused
+    kernel's rows split at F); ``u_t = x_t·W_x`` is computed for ALL
+    timesteps in one large [T·B·N, F] × [F, 4H] MXU matmul outside the scan,
+    leaving only the [B·N, H] × [H, 4H] recurrent half inside — mathematically
+    identical (fp32 rounding aside), and the big matmul actually feeds the
+    systolic array. Inference path (per-step dropout needs the unhoisted
+    ``gcn_lstm_step``).
+    """
+    h, _ = state
+    z = u_t + jnp.einsum("bnh,hg->bng", h, hidden_kernel, precision=precision)
+    return gcn_lstm_gates(p, z, state, out_activation=out_activation,
+                          precision=precision)
+
+
 def gcn_lstm_step(p: GCNLSTMCellParams, x: jnp.ndarray,
                   state: Tuple[jnp.ndarray, jnp.ndarray], *,
                   out_activation: str = "tanh",
@@ -173,24 +220,11 @@ def gcn_lstm_step(p: GCNLSTMCellParams, x: jnp.ndarray,
         x = _dropout(x, dropout_rate, rng_x)
         h = _dropout(h, recurrent_dropout_rate, rng_h)
     xs = jnp.concatenate((x, h), axis=-1)                         # [B,N,F+H]
-    B, N = xs.shape[0], xs.shape[1]
-    H = p.bias.shape[-1]
-    # ONE fused gate matmul on the MXU …
-    y = jnp.einsum("bnf,fg->bng", xs, p.kernel, precision=precision)
-    y = y.reshape(B, N, 4, H)
-    # … then the per-gate graph mix (A·(X·W) == (A·X)·W, see module docstring)
-    mixed = jnp.einsum("knm,bmkh->bnkh", p.adj, y, precision=precision)
-    gates = mixed + p.bias                                        # [B,N,4,H]
-    i = jax.nn.sigmoid(gates[..., 0, :])
-    f = jax.nn.sigmoid(gates[..., 1, :])
-    g = jnp.tanh(gates[..., 2, :])
-    o = jax.nn.sigmoid(gates[..., 3, :])
-    c_new = f * c + i * g
-    hy = o * jnp.tanh(c_new)
-    if p.attention is not None:
-        hy = hy + hy * _attention_gate(p.attention, hy, precision=precision)
-    out = jnp.tanh(hy) if out_activation == "tanh" else hy
-    return out, (hy, c_new)
+    # ONE fused gate matmul on the MXU, then the per-gate graph mix
+    # (A·(X·W) == (A·X)·W, see module docstring)
+    z = jnp.einsum("bnf,fg->bng", xs, p.kernel, precision=precision)
+    return gcn_lstm_gates(p, z, (h, c), out_activation=out_activation,
+                          precision=precision)
 
 
 def ggru_step(p: GGRUCellParams, x: jnp.ndarray, h: jnp.ndarray, *,
@@ -199,9 +233,15 @@ def ggru_step(p: GGRUCellParams, x: jnp.ndarray, h: jnp.ndarray, *,
 
     x [B,N,F], h [B,N,H]. Returns (output, new hidden) — both the new hidden.
     """
+    zi = jnp.einsum("bnf,fg->bng", x, p.w_in, precision=precision) + p.b_in
+    return ggru_step_hoisted(p, zi, h, precision=precision)
+
+
+def ggru_step_hoisted(p: GGRUCellParams, zi: jnp.ndarray, h: jnp.ndarray, *,
+                      precision=_HI):
+    r"""G-GRU step given the hoisted input projection zi = x·W_in + b_in."""
     msg = jnp.einsum("bnh,hk->bnk", h, p.gcn_kernel, precision=precision)
     msg = jnp.einsum("nm,bmh->bnh", p.adj, msg, precision=precision)
-    zi = jnp.einsum("bnf,fg->bng", x, p.w_in, precision=precision) + p.b_in
     zh = jnp.einsum("bnh,hg->bng", msg, p.w_hid, precision=precision)
     H = h.shape[-1]
     r = jax.nn.sigmoid(zi[..., 0:H] + zh[..., 0:H])

@@ -127,6 +127,33 @@ def bi_rnn(step_fn: Callable, params2, x: jnp.ndarray, init_state2,
     return jnp.swapaxes(y, 0, 1), finals
 
 
+def bi_rnn_precomputed(step_fn: Callable, params2, seq_stack: jnp.ndarray,
+                       init_state2,
+                       frame_mask: Optional[jnp.ndarray] = None,
+                       **step_kwargs):
+    r"""Bidirectional layer over direction-specific precomputed inputs.
+
+    Like :func:`bi_rnn`, but the per-timestep inputs differ per direction
+    (e.g. hoisted input projections u = x·W_x with direction-specific W_x):
+
+    :param seq_stack: [2, T, B, ...] — direction 1's sequence must already be
+        time-flipped.
+    """
+    if frame_mask is None:
+        mask_stack = None
+    else:
+        mask_tm = jnp.swapaxes(frame_mask, 0, 1)
+        mask_stack = jnp.stack((mask_tm, mask_tm[::-1]))
+
+    def run(p, useq, st, mseq):
+        return _scan_rnn(step_fn, p, useq, st, None, mask_tm=mseq,
+                         **step_kwargs)
+
+    outs, finals = jax.vmap(run)(params2, seq_stack, init_state2, mask_stack)
+    y = jnp.concatenate((outs[0], outs[1][::-1]), axis=-1)
+    return jnp.swapaxes(y, 0, 1), finals
+
+
 def zeros_like_state(template: Any) -> Any:
     """Zero state pytree with the same structure/shapes as ``template``."""
     return jax.tree_util.tree_map(jnp.zeros_like, template)

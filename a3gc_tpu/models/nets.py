@@ -56,6 +56,9 @@ class GraphNetConfig:
     dropout: float = struct.field(pytree_node=False, default=0.3)
     recurrent_dropout: float = struct.field(pytree_node=False, default=0.3)
     precision: str = struct.field(pytree_node=False, default="highest")
+    # "auto": fused Pallas scan kernel on TPU for batch-1 inference,
+    # XLA lax.scan otherwise; "xla"/"pallas" force a backend.
+    backend: str = struct.field(pytree_node=False, default="auto")
 
     @property
     def matmul_precision(self):
@@ -132,12 +135,72 @@ def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
                      rng=r_in, precision=prec)
     x = jax.nn.relu(x)
 
+    # Fast inference path: hoist the input half of the gate projection out of
+    # the scan — u = x·W_x becomes one [T·B·N, F] × [F, 4H] MXU matmul per
+    # direction; only the [B·N, H] × [H, 4H] recurrent half stays sequential.
+    # Mathematically identical; training needs per-step input dropout so it
+    # keeps the unhoisted step.
+    hoist = rng is None
+
+    # Pallas whole-scan kernel: one kernel launch per layer direction,
+    # weights + recurrent state VMEM-resident (see ops/pallas_gcn_lstm.py).
+    use_pallas = (
+        hoist and cfg.cell != "ggru" and x.shape[0] == 1
+        and (cfg.backend == "pallas"
+             or (cfg.backend == "auto"
+                 and jax.devices()[0].platform in ("tpu", "axon"))))
+    if use_pallas:
+        from a3gc_tpu.ops.pallas_gcn_lstm import bi_gcn_lstm_pallas
+        n_valid = (None if frame_mask is None
+                   else jnp.sum(frame_mask[0]).astype(jnp.int32))
+        x, state = bi_gcn_lstm_pallas(params.rnn1, x, state,
+                                      n_valid=n_valid, precision=prec)
+        x, state = bi_gcn_lstm_pallas(params.rnn2, x, state,
+                                      n_valid=n_valid, precision=prec)
+        x = C.graph_conv(params.linear_out, x, precision=prec)
+        return x, state
+
+    def _layer_hoisted_lstm(cell2, x, st):
+        F = x.shape[-1]
+        u2 = jnp.einsum("btnf,dfg->dtbng", x, cell2.kernel[:, :F, :],
+                        precision=prec)                     # [2,T,B,N,4H]
+        u2 = jnp.stack((u2[0], u2[1][::-1]))
+
+        def step(p, ut, s):
+            return C.gcn_lstm_step_hoisted(
+                p, ut, s, hidden_kernel=p.kernel[F:, :],
+                out_activation="tanh", precision=prec)
+
+        return L.bi_rnn_precomputed(step, cell2, u2, st,
+                                    frame_mask=frame_mask)
+
+    def _layer_hoisted_ggru(cell2, x, st):
+        u2 = jnp.einsum("btnf,dfg->dtbng", x, cell2.w_in,
+                        precision=prec) + cell2.b_in[:, None, None, None, :]
+        u2 = jnp.stack((u2[0], u2[1][::-1]))
+
+        def step(p, ut, s):
+            return C.ggru_step_hoisted(p, ut, s, precision=prec)
+
+        return L.bi_rnn_precomputed(step, cell2, u2, st,
+                                    frame_mask=frame_mask)
+
     if cfg.cell == "ggru":
-        step = lambda p, xt, st, **kw: C.ggru_step(p, xt, st, precision=prec)
-        x, state = L.bi_rnn(step, params.rnn1, x, state,
-                            frame_mask=frame_mask)
-        x, state = L.bi_rnn(step, params.rnn2, x, state,
-                            frame_mask=frame_mask)
+        if hoist:
+            x, state = _layer_hoisted_ggru(params.rnn1, x, state)
+            x, state = _layer_hoisted_ggru(params.rnn2, x, state)
+        else:
+            step = lambda p, xt, st, **kw: C.ggru_step(p, xt, st,
+                                                       precision=prec)
+            x, state = L.bi_rnn(step, params.rnn1, x, state,
+                                frame_mask=frame_mask)
+            x, state = L.bi_rnn(step, params.rnn2, x, state,
+                                frame_mask=frame_mask)
+    elif hoist:
+        # rnn1's final state seeds rnn2 — reference semantics, see
+        # graph_net_zero_state
+        x, state = _layer_hoisted_lstm(params.rnn1, x, state)
+        x, state = _layer_hoisted_lstm(params.rnn2, x, state)
     else:
         def step(p, xt, st, rng=None):
             return C.gcn_lstm_step(
@@ -146,8 +209,6 @@ def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
                 recurrent_dropout_rate=cfg.recurrent_dropout,
                 rng=rng, precision=prec)
 
-        # rnn1's final state seeds rnn2 — reference semantics, see
-        # graph_net_zero_state
         x, state = L.bi_rnn(step, params.rnn1, x, state, rng=r1,
                             frame_mask=frame_mask)
         x, state = L.bi_rnn(step, params.rnn2, x, state, rng=r2,
@@ -289,19 +350,34 @@ def dip_apply(params: DIPParams, cfg: DIPConfig, x: jnp.ndarray,
 
     new_states = []
     for layer_params, layer_state in zip(params.lstm, state):
-        # reuse the graph bi-rnn machinery on a node-less sequence by
-        # treating features as a single pseudo-node
-        x4 = x[:, :, None, :]                       # [B,T,1,F]
-
-        def step(p, xt, st, rng=None):
-            out, st = _lstm_step(p, xt[:, 0, :], st, precision=prec)
-            return out[:, None, :], st
+        # hoist the input projection u = x·W_ih + b_ih out of the scan (one
+        # big MXU matmul per direction); the LSTM has no per-step dropout so
+        # this is valid in training too
+        def step(p, ut, st):
+            h, c = st
+            z = (ut[:, 0, :] + p.b_hh
+                 + jnp.einsum("bh,hg->bg", h, p.w_hh, precision=prec))
+            H = h.shape[-1]
+            i = jax.nn.sigmoid(z[:, 0:H])
+            f = jax.nn.sigmoid(z[:, H:2 * H])
+            g = jnp.tanh(z[:, 2 * H:3 * H])
+            o = jax.nn.sigmoid(z[:, 3 * H:])
+            c_new = f * c + i * g
+            h_new = o * jnp.tanh(c_new)
+            return h_new[:, None, :], (h_new, c_new)
 
         if cfg.bidirectional:
-            y, fin = L.bi_rnn(step, layer_params, x4, layer_state,
-                              frame_mask=frame_mask)
+            u2 = jnp.einsum("btf,dfg->dtbg", x, layer_params.w_ih,
+                            precision=prec) + layer_params.b_ih[:, None, None]
+            u2 = jnp.stack((u2[0], u2[1][::-1]))[:, :, :, None, :]
+            y, fin = L.bi_rnn_precomputed(step, layer_params, u2,
+                                          layer_state,
+                                          frame_mask=frame_mask)
         else:
-            y, fin = L.uni_rnn(step, layer_params, x4, layer_state,
+            u = (jnp.einsum("btf,fg->btg", x, layer_params.w_ih,
+                            precision=prec)
+                 + layer_params.b_ih)[:, :, None, :]
+            y, fin = L.uni_rnn(step, layer_params, u, layer_state,
                                frame_mask=frame_mask)
         x = y[:, :, 0, :]
         new_states.append(fin)

@@ -171,6 +171,73 @@ class ParametricModel:
                 for f in np.asarray(self.faces) + 1:
                     fp.write("f %d %d %d\n" % (f[0], f[1], f[2]))
 
+    # ------------------------------------------------------------------
+    # interactive viewers (ref: model.py:276-362) — host-side, optional
+    # vctoolkit/Open3D dependency exactly like the reference
+    # ------------------------------------------------------------------
+    def view_joint(self, joint_list, fps=60, distance_between_subjects=0.8):
+        r"""Render joint skeletons (ref: model.py:276-309). Requires the
+        optional ``vctoolkit`` package (not bundled)."""
+        import vctoolkit as vc
+        import vctoolkit.viso3d as vo3d
+
+        J = self.n_joints
+        joint_list = [
+            (np.asarray(j).reshape(-1, J, 3)
+             - np.asarray(j).reshape(-1, J, 3)[:1, :1])
+            for j in joint_list]
+        v_list, f_list = [], []
+        f = vc.joints_to_mesh(joint_list[0][0], self.parent)[1]
+        for i, joints in enumerate(joint_list):
+            v = np.stack([vc.joints_to_mesh(frame, self.parent)[0]
+                          for frame in joints])
+            v[:, :, 0] += distance_between_subjects * i
+            v_list.append(v)
+            f_list.append(f.copy())
+            f += v.shape[1]
+        verts = np.concatenate(v_list, axis=1)
+        faces = np.concatenate(f_list)
+        if verts.shape[0] > 1:
+            vo3d.render_sequence_3d(verts, faces, 720, 720, "a.mp4", fps,
+                                    visible=True)
+        else:
+            vo3d.vis_mesh(verts[0], faces)
+
+    def view_mesh(self, vertex_list, fps=60, distance_between_subjects=0.8):
+        r"""Render skinned meshes (ref: model.py:311-340)."""
+        import vctoolkit.viso3d as vo3d
+
+        v_list, f_list = [], []
+        f = np.asarray(self.faces).copy()
+        for i, verts in enumerate(vertex_list):
+            v = np.asarray(verts).reshape(-1, self.n_vertices, 3).copy()
+            v[:, :, 0] += distance_between_subjects * i
+            v_list.append(v)
+            f_list.append(f.copy())
+            f += v.shape[1]
+        verts = np.concatenate(v_list, axis=1)
+        faces = np.concatenate(f_list)
+        if verts.shape[0] > 1:
+            vo3d.render_sequence_3d(verts, faces, 720, 720, "a.mp4", fps,
+                                    visible=True)
+        else:
+            vo3d.vis_mesh(verts[0], faces)
+
+    def view_motion(self, pose_list, tran_list=None, fps=60,
+                    distance_between_subjects=0.8):
+        r"""Render motions by FK+skinning then view_mesh (ref: model.py:342-362)."""
+        verts = []
+        for i, pose in enumerate(pose_list):
+            pose = jnp.asarray(pose).reshape(-1, self.n_joints, 3, 3)
+            tran = None
+            if tran_list is not None:
+                t = jnp.asarray(tran_list[i]).reshape(-1, 3)
+                tran = t - t[:1]
+            verts.append(np.asarray(
+                self.forward_kinematics(pose, tran=tran, calc_mesh=True)[2]))
+        self.view_mesh(verts, fps,
+                       distance_between_subjects=distance_between_subjects)
+
     @staticmethod
     def save_unity_motion(pose=None, tran=None, output_dir="saved_motions/"):
         r"""Write motions into Unity3D `LoadMotion()` text files."""

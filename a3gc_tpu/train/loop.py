@@ -151,13 +151,26 @@ class StageRunner:
                     {"leaf_noise_std": train_cfg.leaf_noise_std,
                      "full_noise_std": train_cfg.full_noise_std})
 
+        # mixed precision (the reference's --half flag, ref:
+        # train_a3gc_tp.py:24-25 — except bf16 and with fp32 master params,
+        # which is the TPU-correct version of it)
+        half = train_cfg.dtype == "bfloat16"
+
+        def _cast(tree):
+            if not half:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, tree)
+
         def loss_fn(params, raw, rng):
             rng_noise, rng_drop = jax.random.split(rng)
             batch = assemble(raw, self.stats, rng_noise, **noise_kw)
             inputs, target = wire(batch, stage, train=True)
-            pred, _ = pose_net_forward(params, stage_cfg, inputs,
-                                       rng=rng_drop)
-            return pose_loss(pred.reshape(target.shape), target)
+            pred, _ = pose_net_forward(_cast(params), stage_cfg,
+                                       _cast(inputs), rng=rng_drop)
+            return pose_loss(
+                pred.reshape(target.shape).astype(jnp.float32), target)
 
         @jax.jit
         def train_step(state: TrainState, raw, rng):

@@ -1,0 +1,119 @@
+"""Eval tooling: worst-frame extraction, streaming session, DIP evaluator."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from a3gc_tpu.data import load_adjacency_template
+from a3gc_tpu.eval import DipEvaluator, StreamingSession
+from a3gc_tpu.eval.worst_frames import (
+    compare_models,
+    per_frame_errors,
+    select_extreme_frames,
+)
+from a3gc_tpu.models import nets as N
+from a3gc_tpu.models.pipeline import PoseNetConfig, init_pose_net
+from a3gc_tpu.smpl import load_parametric_model, write_synthetic_smpl_pickle
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    p = tmp_path_factory.mktemp("smpl") / "s.pkl"
+    return load_parametric_model(write_synthetic_smpl_pickle(str(p),
+                                                             n_vertices=120))
+
+
+def poses(n, seed, noise=0.0):
+    aa = Rotation.random(n * 24, random_state=seed).as_rotvec() * 0.3
+    if noise:
+        rng = np.random.default_rng(seed)
+        aa = aa + rng.normal(scale=noise, size=aa.shape)
+    return Rotation.from_rotvec(aa).as_matrix().reshape(
+        n, 24, 3, 3).astype(np.float32)
+
+
+class TestWorstFrames:
+    def test_select_respects_separation(self):
+        scores = np.zeros(2000)
+        scores[[100, 150, 900, 1500]] = [10, 9, 8, 7]
+        sel = select_extreme_frames(scores, k=3, min_separation=300)
+        assert sel[0] == 100 and 150 not in sel
+        assert set(sel) == {100, 900, 1500}
+
+    def test_compare_models(self, model, tmp_path):
+        gt = poses(700, seed=0)
+        pred_a = poses(700, seed=0, noise=0.2)   # worse
+        pred_b = poses(700, seed=0, noise=0.05)  # better
+        out = compare_models(model, [gt[:400], gt[400:]],
+                             [pred_a[:400], pred_a[400:]],
+                             [pred_b[:400], pred_b[400:]],
+                             k=2, min_separation=100,
+                             out_dir=str(tmp_path / "bw"))
+        err_a = per_frame_errors(model, [gt], [pred_a])
+        err_b = per_frame_errors(model, [gt], [pred_b])
+        assert err_a.mean() > err_b.mean()
+        assert len(out["b_improves_most"]) == 2
+        import pickle
+        with open(tmp_path / "bw" / "b_improves_most.p", "rb") as f:
+            payload = pickle.load(f)
+        assert payload["gt"].shape == (2, 24, 3, 3)
+
+
+class TestStreaming:
+    def test_state_threads_across_windows(self):
+        nira = load_adjacency_template()
+        cfg = PoseNetConfig(net=N.GraphNetConfig(
+            cell="a3gc", units_in=12, units_out=3, units_hidden=8),
+            rotsize=3)
+        params = init_pose_net(jax.random.PRNGKey(0), cfg, nira)
+        sess = StreamingSession(params, cfg, window=10)
+
+        rng = np.random.default_rng(0)
+        w1 = rng.normal(size=(10, 15, 12)).astype(np.float32)
+        w2 = rng.normal(size=(10, 15, 12)).astype(np.float32)
+
+        out_a = sess.step(w1)
+        out_b = sess.step(w2)          # carried state
+        sess.reset()
+        out_b_fresh = sess.step(w2)    # zero state
+        assert out_a.shape == (10, 15, 3)
+        assert np.abs(out_b - out_b_fresh).max() > 1e-7
+
+    def test_streaming_throughput_shape(self):
+        nira = load_adjacency_template()
+        cfg = PoseNetConfig(net=N.GraphNetConfig(
+            cell="ggru", units_in=12, units_out=3, units_hidden=8),
+            rotsize=3)
+        params = init_pose_net(jax.random.PRNGKey(1), cfg, nira)
+        sess = StreamingSession(params, cfg, window=5)
+        for _ in range(3):
+            out = sess.step(np.zeros((5, 15, 12), np.float32))
+        assert out.shape == (5, 15, 3)
+
+
+class TestDipEvaluator:
+    def test_runs_and_is_finite(self, model):
+        cfg = PoseNetConfig(net=N.DIPConfig(n_input=60, n_output=135,
+                                            n_hidden=32), rotsize=9)
+        params = init_pose_net(jax.random.PRNGKey(0), cfg)
+        stats = {
+            "ori_mean_channel": np.zeros(54, np.float32),
+            "ori_std_channel": np.ones(54, np.float32),
+            "acc_mean_channel": np.zeros(18, np.float32),
+            "acc_std_channel": np.ones(18, np.float32),
+        }
+        ev = DipEvaluator(params, cfg, model, stats)
+        T = 100
+        seqs = [{
+            "ori": Rotation.random(T * 6, random_state=1).as_matrix(
+            ).reshape(T, 54).astype(np.float32),
+            "acc": np.random.default_rng(0).normal(
+                size=(T, 18)).astype(np.float32),
+            "pose": Rotation.random(T * 15, random_state=2).as_matrix(
+            ).reshape(T, 135).astype(np.float32),
+        }]
+        mean, seconds, frames = ev.evaluate(seqs)
+        assert mean.shape == (5, 2) and np.isfinite(mean).all()
+        assert frames == T

@@ -1,0 +1,83 @@
+"""Pallas fused scan kernel: exactness vs the XLA scan path (interpret mode
+on CPU; the same kernel compiles on TPU — exercised by bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from a3gc_tpu.data import load_adjacency_template
+from a3gc_tpu.models import cells as C
+from a3gc_tpu.models import layers as L
+from a3gc_tpu.ops.pallas_gcn_lstm import bi_gcn_lstm_pallas
+
+
+@pytest.fixture(scope="module")
+def nira():
+    return load_adjacency_template()
+
+
+def make_params2(nira, units_in, hidden, attention, seed=0):
+    return L.stack_directions(
+        C.init_gcn_lstm_cell(jax.random.PRNGKey(seed), units_in, hidden,
+                             nira, attention=attention),
+        C.init_gcn_lstm_cell(jax.random.PRNGKey(seed + 1), units_in, hidden,
+                             nira, attention=attention))
+
+
+def xla_bi(params2, x, state2, frame_mask=None):
+    def step(p, xt, st, rng=None):
+        return C.gcn_lstm_step(p, xt, st, out_activation="tanh")
+    return L.bi_rnn(step, params2, x, state2, frame_mask=frame_mask)
+
+
+@pytest.mark.parametrize("attention", [True, False])
+def test_pallas_matches_xla(nira, attention):
+    H = 16
+    params2 = make_params2(nira, 12, H, attention)
+    T = 29
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, T, 15, 12)).astype(np.float32))
+    state2 = (jnp.zeros((2, 1, 15, H)), jnp.zeros((2, 1, 15, H)))
+
+    ref_y, ref_s = xla_bi(params2, x, state2)
+    y, s = bi_gcn_lstm_pallas(params2, x, state2, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s[0]), np.asarray(ref_s[0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s[1]), np.asarray(ref_s[1]),
+                               atol=1e-6)
+
+
+def test_pallas_masked_matches_xla(nira):
+    H = 16
+    params2 = make_params2(nira, 12, H, True, seed=3)
+    T, n = 32, 21
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, T, 15, 12)).astype(np.float32))
+    state2 = (jnp.zeros((2, 1, 15, H)), jnp.zeros((2, 1, 15, H)))
+    mask = (jnp.arange(T)[None] < n).astype(jnp.float32)
+
+    ref_y, ref_s = xla_bi(params2, x, state2, frame_mask=mask)
+    y, s = bi_gcn_lstm_pallas(params2, x, state2, n_valid=jnp.asarray(n),
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(y[:, :n]),
+                               np.asarray(ref_y[:, :n]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s[0]), np.asarray(ref_s[0]),
+                               atol=1e-6)
+
+
+def test_pallas_nonzero_initial_state(nira):
+    H = 16
+    params2 = make_params2(nira, 2 * H, H, True, seed=5)
+    T = 17
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, T, 15, 2 * H)).astype(np.float32))
+    state2 = (jnp.asarray(rng.normal(size=(2, 1, 15, H)).astype(np.float32)),
+              jnp.asarray(rng.normal(size=(2, 1, 15, H)).astype(np.float32)))
+
+    ref_y, ref_s = xla_bi(params2, x, state2)
+    y, s = bi_gcn_lstm_pallas(params2, x, state2, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s[1]), np.asarray(ref_s[1]),
+                               atol=1e-6)
