@@ -1,0 +1,110 @@
+"""End-to-end CLI smoke: raw DIP-layout pickles → preprocess → train →
+evaluate, all through the argparse surface."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from a3gc_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def raw_dip_dir(tmp_path_factory):
+    """Synthetic raw DIP-IMU dataset in the reference's on-disk layout
+    (raw_dipimu_dir/s_XX/motion.pkl with imu_acc/imu_ori/gt)."""
+    root = tmp_path_factory.mktemp("raw_dip")
+    rng = np.random.default_rng(0)
+    T = 660
+    for si, subject in enumerate(["s_01", "s_09"]):   # one train, one test
+        subj = root / subject
+        subj.mkdir()
+        for mi in range(2):
+            ori = Rotation.random(T * 17, random_state=si * 10 + mi
+                                  ).as_matrix().reshape(T, 17, 3, 3)
+            data = {
+                "imu_acc": rng.normal(size=(T, 17, 3)),
+                "imu_ori": ori,
+                "gt": (Rotation.random(T * 24, random_state=99 + mi
+                                       ).as_rotvec() * 0.3).reshape(T, 72),
+            }
+            with open(subj / f"{subject}_0{mi}.pkl", "wb") as f:
+                pickle.dump(data, f)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def smpl_arg(tmp_path_factory):
+    from a3gc_tpu.smpl import write_synthetic_smpl_pickle
+    p = tmp_path_factory.mktemp("smpl") / "s.pkl"
+    return write_synthetic_smpl_pickle(str(p), n_vertices=120)
+
+
+@pytest.fixture(scope="module")
+def datasets(raw_dip_dir, smpl_arg, tmp_path_factory, monkeypatch_module=None):
+    """Run `preprocess` for train/valid/test splits via the CLI."""
+    out = tmp_path_factory.mktemp("data")
+    import a3gc_tpu.config as config_mod
+    import dataclasses
+    old_paths = config_mod.paths
+    # point the raw dir at the fixture
+    config_mod.paths = dataclasses.replace(
+        old_paths, data_root="", raw_dipimu_dir=raw_dip_dir)
+    # factory modules captured the default at import; patch them too
+    import a3gc_tpu.data.factory.dipimu as dipimu_mod
+    old_dip = dipimu_mod.default_paths
+    dipimu_mod.default_paths = config_mod.paths
+    try:
+        main(["preprocess", "--dataset", "dipimu", "--split", "train",
+              "--smpl", smpl_arg, "--output", str(out / "train.npz")])
+        main(["preprocess", "--dataset", "dipimu", "--split", "test",
+              "--smpl", smpl_arg, "--output", str(out / "test.npz")])
+    finally:
+        config_mod.paths = old_paths
+        dipimu_mod.default_paths = old_dip
+    assert (out / "train.npz").exists() and (out / "test.npz").exists()
+    return out
+
+
+class TestCliPipeline:
+    def test_stats_command(self, datasets, tmp_path):
+        main(["stats", "--inputs", str(datasets / "train.npz"),
+              "--output", str(tmp_path / "stats.npz")])
+        with np.load(tmp_path / "stats.npz") as z:
+            assert "ori_mean_channel" in z.files
+
+    def test_train_then_evaluate(self, datasets, smpl_arg, tmp_path):
+        save_root = tmp_path / "runs"
+        main(["train", "--model", "a3gc", "-b", "2", "--epochs", "1",
+              "--hu1", "8", "--hu2", "8", "--hu3", "8",
+              "--name", "smoke", "--save_root", str(save_root),
+              "--smpl", smpl_arg,
+              "--train_data", str(datasets / "train.npz"),
+              "--valid_data", str(datasets / "train.npz")])
+        run_dir = save_root / "smoke"
+        assert (run_dir / "train_log.jsonl").exists()
+        ckpts = [p for p in os.listdir(run_dir) if p.startswith("checkpoint")]
+        assert len(ckpts) == 3   # one per stage
+
+        main(["evaluate", "--model", "a3gc",
+              "--hu1", "8", "--hu2", "8", "--hu3", "8",
+              "--path", str(run_dir), "--type", "pretrain",
+              "--smpl", smpl_arg,
+              "--datasets", str(datasets / "test.npz")])
+        report = "evaluation_results/a3gc_test.npz.txt"
+        assert os.path.exists(report)
+        text = open(report).read()
+        assert "SIP Error (deg)" in text
+
+    def test_convert_checkpoint_command(self, tmp_path):
+        if not os.path.isdir("/root/reference/trained_models"):
+            pytest.skip("reference checkpoints not present")
+        main(["convert-checkpoint",
+              "--torch",
+              "/root/reference/trained_models/A3GC/"
+              "checkpoint_model3_finetuning_8.tar",
+              "--model", "a3gc",
+              "--output", str(tmp_path / "a3gc_m3")])
+        assert (tmp_path / "a3gc_m3").exists()

@@ -150,3 +150,16 @@ class TestShardedTraining:
         p1 = np.asarray(r_mesh.state.params.linear_in.kernel)
         p2 = np.asarray(r_single.state.params.linear_in.kernel)
         np.testing.assert_allclose(p1, p2, atol=1e-5)
+
+
+class TestMixedPrecision:
+    def test_bf16_training_step(self, nira, packed):
+        import jax.numpy as jnp
+        cfg, params = make_stage(1, nira, hidden=8)
+        tc = TrainConfig(batch_size=4, dtype="bfloat16")
+        runner = StageRunner(1, cfg, params, tc, steps_per_epoch=1)
+        loss = runner.train_epoch(DP.Sampler(packed, 4, seed=0),
+                                  jax.random.PRNGKey(0))
+        assert np.isfinite(loss)
+        # master params stay fp32
+        assert runner.state.params.linear_in.kernel.dtype == jnp.float32
