@@ -38,7 +38,7 @@ __all__ = ["gcn_lstm_scan_pallas", "bi_gcn_lstm_pallas"]
 
 
 def _kernel(nvalid_ref,                       # scalar prefetch [1]
-            u_ref,                            # [1, N, 4H] per-step input proj
+            u_ref,                            # [U, N, 4H] per-block input proj
             wh_ref,                           # [H, 4H]
             adj_ref,                          # [4, N, N]
             bias_ref,                         # [4, H]
@@ -47,12 +47,13 @@ def _kernel(nvalid_ref,                       # scalar prefetch [1]
             au_ref,                           # [H, 1]
             abs_ref,                          # [1, H]
             abu_ref,                          # [N, 1]
-            out_ref,                          # [1, N, H]
+            out_ref,                          # [U, N, H]
             hfin_ref, cfin_ref,               # [N, H] final state
             h_scr, c_scr,                     # VMEM scratch [N, H]
-            *, T: int, H: int, reverse: bool, attention: bool,
+            *, T: int, H: int, U: int, reverse: bool, attention: bool,
             out_tanh: bool):
     t = pl.program_id(0)
+    n_blocks = T // U
 
     @pl.when(t == 0)
     def _init():
@@ -61,54 +62,63 @@ def _kernel(nvalid_ref,                       # scalar prefetch [1]
 
     h = h_scr[:]
     c = c_scr[:]
+    hi = jax.lax.Precision.HIGHEST
 
-    # z = u_t + h @ W_h        [N, 4H]
-    z = u_ref[0] + jnp.dot(h, wh_ref[:], preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+    # U frames per grid step (statically unrolled) to amortize grid/DMA
+    # bookkeeping over multiple tiny recurrent steps
+    for uu in range(U):
+        step = (U - 1 - uu) if reverse else uu            # in-block order
+        # z = u_t + h @ W_h        [N, 4H]
+        z = u_ref[step] + jnp.dot(h, wh_ref[:],
+                                  preferred_element_type=jnp.float32,
+                                  precision=hi)
 
-    # per-gate graph mix + bias + nonlinearity, gate order i,f,g,o
-    def gate(g):
-        zg = z[:, g * H:(g + 1) * H]                       # [N, H]
-        return jnp.dot(adj_ref[g], zg, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST) + bias_ref[g]
+        # per-gate graph mix + bias + nonlinearity, gate order i,f,g,o
+        def gate(g):
+            zg = z[:, g * H:(g + 1) * H]                  # [N, H]
+            return jnp.dot(adj_ref[g], zg,
+                           preferred_element_type=jnp.float32,
+                           precision=hi) + bias_ref[g]
 
-    i = jax.nn.sigmoid(gate(0))
-    f = jax.nn.sigmoid(gate(1))
-    g_ = jnp.tanh(gate(2))
-    o = jax.nn.sigmoid(gate(3))
-    c_new = f * c + i * g_
-    hy = o * jnp.tanh(c_new)
+        i = jax.nn.sigmoid(gate(0))
+        f = jax.nn.sigmoid(gate(1))
+        g_ = jnp.tanh(gate(2))
+        o = jax.nn.sigmoid(gate(3))
+        c_new = f * c + i * g_
+        hy = o * jnp.tanh(c_new)
 
-    if attention:
-        hi = jax.lax.Precision.HIGHEST
-        q = jax.nn.relu(jnp.sum(
-            jnp.dot(hy, aw_ref[:], preferred_element_type=jnp.float32,
-                    precision=hi),
-            axis=0, keepdims=True))                        # [1, H]
-        s = jnp.tanh(
-            jnp.dot(hy, awh_ref[:], preferred_element_type=jnp.float32,
-                    precision=hi)
-            + jnp.dot(q, awq_ref[:], preferred_element_type=jnp.float32,
-                      precision=hi)
-            + abs_ref[0])                                  # [N, H]
-        a = jnp.dot(s, au_ref[:], preferred_element_type=jnp.float32,
-                    precision=hi) + abu_ref[:]             # [N,1]
-        hy = hy + hy * jax.nn.sigmoid(a)
+        if attention:
+            q = jax.nn.relu(jnp.sum(
+                jnp.dot(hy, aw_ref[:], preferred_element_type=jnp.float32,
+                        precision=hi),
+                axis=0, keepdims=True))                    # [1, H]
+            s = jnp.tanh(
+                jnp.dot(hy, awh_ref[:], preferred_element_type=jnp.float32,
+                        precision=hi)
+                + jnp.dot(q, awq_ref[:], preferred_element_type=jnp.float32,
+                          precision=hi)
+                + abs_ref[0])                              # [N, H]
+            a = jnp.dot(s, au_ref[:], preferred_element_type=jnp.float32,
+                        precision=hi) + abu_ref[:]         # [N,1]
+            hy = hy + hy * jax.nn.sigmoid(a)
 
-    # masked state carry: frames >= n_valid keep the old state
-    frame = (T - 1 - t) if reverse else t
-    valid = frame < nvalid_ref[0]
-    h_new = jnp.where(valid, hy, h)
-    c_new = jnp.where(valid, c_new, c)
-    h_scr[:] = h_new
-    c_scr[:] = c_new
+        # masked state carry: frames >= n_valid keep the old state
+        if reverse:
+            frame = T - 1 - (t * U + uu)
+        else:
+            frame = t * U + uu
+        valid = frame < nvalid_ref[0]
+        h = jnp.where(valid, hy, h)
+        c = jnp.where(valid, c_new, c)
+        out_ref[step] = jnp.tanh(h) if out_tanh else h
 
-    out_ref[0] = jnp.tanh(h_new) if out_tanh else h_new
+    h_scr[:] = h
+    c_scr[:] = c
 
-    @pl.when(t == T - 1)
+    @pl.when(t == n_blocks - 1)
     def _fin():
-        hfin_ref[:] = h_new
-        cfin_ref[:] = c_new
+        hfin_ref[:] = h
+        cfin_ref[:] = c
 
 
 def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
@@ -131,6 +141,16 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
     nvalid = jnp.asarray(
         [T if n_valid is None else n_valid], jnp.int32)
 
+    # unroll factor: pad T to a multiple (padding frames are masked anyway
+    # for the forward walk; for the reverse walk they sit BEFORE the real
+    # frames in walk order, so they must also be state-masked — which the
+    # frame<n_valid test handles only if n_valid was given. When it was not,
+    # nvalid = T already excludes pure padding.)
+    # NOTE: U > 1 multiplies the Mosaic kernel body and sends remote
+    # compilation times through the roof on this toolchain (observed: >9 min
+    # for U=4 vs ~1 min for U=1) for a modest runtime win — keep U=1.
+    U = 1
+
     att = p.attention
     if att is None:
         zeros_h = jnp.zeros((H, H), u.dtype)
@@ -144,9 +164,10 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
         abs_ = att.bs.reshape(1, H)
         abu = att.bu.reshape(N, 1)
 
+    n_blocks = T // U
     # with scalar prefetch, index maps receive (grid ids..., scalar refs...)
     if reverse:
-        u_index_map = lambda t, *_: (T - 1 - t, 0, 0)
+        u_index_map = lambda t, *_: (n_blocks - 1 - t, 0, 0)
     else:
         u_index_map = lambda t, *_: (t, 0, 0)
 
@@ -154,9 +175,9 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, N, G), u_index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, N, G), u_index_map, memory_space=pltpu.VMEM),
             vmem_full(),            # wh
             vmem_full(),            # adj
             vmem_full(),            # bias
@@ -167,7 +188,7 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
             vmem_full(),            # abu
         ],
         out_specs=[
-            pl.BlockSpec((1, N, H), u_index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, N, H), u_index_map, memory_space=pltpu.VMEM),
             vmem_full(), vmem_full(),
         ],
         scratch_shapes=[
@@ -176,7 +197,7 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
         ],
     )
 
-    kernel = functools.partial(_kernel, T=T, H=H, reverse=reverse,
+    kernel = functools.partial(_kernel, T=T, H=H, U=U, reverse=reverse,
                                attention=attention, out_tanh=out_tanh)
     wh = p.kernel[-H:, :]     # recurrent half of the fused kernel
     outs, hfin, cfin = pl.pallas_call(
