@@ -122,16 +122,17 @@ def cmd_train(args):
                      start_stage=args.start_at, start_epoch=args.start_epoch,
                      seed=args.seed)
 
-    cascade, is_graph = _stage_configs(args)
-    assert cascade is not None, "use --model tp/a3gc/... (dip TODO via train-dip)"
     nira = load_adjacency_template()
     stats = _load_stats(args) if args.norm else None
 
-    train_npz = args.train_data
-    valid_npz = args.valid_data
-    train = DPipe.load_packed(train_npz)
-    valid = DPipe.load_packed(valid_npz)
+    train = DPipe.load_packed(args.train_data)
+    valid = DPipe.load_packed(args.valid_data)
     steps = max(len(train[next(iter(train))]) // tc.batch_size, 1)
+
+    if args.model == "dip":
+        return _train_dip(args, tc, train, valid, steps)
+
+    cascade, is_graph = _stage_configs(args)
 
     mesh = make_mesh() if args.mesh else None
     runners = {}
@@ -165,6 +166,45 @@ def cmd_train(args):
         log_fn=log)
 
 
+def _train_dip(args, tc, train, valid, steps):
+    r"""Single-stage DIP training (ref: train_dip.py:113-193)."""
+    import jax
+    from a3gc_tpu.data import pipeline as DPipe
+    from a3gc_tpu.models import nets as N
+    from a3gc_tpu.models.pipeline import PoseNetConfig, init_pose_net
+    from a3gc_tpu.train.loop import DIPRunner
+    from a3gc_tpu.utils import JsonlLogger, save_params
+
+    rotsize = 9
+    cfg = PoseNetConfig(net=N.DIPConfig(
+        n_input=60, n_output=15 * rotsize, n_hidden=args.hu1), rotsize=rotsize)
+    params = init_pose_net(jax.random.PRNGKey(tc.seed), cfg)
+    stats = _load_stats(args)
+    assert stats is not None, "DIP training needs normalization stats"
+    runner = DIPRunner(cfg, params, tc, steps, stats)
+
+    save_dir = os.path.join(args.save_root, args.name)
+    os.makedirs(save_dir, exist_ok=True)
+    log = JsonlLogger(os.path.join(save_dir, "train_log.jsonl"))
+    best, tol = float("inf"), 0
+    for epoch in range(tc.start_epoch, tc.max_epochs):
+        train_loss = runner.train_epoch(
+            DPipe.Sampler(train, tc.batch_size, shuffle=True, seed=tc.seed),
+            jax.random.fold_in(jax.random.PRNGKey(tc.seed), epoch))
+        valid_loss = runner.eval_epoch(
+            DPipe.Sampler(valid, tc.batch_size, shuffle=False))
+        log({"stage": 1, "epoch": epoch, "train_loss": train_loss,
+             "valid_loss": valid_loss})
+        if valid_loss < best:
+            best, tol = valid_loss, 0
+            save_params(runner.state.params, save_dir, 1, epoch,
+                        finetuning=tc.finetuning)
+        else:
+            tol += 1
+        if tol > tc.patience:
+            break
+
+
 def cmd_evaluate(args):
     from a3gc_tpu.compat import (
         dip_params_from_state_dict, graph_net_params_from_state_dict,
@@ -177,10 +217,13 @@ def cmd_evaluate(args):
     from a3gc_tpu.data import load_adjacency_template
     import jax
 
-    cascade, is_graph = _stage_configs(args)
     model = _load_body_model(args)
     nira = load_adjacency_template()
 
+    if args.model == "dip":
+        return _evaluate_dip(args, model)
+
+    cascade, is_graph = _stage_configs(args)
     stage_cfgs = (cascade.stage1, cascade.stage2, cascade.stage3)
     params3 = []
     pins = (args.mid1, args.mid2, args.mid3)
@@ -214,6 +257,62 @@ def cmd_evaluate(args):
         print(f"== {dataset}: {frames} frames in {seconds:.3f}s "
               f"({frames / max(seconds, 1e-9):,.0f} frames/s)")
         print(PoseEvaluator.format(mean))
+
+
+def _evaluate_dip(args, model):
+    r"""Single-net DIP evaluation (ref: evaluate_dip.py:60-125)."""
+    import jax
+    from a3gc_tpu.compat import dip_params_from_state_dict, load_torch_checkpoint
+    from a3gc_tpu.data.factory.dipimu import load_test_sequences
+    from a3gc_tpu.eval import DipEvaluator
+    from a3gc_tpu.metrics import PoseEvaluator
+    from a3gc_tpu.models import nets as N
+    from a3gc_tpu.models.pipeline import PoseNetConfig, init_pose_net
+    from a3gc_tpu.utils import discover_latest, restore_params
+
+    cfg = PoseNetConfig(net=N.DIPConfig(
+        n_input=60, n_output=135, n_hidden=args.hu1), rotsize=9)
+    if args.torch_checkpoints:
+        params = dip_params_from_state_dict(
+            load_torch_checkpoint(args.torch_checkpoints[0]))
+    else:
+        template = init_pose_net(jax.random.PRNGKey(0), cfg)
+        found = discover_latest(args.path, 1, phase=args.type,
+                                epoch=args.mid1 if args.mid1 >= 0 else None)
+        assert found, f"no DIP checkpoint in {args.path}"
+        params = restore_params(found[0], template)
+
+    stats = _load_stats(args)
+    assert stats is not None, "DIP evaluation needs normalization stats"
+    ev = DipEvaluator(params, cfg, model, stats)
+    for dataset in args.datasets:
+        mean, seconds, frames = ev.evaluate(load_test_sequences(dataset))
+        print(f"== {dataset}: {frames} frames in {seconds:.3f}s")
+        print(PoseEvaluator.format(mean))
+
+
+def cmd_worst_frames(args):
+    r"""Best/worst-frame comparison of two models' prediction dumps
+    (ref: get_worst_frames.py)."""
+    import glob
+    import pickle as pkl
+
+    from a3gc_tpu.eval import compare_models
+
+    model = _load_body_model(args)
+
+    def load_dir(d):
+        return [pkl.load(open(p, "rb"))
+                for p in sorted(glob.glob(os.path.join(d, "*.p")))]
+
+    gts = load_dir(args.gt)
+    preds_a = load_dir(args.pred_a)
+    preds_b = load_dir(args.pred_b)
+    result = compare_models(model, gts, preds_a, preds_b, k=args.k,
+                            min_separation=args.min_separation,
+                            out_dir=args.output)
+    for name, frames in result.items():
+        print(name, frames)
 
 
 def cmd_preprocess(args):
@@ -296,8 +395,9 @@ def build_parser():
     _add_common_model_flags(e)
     e.add_argument("--path", type=str, default="",
                    help="directory of this framework's checkpoints")
-    e.add_argument("--torch_checkpoints", nargs=3, default=None,
-                   help="three reference .tar checkpoints (stage 1 2 3)")
+    e.add_argument("--torch_checkpoints", nargs="+", default=None,
+                   help="reference .tar checkpoints (stages 1 2 3; just one "
+                        "for --model dip)")
     e.add_argument("--type", choices=("pretrain", "finetuning"),
                    default="finetuning")
     e.add_argument("--mid1", type=int, default=-1)
@@ -320,6 +420,18 @@ def build_parser():
     s.add_argument("--inputs", nargs="+", required=True)
     s.add_argument("--output", type=str, required=True)
     s.set_defaults(fn=cmd_stats)
+
+    w = sub.add_parser("worst-frames",
+                       help="best/worst-frame comparison of two models")
+    _add_common_model_flags(w)
+    w.add_argument("--gt", type=str, required=True,
+                   help="directory of ground-truth pose pickles")
+    w.add_argument("--pred_a", type=str, required=True)
+    w.add_argument("--pred_b", type=str, required=True)
+    w.add_argument("--k", type=int, default=10)
+    w.add_argument("--min_separation", type=int, default=300)
+    w.add_argument("--output", type=str, default="best_worst")
+    w.set_defaults(fn=cmd_worst_frames)
 
     c = sub.add_parser("convert-checkpoint",
                        help="torch .tar -> orbax checkpoint")
