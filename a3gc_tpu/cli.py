@@ -43,6 +43,9 @@ def _add_common_model_flags(p):
                    help="SMPL pickle path (default: config paths; falls back "
                         "to a synthetic body model for smoke runs)")
     p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--rotsize", type=int, default=9, choices=(3, 6, 9),
+                   help="stage-3 rotation representation "
+                        "(ref: train_tp.py:41, train_dip.py:35)")
 
 
 def _load_body_model(args):
@@ -76,7 +79,8 @@ def _stage_configs(args):
 
         return CascadeConfig(stage1=g(12, 3, args.hu1, 3),
                              stage2=g(15, 3, args.hu2, 3),
-                             stage3=g(15, 9, args.hu3, 9)), True
+                             stage3=g(15, args.rotsize, args.hu3,
+                                      args.rotsize)), True
     if args.model == "tp":
         def d(ni, no, h, rot):
             return PoseNetConfig(net=N.DIPConfig(
@@ -84,7 +88,8 @@ def _stage_configs(args):
 
         return CascadeConfig(stage1=d(72, 15, 256, 3),
                              stage2=d(87, 69, 64, 3),
-                             stage3=d(141, 135, 128, 9)), False
+                             stage3=d(141, 15 * args.rotsize, 128,
+                                      args.rotsize)), False
     # dip: single stage, handled separately
     return None, False
 
@@ -175,7 +180,7 @@ def _train_dip(args, tc, train, valid, steps):
     from a3gc_tpu.train.loop import DIPRunner
     from a3gc_tpu.utils import JsonlLogger, save_params
 
-    rotsize = 9
+    rotsize = args.rotsize
     cfg = PoseNetConfig(net=N.DIPConfig(
         n_input=60, n_output=15 * rotsize, n_hidden=args.hu1), rotsize=rotsize)
     params = init_pose_net(jax.random.PRNGKey(tc.seed), cfg)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from a3gc_tpu.config import joint_set as JS
+from a3gc_tpu.ops import rotations as R
 
 __all__ = [
     "normalize_imu", "scatter_graph_inputs", "graph_batch", "flat_batch",
@@ -73,10 +74,19 @@ GraphBatch = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
                    jnp.ndarray, jnp.ndarray]
 
 
+def pose_to_r6d(pose135: jnp.ndarray) -> jnp.ndarray:
+    r"""Reduced-global rotmats [..., 135] → 6D [..., 90]
+    (ref: datasets.py:47-48 rotsize=6 path)."""
+    lead = pose135.shape[:-1]
+    r6d = R.rotation_matrix_to_r6d(pose135.reshape(-1, 3, 3))
+    return r6d.reshape(lead + (90,))
+
+
 def graph_batch(raw: Dict[str, jnp.ndarray],
                 stats: Optional[Dict[str, jnp.ndarray]] = None,
                 rng: Optional[jax.Array] = None,
-                noise_std: float = 0.025) -> GraphBatch:
+                noise_std: float = 0.025,
+                rotsize: int = 9) -> GraphBatch:
     r"""Assemble a graph-model batch (ref: datasets.py:45-73).
 
     :param raw: dict with acc [B,T,18], ori [B,T,54], pose [B,T,135],
@@ -103,16 +113,18 @@ def graph_batch(raw: Dict[str, jnp.ndarray],
     full15_input = noisy[..., reduced, :]
 
     B, T = inputs.shape[:2]
+    smpl = pose_to_r6d(raw["pose"]) if rotsize == 6 else raw["pose"]
     return (inputs, leaf_pos_input, full15_input,
             leaf_pos.reshape(B, T, 45), full15.reshape(B, T, 45),
-            raw["pose"])
+            smpl)
 
 
 def flat_batch(raw: Dict[str, jnp.ndarray],
                stats: Optional[Dict[str, jnp.ndarray]] = None,
                rng: Optional[jax.Array] = None,
                leaf_noise_std: float = 0.04,
-               full_noise_std: float = 0.025):
+               full_noise_std: float = 0.025,
+               rotsize: int = 9):
     r"""Assemble a flat TransPose batch (ref: datasets.py:106-125).
 
     :return: (inputs [B,T,72], leaf_pos_input [B,T,15], full_pos_input
@@ -130,9 +142,10 @@ def flat_batch(raw: Dict[str, jnp.ndarray],
     else:
         leaf_in, full_in = leaf, full
     B, T = ori.shape[:2]
+    smpl = pose_to_r6d(raw["pose"]) if rotsize == 6 else raw["pose"]
     return (jnp.concatenate((acc, ori), axis=-1),
             leaf_in.reshape(B, T, 15), full_in.reshape(B, T, 69),
-            leaf.reshape(B, T, 15), full.reshape(B, T, 69), raw["pose"])
+            leaf.reshape(B, T, 15), full.reshape(B, T, 69), smpl)
 
 
 def dip_batch(raw: Dict[str, jnp.ndarray],

@@ -147,8 +147,10 @@ def cascade_apply(params3: Tuple, cfg: CascadeConfig,
     x3 = jnp.concatenate((imu, full), axis=-1)
 
     out, _ = pose_net_forward(p3, cfg.stage3, x3, frame_mask=frame_mask)
+    rotsize = cfg.stage3.rotsize
+    rep = (3, 3) if rotsize == 9 else (rotsize,)
     return reduced_global_to_full_local(
-        out.reshape(-1, JS.n_reduced, 3, 3), model, rotsize=9)
+        out.reshape((-1, JS.n_reduced) + rep), model, rotsize=rotsize)
 
 
 def pose_loss(pred: jnp.ndarray, target: jnp.ndarray,

@@ -150,6 +150,7 @@ class StageRunner:
         noise_kw = ({"noise_std": train_cfg.full_noise_std} if graph else
                     {"leaf_noise_std": train_cfg.leaf_noise_std,
                      "full_noise_std": train_cfg.full_noise_std})
+        noise_kw["rotsize"] = stage_cfg.rotsize if stage == 3 else 9
 
         # mixed precision (the reference's --half flag, ref:
         # train_a3gc_tp.py:24-25 — except bf16 and with fp32 master params,

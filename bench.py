@@ -21,16 +21,9 @@ BASELINE_FPS = 10_000.0  # north star, BASELINE.md
 def main():
     import jax
 
-    # persistent compilation cache: the cascade spans 12 Pallas kernel
-    # compilations (~4-6 min cold through the remote-compile tunnel);
-    # warm runs take seconds
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # NOTE: jax's persistent compilation cache is intentionally NOT enabled —
+    # combined with this environment's remote-compile PJRT tunnel it stalls
+    # compilation (observed >15 min vs ~6 min without). Cold bench ≈ 6 min.
 
     import jax.numpy as jnp
 

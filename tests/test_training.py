@@ -163,3 +163,47 @@ class TestMixedPrecision:
         assert np.isfinite(loss)
         # master params stay fp32
         assert runner.state.params.linear_in.kernel.dtype == jnp.float32
+
+
+class TestR6DTargets:
+    def test_stage3_r6d_trains(self, nira, packed):
+        from a3gc_tpu.models import nets as N2
+        net = N2.GraphNetConfig(cell="a3gc", units_in=15, units_out=6,
+                                units_hidden=8, linear_dropout=0.0,
+                                dropout=0.0, recurrent_dropout=0.0)
+        cfg = PoseNetConfig(net=net, rotsize=6)
+        params = init_pose_net(jax.random.PRNGKey(0), cfg, nira)
+        tc = TrainConfig(batch_size=4)
+        runner = StageRunner(3, cfg, params, tc, steps_per_epoch=1)
+        loss = runner.train_epoch(DP.Sampler(packed, 4, seed=0),
+                                  jax.random.PRNGKey(0))
+        assert np.isfinite(loss)
+
+    def test_r6d_cascade_eval(self, nira):
+        """rotsize=6 cascade produces valid rotations via Gram-Schmidt+IK."""
+        from a3gc_tpu.models import nets as N2
+        from a3gc_tpu.models.pipeline import CascadeConfig, cascade_apply
+        from a3gc_tpu.smpl import load_parametric_model, write_synthetic_smpl_pickle
+        import tempfile, os
+        smpl = load_parametric_model(write_synthetic_smpl_pickle(
+            os.path.join(tempfile.mkdtemp(), "s.pkl"), n_vertices=96))
+
+        def g(ui, uo, h, rot):
+            return PoseNetConfig(net=N2.GraphNetConfig(
+                cell="a3gc", units_in=ui, units_out=uo, units_hidden=h),
+                rotsize=rot)
+        cfg = CascadeConfig(stage1=g(12, 3, 8, 3), stage2=g(15, 3, 8, 3),
+                            stage3=g(15, 6, 8, 6))
+        params3 = tuple(init_pose_net(jax.random.PRNGKey(i), c, nira)
+                        for i, c in enumerate(
+                            (cfg.stage1, cfg.stage2, cfg.stage3)))
+        rng_np = np.random.default_rng(0)
+        imu = jnp.asarray(rng_np.normal(size=(1, 12, 15, 12)).astype(np.float32))
+        pose = np.asarray(cascade_apply(params3, cfg, smpl, imu))
+        assert pose.shape == (12, 24, 3, 3)
+        # outputs are orthonormal rotations (Gram-Schmidt guarantees it for
+        # non-degenerate 6D vectors; zero inputs would be NaN-scrubbed to 0
+        # exactly like the reference, ref: angular.py:181)
+        eye = np.einsum("fjxy,fjzy->fjxz", pose, pose)
+        np.testing.assert_allclose(
+            eye, np.tile(np.eye(3), (12, 24, 1, 1)), atol=1e-5)
