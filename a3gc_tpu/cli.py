@@ -252,13 +252,38 @@ def cmd_evaluate(args):
     stats = _load_stats(args) if args.norm else None
     for dataset in args.datasets:
         sequences = load_test_sequences(dataset)
-        mean, seconds, frames = evaluate_sequences(
-            params3, cascade, model, sequences, stats=stats,
-            normalize=args.norm,
-            report_path=os.path.join(
-                "evaluation_results",
-                f"{args.model}_{os.path.basename(dataset)}.txt"),
-            dataset_name=dataset)
+        if args.save_preds:
+            import pickle as pkl
+            from a3gc_tpu.eval import CascadeEvaluator
+            from a3gc_tpu.eval.run import reduced_to_full
+            from a3gc_tpu.utils import write_eval_report
+            ev = CascadeEvaluator(params3, cascade, model, stats, args.norm)
+            ev.warmup([s["ori"].shape[0] for s in sequences])
+            mean, seconds, frames, preds = ev.evaluate(sequences,
+                                                       return_preds=True)
+            ds = "dip" if "dip" in dataset else "tc"
+            base = os.path.join("evaluation_results", "sequences", ds,
+                                args.model)
+            os.makedirs(os.path.join(base, "gt"), exist_ok=True)
+            os.makedirs(os.path.join(base, "pred"), exist_ok=True)
+            for i, (seq, pred) in enumerate(zip(sequences, preds)):
+                gt = reduced_to_full(seq["pose"].reshape(-1, 15, 3, 3))
+                pkl.dump(gt, open(os.path.join(base, "gt", f"{i:03d}.p"),
+                                  "wb"))
+                pkl.dump(pred, open(os.path.join(base, "pred", f"{i:03d}.p"),
+                                    "wb"))
+            write_eval_report(
+                os.path.join("evaluation_results",
+                             f"{args.model}_{os.path.basename(dataset)}.txt"),
+                dataset, seconds, mean, PoseEvaluator.METRIC_NAMES)
+        else:
+            mean, seconds, frames = evaluate_sequences(
+                params3, cascade, model, sequences, stats=stats,
+                normalize=args.norm,
+                report_path=os.path.join(
+                    "evaluation_results",
+                    f"{args.model}_{os.path.basename(dataset)}.txt"),
+                dataset_name=dataset)
         print(f"== {dataset}: {frames} frames in {seconds:.3f}s "
               f"({frames / max(seconds, 1e-9):,.0f} frames/s)")
         print(PoseEvaluator.format(mean))
@@ -410,6 +435,9 @@ def build_parser():
     e.add_argument("--mid3", type=int, default=-1)
     e.add_argument("--datasets", nargs="+", required=True,
                    help="test npz files (from preprocess)")
+    e.add_argument("--save_preds", action="store_true",
+                   help="dump per-sequence gt/pred poses "
+                        "(ref: evaluate_a3gc_tp.py:155-178)")
     e.set_defaults(fn=cmd_evaluate)
 
     pp = sub.add_parser("preprocess", help="offline data factory")

@@ -154,10 +154,17 @@ def cascade_apply(params3: Tuple, cfg: CascadeConfig,
 
 
 def pose_loss(pred: jnp.ndarray, target: jnp.ndarray,
-              loss_weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+              loss_weight: Optional[jnp.ndarray] = None,
+              frame_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     r"""Weighted squared error: sum over the last dim, mean over the rest
-    (ref: net_aagc.py:1077-1087)."""
+    (ref: net_aagc.py:1077-1087). ``frame_mask`` [B, T] restricts the mean to
+    valid frames (full-sequence validation on end-padded buckets)."""
     err = jnp.square(target - pred)
     if loss_weight is not None:
         err = err * loss_weight
-    return jnp.mean(jnp.sum(err, axis=-1))
+    err = jnp.sum(err, axis=-1)
+    if frame_mask is None:
+        return jnp.mean(err)
+    w = frame_mask.reshape(frame_mask.shape + (1,) * (err.ndim - 2))
+    denom = jnp.sum(w) * (err[0, 0].size if err.ndim > 2 else 1.0)
+    return jnp.sum(err * w) / jnp.maximum(denom, 1.0)

@@ -213,6 +213,38 @@ class StageRunner:
             n += 1
         return total / max(n, 1)
 
+    def eval_full_sequences(self, sequences) -> float:
+        r"""Full-sequence validation (the reference's ``--fse`` flag,
+        ref: train_a3gc_tp.py:18,212-216): each variable-length sequence is
+        evaluated at batch 1 on an end-padded power-of-two bucket with frame
+        masking — loss values are exactly the native-length ones."""
+        from a3gc_tpu.eval.run import bucket_length
+
+        assemble = DP.graph_batch if self.graph else DP.flat_batch
+        wire = stage_inputs_graph if self.graph else stage_inputs_flat
+        rotsize = self.stage_cfg.rotsize if self.stage == 3 else 9
+
+        @jax.jit
+        def step(params, raw, n_valid):
+            batch = assemble(raw, self.stats, None, rotsize=rotsize)
+            inputs, target = wire(batch, self.stage, train=False)
+            mask = (jnp.arange(inputs.shape[1])[None] < n_valid).astype(
+                inputs.dtype)
+            pred, _ = pose_net_forward(params, self.stage_cfg, inputs,
+                                       frame_mask=mask)
+            return pose_loss(pred.reshape(target.shape), target,
+                             frame_mask=mask)
+
+        total = 0.0
+        for seq in sequences:
+            T = len(next(iter(seq.values())))
+            L = bucket_length(T)
+            raw = {k: np.pad(np.asarray(v)[None],
+                             [(0, 0), (0, L - T)] + [(0, 0)] * (v.ndim - 1))
+                   for k, v in seq.items()}
+            total += float(step(self.state.params, raw, jnp.asarray(T)))
+        return total / max(len(sequences), 1)
+
 
 class DIPRunner:
     r"""Single-stage DIP trainer (ref: train_dip.py:37-98): input is the

@@ -207,3 +207,16 @@ class TestR6DTargets:
         eye = np.einsum("fjxy,fjzy->fjxz", pose, pose)
         np.testing.assert_allclose(
             eye, np.tile(np.eye(3), (12, 24, 1, 1)), atol=1e-5)
+
+
+class TestFullSequenceValidation:
+    def test_padded_full_sequence_loss_matches_exact(self, nira, packed):
+        """--fse equivalent: masked full-sequence loss == unpadded loss."""
+        cfg, params = make_stage(1, nira, hidden=8)
+        tc = TrainConfig(batch_size=1)
+        runner = StageRunner(1, cfg, params, tc, steps_per_epoch=1)
+        seq = {k: v[0] for k, v in packed.items()}   # one [T,...] sequence
+        loss_full = runner.eval_full_sequences([seq])
+        batch1 = {k: v[:1] for k, v in packed.items()}
+        loss_exact = float(runner.eval_step(runner.state.params, batch1))
+        assert abs(loss_full - loss_exact) < 1e-5
