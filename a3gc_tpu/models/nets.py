@@ -144,19 +144,27 @@ def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
 
     # Pallas whole-scan kernel: one kernel launch per layer direction,
     # weights + recurrent state VMEM-resident (see ops/pallas_gcn_lstm.py).
+    # batch-1 always; multi-stream (B·15 rows ≤ one MXU tile) when no
+    # per-stream frame mask is needed (the kernel takes one shared n_valid)
+    B = x.shape[0]
+    pallas_ok = (B == 1 or (cfg.cell != "ggru" and B * cfg.num_nodes <= 128
+                            and frame_mask is None))
     use_pallas = (
-        hoist and cfg.cell != "ggru" and x.shape[0] == 1
+        hoist and pallas_ok
         and (cfg.backend == "pallas"
              or (cfg.backend == "auto"
                  and jax.devices()[0].platform in ("tpu", "axon"))))
     if use_pallas:
-        from a3gc_tpu.ops.pallas_gcn_lstm import bi_gcn_lstm_pallas
+        from a3gc_tpu.ops.pallas_gcn_lstm import (
+            bi_gcn_lstm_pallas, bi_ggru_pallas)
         n_valid = (None if frame_mask is None
                    else jnp.sum(frame_mask[0]).astype(jnp.int32))
-        x, state = bi_gcn_lstm_pallas(params.rnn1, x, state,
-                                      n_valid=n_valid, precision=prec)
-        x, state = bi_gcn_lstm_pallas(params.rnn2, x, state,
-                                      n_valid=n_valid, precision=prec)
+        layer = (bi_ggru_pallas if cfg.cell == "ggru"
+                 else bi_gcn_lstm_pallas)
+        x, state = layer(params.rnn1, x, state, n_valid=n_valid,
+                         precision=prec)
+        x, state = layer(params.rnn2, x, state, n_valid=n_valid,
+                         precision=prec)
         x = C.graph_conv(params.linear_out, x, precision=prec)
         return x, state
 

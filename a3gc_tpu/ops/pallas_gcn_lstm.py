@@ -24,6 +24,7 @@ Numerics match cells.gcn_lstm_step_hoisted: same op order, fp32.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional, Tuple
 
@@ -32,24 +33,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from a3gc_tpu.models.cells import GCNLSTMCellParams
+from a3gc_tpu.models.cells import GCNLSTMCellParams, GGRUCellParams
 
-__all__ = ["gcn_lstm_scan_pallas", "bi_gcn_lstm_pallas"]
+__all__ = ["gcn_lstm_scan_pallas", "bi_gcn_lstm_pallas",
+           "ggru_scan_pallas", "bi_ggru_pallas"]
 
 
 def _kernel(nvalid_ref,                       # scalar prefetch [1]
-            u_ref,                            # [U, N, 4H] per-block input proj
+            u_ref,                            # [U, R, 4H] per-block input proj
             wh_ref,                           # [H, 4H]
-            adj_ref,                          # [4, N, N]
+            adj_ref,                          # [4, R, R] (block-diag when B>1)
             bias_ref,                         # [4, H]
-            h0_ref, c0_ref,                   # [N, H] initial state
+            h0_ref, c0_ref,                   # [R, H] initial state
             aw_ref, awq_ref, awh_ref,         # [H, H] attention mats
             au_ref,                           # [H, 1]
             abs_ref,                          # [1, H]
-            abu_ref,                          # [N, 1]
-            out_ref,                          # [U, N, H]
-            hfin_ref, cfin_ref,               # [N, H] final state
-            h_scr, c_scr,                     # VMEM scratch [N, H]
+            abu_ref,                          # [R, 1]
+            seg_ref,                          # [B, R] stream-membership 0/1
+            segT_ref,                         # [R, B]
+            out_ref,                          # [U, R, H]
+            hfin_ref, cfin_ref,               # [R, H] final state
+            h_scr, c_scr,                     # VMEM scratch [R, H]
             *, T: int, H: int, U: int, reverse: bool, attention: bool,
             out_tanh: bool):
     t = pl.program_id(0)
@@ -88,18 +92,24 @@ def _kernel(nvalid_ref,                       # scalar prefetch [1]
         hy = o * jnp.tanh(c_new)
 
         if attention:
-            q = jax.nn.relu(jnp.sum(
+            # per-stream node sum via the segment matrix (B=1 ⇒ plain sum)
+            q = jax.nn.relu(jnp.dot(
+                seg_ref[:],
                 jnp.dot(hy, aw_ref[:], preferred_element_type=jnp.float32,
                         precision=hi),
-                axis=0, keepdims=True))                    # [1, H]
+                preferred_element_type=jnp.float32, precision=hi))  # [B, H]
+            wq_rows = jnp.dot(
+                segT_ref[:],
+                jnp.dot(q, awq_ref[:], preferred_element_type=jnp.float32,
+                        precision=hi),
+                preferred_element_type=jnp.float32, precision=hi)   # [R, H]
             s = jnp.tanh(
                 jnp.dot(hy, awh_ref[:], preferred_element_type=jnp.float32,
                         precision=hi)
-                + jnp.dot(q, awq_ref[:], preferred_element_type=jnp.float32,
-                          precision=hi)
-                + abs_ref[0])                              # [N, H]
+                + wq_rows
+                + abs_ref[0])                              # [R, H]
             a = jnp.dot(s, au_ref[:], preferred_element_type=jnp.float32,
-                        precision=hi) + abu_ref[:]         # [N,1]
+                        precision=hi) + abu_ref[:]         # [R,1]
             hy = hy + hy * jax.nn.sigmoid(a)
 
         # masked state carry: frames >= n_valid keep the old state
@@ -126,20 +136,30 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
                          reverse: bool = False,
                          n_valid: Optional[jnp.ndarray] = None,
                          out_tanh: bool = True,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         n_streams: int = 1):
     r"""Scan one direction of a graph-LSTM layer over a whole sequence.
 
-    :param u: hoisted input projections [T, N, 4H] (= x·W_x, in FORWARD frame
-        order; the kernel itself reverses its walk when ``reverse``).
-    :param h0, c0: initial state [N, H].
+    :param u: hoisted input projections [T, R, 4H] (= x·W_x, in FORWARD frame
+        order; the kernel itself reverses its walk when ``reverse``). For
+        multi-stream serving R = B·N rows (streams stacked on the node axis);
+        ``p.adj`` must then be the [4, R, R] block-diagonal expansion and
+        attention biases row-tiled — see ``bi_gcn_lstm_pallas``.
+    :param h0, c0: initial state [R, H].
     :param n_valid: frames < n_valid are real; others carry state through.
-    :return: (outputs [T, N, H] in forward frame order, (h_fin, c_fin)).
+    :param n_streams: B (rows per stream = R // B).
+    :return: (outputs [T, R, H] in forward frame order, (h_fin, c_fin)).
     """
-    T, N, G = u.shape
+    T, R, G = u.shape
+    N = R // n_streams
     H = G // 4
     attention = p.attention is not None
     nvalid = jnp.asarray(
         [T if n_valid is None else n_valid], jnp.int32)
+    # stream-membership matrices for the attention segment sums
+    eyeb = jnp.eye(n_streams, dtype=u.dtype)
+    seg = jnp.repeat(eyeb, N, axis=1)                      # [B, R]
+    segT = seg.T                                           # [R, B]
 
     # unroll factor: pad T to a multiple (padding frames are masked anyway
     # for the forward walk; for the reverse walk they sit BEFORE the real
@@ -157,12 +177,12 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
         aw, awq, awh = zeros_h, zeros_h, zeros_h
         au = jnp.zeros((H, 1), u.dtype)
         abs_ = jnp.zeros((1, H), u.dtype)
-        abu = jnp.zeros((N, 1), u.dtype)
+        abu = jnp.zeros((R, 1), u.dtype)
     else:
         aw, awq, awh = att.w, att.wq, att.wh
         au = att.u
         abs_ = att.bs.reshape(1, H)
-        abu = att.bu.reshape(N, 1)
+        abu = jnp.tile(att.bu.reshape(N, 1), (n_streams, 1))
 
     n_blocks = T // U
     # with scalar prefetch, index maps receive (grid ids..., scalar refs...)
@@ -177,7 +197,7 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((U, N, G), u_index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, R, G), u_index_map, memory_space=pltpu.VMEM),
             vmem_full(),            # wh
             vmem_full(),            # adj
             vmem_full(),            # bias
@@ -186,14 +206,15 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
             vmem_full(),            # au
             vmem_full(),            # abs
             vmem_full(),            # abu
+            vmem_full(), vmem_full(),   # seg, segT
         ],
         out_specs=[
-            pl.BlockSpec((U, N, H), u_index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, R, H), u_index_map, memory_space=pltpu.VMEM),
             vmem_full(), vmem_full(),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N, H), jnp.float32),
-            pltpu.VMEM((N, H), jnp.float32),
+            pltpu.VMEM((R, H), jnp.float32),
+            pltpu.VMEM((R, H), jnp.float32),
         ],
     )
 
@@ -204,12 +225,13 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T, N, H), jnp.float32),
-            jax.ShapeDtypeStruct((N, H), jnp.float32),
-            jax.ShapeDtypeStruct((N, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, R, H), jnp.float32),
+            jax.ShapeDtypeStruct((R, H), jnp.float32),
+            jax.ShapeDtypeStruct((R, H), jnp.float32),
         ],
         interpret=interpret,
-    )(nvalid, u, wh, p.adj, p.bias, h0, c0, aw, awq, awh, au, abs_, abu)
+    )(nvalid, u, wh, p.adj, p.bias, h0, c0, aw, awq, awh, au, abs_, abu,
+      seg, segT)
     return outs, (hfin, cfin)
 
 
@@ -302,27 +324,49 @@ def bi_gcn_lstm_pallas(params2, x: jnp.ndarray, state2, *,
     identical and ~shares per-step overhead, but the doubled Mosaic kernel
     body blows remote compilation past 10 minutes on this toolchain, so the
     default is two single-direction launches (compile ≈1 min each).
+
+    Batched streams: for B > 1 the B sequences are folded onto the row axis
+    (R = B·15 ≤ 128 rows feeds a full MXU tile), the adjacency becomes
+    block-diagonal, and the attention's per-stream node sums go through
+    segment matrices — one kernel serves B independent streams per step.
     """
-    assert x.shape[0] == 1, "pallas path is specialized for batch 1"
-    T, N = x.shape[1], x.shape[2]
-    F = x.shape[3]
+    B, T, N, F = x.shape
     h2, c2 = state2
 
     # hoisted input projection for both directions: one big MXU matmul
-    u2 = jnp.einsum("tnf,dfg->dtng", x[0], params2.kernel[:, :F, :],
+    # [B,T,N,F] → [2,T,B·N,4H]
+    u2 = jnp.einsum("btnf,dfg->dtbng", x, params2.kernel[:, :F, :],
                     precision=precision)
+    G = u2.shape[-1]
+    u2 = u2.reshape(2, T, B * N, G)
 
     if not fused_directions:
-        p_f = jax.tree_util.tree_map(lambda a: a[0], params2)
-        p_b = jax.tree_util.tree_map(lambda a: a[1], params2)
+        def expand(p):
+            if B == 1:
+                return p
+            # block-diagonal adjacency over streams
+            eyeb = jnp.eye(B, dtype=x.dtype)
+            adj = jnp.einsum("bc,knm->kbncm", eyeb, p.adj).reshape(
+                4, B * N, B * N)
+            return dataclasses.replace(p, adj=adj)
+
+        p_f = expand(jax.tree_util.tree_map(lambda a: a[0], params2))
+        p_b = expand(jax.tree_util.tree_map(lambda a: a[1], params2))
+        h2r = h2.reshape(2, B * N, -1)
+        c2r = c2.reshape(2, B * N, -1)
         out_f, (hf, cf) = gcn_lstm_scan_pallas(
-            p_f, u2[0], h2[0, 0], c2[0, 0], reverse=False, n_valid=n_valid,
-            out_tanh=out_tanh, interpret=interpret)
+            p_f, u2[0], h2r[0], c2r[0], reverse=False, n_valid=n_valid,
+            out_tanh=out_tanh, interpret=interpret, n_streams=B)
         out_b, (hb, cb) = gcn_lstm_scan_pallas(
-            p_b, u2[1], h2[1, 0], c2[1, 0], reverse=True, n_valid=n_valid,
-            out_tanh=out_tanh, interpret=interpret)
-        y = jnp.concatenate((out_f, out_b), axis=-1)[None]
-        return y, (jnp.stack((hf, hb))[:, None], jnp.stack((cf, cb))[:, None])
+            p_b, u2[1], h2r[1], c2r[1], reverse=True, n_valid=n_valid,
+            out_tanh=out_tanh, interpret=interpret, n_streams=B)
+        H = out_f.shape[-1]
+        y = jnp.concatenate((out_f, out_b), axis=-1)      # [T, B·N, 2H]
+        y = y.reshape(T, B, N, 2 * H).swapaxes(0, 1)      # [B, T, N, 2H]
+        new_h = jnp.stack((hf, hb)).reshape(2, B, N, H)
+        new_c = jnp.stack((cf, cb)).reshape(2, B, N, H)
+        return y, (new_h, new_c)
+    assert B == 1, "fused_directions path is batch-1 only"
 
     G = 4 * (params2.bias.shape[-1])
     H = params2.bias.shape[-1]
@@ -387,3 +431,110 @@ def bi_gcn_lstm_pallas(params2, x: jnp.ndarray, state2, *,
 
     y = jnp.concatenate((out_f, out_b), axis=-1)[None]     # [1,T,N,2H]
     return y, (hfin2[:, None], cfin2[:, None])
+
+
+# ---------------------------------------------------------------------------
+# G-GRU whole-scan kernel (ref cell: net_aagc.py:342-368)
+# ---------------------------------------------------------------------------
+
+def _ggru_kernel(nvalid_ref,
+                 zi_ref,                      # [1, N, 3H] hoisted x·W_in+b_in
+                 gcn_ref,                     # [H, H]
+                 adj_ref,                     # [N, N]
+                 whid_ref,                    # [H, 3H]
+                 h0_ref,                      # [N, H]
+                 out_ref,                     # [1, N, H]
+                 hfin_ref,                    # [N, H]
+                 h_scr,                       # VMEM scratch [N, H]
+                 *, T: int, H: int, reverse: bool):
+    t = pl.program_id(0)
+    hi = jax.lax.Precision.HIGHEST
+
+    @pl.when(t == 0)
+    def _init():
+        h_scr[:] = h0_ref[:]
+
+    h = h_scr[:]
+    # msg = adj · (h · gcn_kernel)
+    msg = jnp.dot(h, gcn_ref[:], preferred_element_type=jnp.float32,
+                  precision=hi)
+    msg = jnp.dot(adj_ref[:], msg, preferred_element_type=jnp.float32,
+                  precision=hi)
+    zh = jnp.dot(msg, whid_ref[:], preferred_element_type=jnp.float32,
+                 precision=hi)
+    zi = zi_ref[0]
+    r = jax.nn.sigmoid(zi[:, 0:H] + zh[:, 0:H])
+    u = jax.nn.sigmoid(zi[:, H:2 * H] + zh[:, H:2 * H])
+    cand = jnp.tanh(zi[:, 2 * H:] + r * zh[:, 2 * H:])
+    h_new = u * h + (1.0 - u) * cand
+
+    frame = (T - 1 - t) if reverse else t
+    valid = frame < nvalid_ref[0]
+    h_new = jnp.where(valid, h_new, h)
+    h_scr[:] = h_new
+    out_ref[0] = h_new
+
+    @pl.when(t == T - 1)
+    def _fin():
+        hfin_ref[:] = h_new
+
+
+def ggru_scan_pallas(p: GGRUCellParams, zi: jnp.ndarray, h0: jnp.ndarray, *,
+                     reverse: bool = False,
+                     n_valid: Optional[jnp.ndarray] = None,
+                     interpret: bool = False):
+    r"""Scan one direction of a G-GRU layer. zi [T, N, 3H] hoisted input
+    projections (forward frame order); h0 [N, H]."""
+    T, N, G3 = zi.shape
+    H = G3 // 3
+    nvalid = jnp.asarray([T if n_valid is None else n_valid], jnp.int32)
+    if reverse:
+        index_map = lambda t, *_: (T - 1 - t, 0, 0)
+    else:
+        index_map = lambda t, *_: (t, 0, 0)
+    vmem_full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, N, G3), index_map, memory_space=pltpu.VMEM),
+            vmem_full(), vmem_full(), vmem_full(), vmem_full(),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, N, H), index_map, memory_space=pltpu.VMEM),
+            vmem_full(),
+        ],
+        scratch_shapes=[pltpu.VMEM((N, H), jnp.float32)],
+    )
+    kernel = functools.partial(_ggru_kernel, T=T, H=H, reverse=reverse)
+    outs, hfin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, N, H), jnp.float32),
+            jax.ShapeDtypeStruct((N, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nvalid, zi, p.gcn_kernel, p.adj, p.w_hid, h0)
+    return outs, hfin
+
+
+def bi_ggru_pallas(params2, x: jnp.ndarray, state2, *,
+                   n_valid: Optional[jnp.ndarray] = None,
+                   interpret: bool = False,
+                   precision=jax.lax.Precision.HIGHEST):
+    r"""Bidirectional G-GRU layer for batch 1, Pallas-scanned. Drop-in for
+    layers.bi_rnn + cells.ggru_step at B=1: x [1, T, N, F] →
+    ([1, T, N, 2H], h2). ``state2``: h [2, 1, N, H]."""
+    assert x.shape[0] == 1, "pallas path is specialized for batch 1"
+    zi2 = jnp.einsum("tnf,dfg->dtng", x[0], params2.w_in,
+                     precision=precision) + params2.b_in[:, None, None, :]
+    p_f = jax.tree_util.tree_map(lambda a: a[0], params2)
+    p_b = jax.tree_util.tree_map(lambda a: a[1], params2)
+    out_f, hf = ggru_scan_pallas(p_f, zi2[0], state2[0, 0], reverse=False,
+                                 n_valid=n_valid, interpret=interpret)
+    out_b, hb = ggru_scan_pallas(p_b, zi2[1], state2[1, 0], reverse=True,
+                                 n_valid=n_valid, interpret=interpret)
+    y = jnp.concatenate((out_f, out_b), axis=-1)[None]
+    return y, jnp.stack((hf, hb))[:, None]

@@ -81,3 +81,62 @@ def test_pallas_nonzero_initial_state(nira):
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=1e-6)
     np.testing.assert_allclose(np.asarray(s[1]), np.asarray(ref_s[1]),
                                atol=1e-6)
+
+
+def test_ggru_pallas_matches_xla(nira):
+    from a3gc_tpu.ops.pallas_gcn_lstm import bi_ggru_pallas
+    H = 16
+    params2 = L.stack_directions(
+        C.init_ggru_cell(jax.random.PRNGKey(7), 12, H, nira),
+        C.init_ggru_cell(jax.random.PRNGKey(8), 12, H, nira))
+    T = 27
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, T, 15, 12)).astype(np.float32))
+    state2 = jnp.zeros((2, 1, 15, H))
+
+    def step(p, xt, st, rng=None):
+        return C.ggru_step(p, xt, st)
+    ref_y, ref_s = L.bi_rnn(step, params2, x, state2)
+
+    y, s = bi_ggru_pallas(params2, x, state2, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), atol=1e-6)
+
+
+def test_ggru_pallas_masked(nira):
+    from a3gc_tpu.ops.pallas_gcn_lstm import bi_ggru_pallas
+    H = 16
+    params2 = L.stack_directions(
+        C.init_ggru_cell(jax.random.PRNGKey(9), 12, H, nira),
+        C.init_ggru_cell(jax.random.PRNGKey(10), 12, H, nira))
+    T, n = 30, 19
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, T, 15, 12)).astype(np.float32))
+    state2 = jnp.zeros((2, 1, 15, H))
+    mask = (jnp.arange(T)[None] < n).astype(jnp.float32)
+
+    def step(p, xt, st, rng=None):
+        return C.ggru_step(p, xt, st)
+    ref_y, ref_s = L.bi_rnn(step, params2, x, state2, frame_mask=mask)
+    y, s = bi_ggru_pallas(params2, x, state2, n_valid=jnp.asarray(n),
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(y[:, :n]),
+                               np.asarray(ref_y[:, :n]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), atol=1e-6)
+
+
+def test_batched_streams_match_xla(nira):
+    """B>1 folding (block-diag adjacency + segment attention) is exact."""
+    H, B, T = 16, 3, 21
+    params2 = make_params2(nira, 12, H, attention=True, seed=11)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(B, T, 15, 12)).astype(np.float32))
+    state2 = (jnp.zeros((2, B, 15, H)), jnp.zeros((2, B, 15, H)))
+
+    ref_y, ref_s = xla_bi(params2, x, state2)
+    y, s = bi_gcn_lstm_pallas(params2, x, state2, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s[0]), np.asarray(ref_s[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s[1]), np.asarray(ref_s[1]),
+                               atol=1e-5)
