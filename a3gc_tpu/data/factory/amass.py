@@ -154,13 +154,16 @@ def process_amass_split(model: ParametricModel, mode: str = "train",
                         raw_iter: Optional[Iterable[Dict]] = None,
                         out_path: Optional[str] = None,
                         chunk_size: int = 300,
-                        paths: Paths = default_paths,
+                        paths: Optional[Paths] = None,
                         min_length: int = 13,
                         vi_mask=AMASS_VI_MASK,
                         ji_mask=AMASS_JI_MASK) -> List[Dict[str, np.ndarray]]:
     r"""Full AMASS pipeline: raw → synth IMU → training fields → 300-frame
     chunks (→ packed npz if ``out_path``). ``sym=True`` adds the mirrored
     duplicate of every sequence (CDA, ref: preprocess.py:105-198)."""
+    if paths is None:
+        # late-bound so tests/config changes to the module default take effect
+        paths = default_paths
     if raw_iter is None:
         datasets = TRAIN_SPLIT if mode == "train" else VAL_SPLIT
         raw_iter = iter_amass_raw(paths.resolve(paths.raw_amass_dir), datasets)

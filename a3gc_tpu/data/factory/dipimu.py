@@ -119,10 +119,13 @@ def process_dipimu(model: ParametricModel, split: str = "test",
                    raw_iter: Optional[Iterable[Dict]] = None,
                    out_path: Optional[str] = None,
                    chunk_size: int = 300,
-                   paths: Paths = default_paths):
+                   paths: Optional[Paths] = None):
     r"""Full DIP-IMU pipeline for one split. Test split keeps native-length
     sequences (returned as a list; saved as npz object arrays); train/valid
     are 300-frame chunked and packable."""
+    if paths is None:
+        # late-bound so tests/config changes to the module default take effect
+        paths = default_paths
     if raw_iter is None:
         raw_iter = iter_dipimu_raw(paths.resolve(paths.raw_dipimu_dir), split)
 

@@ -45,10 +45,13 @@ def process_totalcapture(model: ParametricModel,
                          raw_iter: Optional[Iterable[Dict]] = None,
                          out_path: Optional[str] = None,
                          drop_faulty: bool = True,
-                         paths: Paths = default_paths
+                         paths: Optional[Paths] = None
                          ) -> List[Dict[str, np.ndarray]]:
     r"""Raw TotalCapture → test sequences in the eval schema (ori [T,54],
     acc [T,18], pose [T,135] reduced global)."""
+    if paths is None:
+        # late-bound so tests/config changes to the module default take effect
+        paths = default_paths
     if raw_iter is None:
         raw_iter = iter_totalcapture_raw(
             paths.resolve(paths.raw_totalcapture_dir))
