@@ -117,3 +117,32 @@ class TestDipEvaluator:
         mean, seconds, frames = ev.evaluate(seqs)
         assert mean.shape == (5, 2) and np.isfinite(mean).all()
         assert frames == T
+
+
+class TestFlatCascadeEvaluator:
+    def test_tp_cascade_eval(self, model):
+        """TransPose (flat DIP-net) cascade through the bucketed evaluator."""
+        from a3gc_tpu.eval import CascadeEvaluator
+        from a3gc_tpu.models.pipeline import CascadeConfig, init_pose_net
+
+        def d(ni, no, h, rot):
+            return PoseNetConfig(net=N.DIPConfig(n_input=ni, n_output=no,
+                                                 n_hidden=h), rotsize=rot)
+        cfg = CascadeConfig(stage1=d(72, 15, 16, 3), stage2=d(87, 69, 16, 3),
+                            stage3=d(141, 135, 16, 9))
+        params3 = tuple(init_pose_net(jax.random.PRNGKey(i), c)
+                        for i, c in enumerate(
+                            (cfg.stage1, cfg.stage2, cfg.stage3)))
+        T = 90
+        seqs = [{
+            "ori": Rotation.random(T * 6, random_state=5).as_matrix(
+            ).reshape(T, 54).astype(np.float32),
+            "acc": np.random.default_rng(1).normal(
+                size=(T, 18)).astype(np.float32),
+            "pose": Rotation.random(T * 15, random_state=6).as_matrix(
+            ).reshape(T, 135).astype(np.float32),
+        }]
+        ev = CascadeEvaluator(params3, cfg, model)
+        mean, seconds, frames = ev.evaluate(seqs)
+        assert mean.shape == (5, 2) and np.isfinite(mean).all()
+        assert frames == T

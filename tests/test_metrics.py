@@ -176,3 +176,25 @@ class TestBasicEvaluators:
         out = np.asarray(mean_per_joint_errors(model, jnp.asarray(pose_p),
                                                jnp.asarray(pose_t)))
         assert out.shape == (3,)
+
+
+class TestBinaryEvaluators:
+    def test_confusion_matrix_reference_convention(self):
+        from a3gc_tpu.metrics import binary_confusion_matrix
+        import jax.numpy as jnp
+        # reference convention: positive class = 0 (ref: evaluator.py:55-61)
+        p = jnp.asarray([0.2, 0.9, 0.1, 0.8])   # after sigmoid
+        t = jnp.asarray([0.0, 0.0, 1.0, 1.0])
+        m = np.asarray(binary_confusion_matrix(p, t, is_after_sigmoid=True))
+        # pred classes: [0,1,0,1]; tp=(p0,t0)=1, fn=(p1,t0)=1,
+        # fp=(p0,t1)=1, tn=(p1,t1)=1
+        np.testing.assert_allclose(m, [[1, 1], [1, 1]])
+
+    def test_classification_errors(self):
+        from a3gc_tpu.metrics import binary_classification_errors
+        import jax.numpy as jnp
+        p = jnp.asarray([0.2, 0.2, 0.9, 0.8])
+        t = jnp.asarray([0.0, 0.0, 1.0, 1.0])  # perfect under ref convention
+        e = np.asarray(binary_classification_errors(p, t,
+                                                    is_after_sigmoid=True))
+        np.testing.assert_allclose(e, np.ones((3, 2)), atol=1e-6)
