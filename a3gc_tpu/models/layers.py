@@ -22,7 +22,7 @@ Input layout is batch-major [B, T, N, F] at the API (like the reference's
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -153,7 +153,3 @@ def bi_rnn_precomputed(step_fn: Callable, params2, seq_stack: jnp.ndarray,
     y = jnp.concatenate((outs[0], outs[1][::-1]), axis=-1)
     return jnp.swapaxes(y, 0, 1), finals
 
-
-def zeros_like_state(template: Any) -> Any:
-    """Zero state pytree with the same structure/shapes as ``template``."""
-    return jax.tree_util.tree_map(jnp.zeros_like, template)

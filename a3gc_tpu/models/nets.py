@@ -316,22 +316,6 @@ def init_dip(key, cfg: DIPConfig) -> DIPParams:
     )
 
 
-def _lstm_step(p: LSTMLayerParams, x: jnp.ndarray, state, *, precision=_HI):
-    """Standard LSTM step, torch gate order. x [B, F], state (h, c) [B, H]."""
-    h, c = state
-    z = (jnp.einsum("bf,fg->bg", x, p.w_ih, precision=precision)
-         + jnp.einsum("bh,hg->bg", h, p.w_hh, precision=precision)
-         + p.b_ih + p.b_hh)
-    H = h.shape[-1]
-    i = jax.nn.sigmoid(z[:, 0:H])
-    f = jax.nn.sigmoid(z[:, H:2 * H])
-    g = jnp.tanh(z[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(z[:, 3 * H:])
-    c_new = f * c + i * g
-    h_new = o * jnp.tanh(c_new)
-    return h_new, (h_new, c_new)
-
-
 def dip_zero_state(cfg: DIPConfig, batch: int, dtype=jnp.float32):
     if cfg.bidirectional:
         z = jnp.zeros((2, batch, cfg.n_hidden), dtype)
