@@ -183,6 +183,8 @@ def gcn_lstm_gates(p: GCNLSTMCellParams, z: jnp.ndarray,
 def gcn_lstm_step_hoisted(p: GCNLSTMCellParams, u_t: jnp.ndarray,
                           state, *, hidden_kernel: jnp.ndarray,
                           out_activation: str = "tanh",
+                          recurrent_dropout_rate: float = 0.0,
+                          rng: Optional[jax.Array] = None,
                           precision=_HI):
     r"""Cell step with the input projection hoisted out of the scan.
 
@@ -191,12 +193,19 @@ def gcn_lstm_step_hoisted(p: GCNLSTMCellParams, u_t: jnp.ndarray,
     timesteps in one large [T·B·N, F] × [F, 4H] MXU matmul outside the scan,
     leaving only the [B·N, H] × [H, 4H] recurrent half inside — mathematically
     identical (fp32 rounding aside), and the big matmul actually feeds the
-    systolic array. Inference path (per-step dropout needs the unhoisted
-    ``gcn_lstm_step``).
+    systolic array.
+
+    Valid in TRAINING too: each x_t enters exactly one step, so the
+    reference's per-step input dropout (ref: net_aagc.py:180) equals one iid
+    mask over the whole sequence applied before the hoisted projection;
+    only the recurrent dropout on h (ref: net_aagc.py:181) must stay
+    per-step — passed here via ``rng``.
     """
-    h, _ = state
-    z = u_t + jnp.einsum("bnh,hg->bng", h, hidden_kernel, precision=precision)
-    return gcn_lstm_gates(p, z, state, out_activation=out_activation,
+    h, c = state
+    h_in = _dropout(h, recurrent_dropout_rate, rng)
+    z = u_t + jnp.einsum("bnh,hg->bng", h_in, hidden_kernel,
+                         precision=precision)
+    return gcn_lstm_gates(p, z, (h, c), out_activation=out_activation,
                           precision=precision)
 
 

@@ -129,6 +129,7 @@ def bi_rnn(step_fn: Callable, params2, x: jnp.ndarray, init_state2,
 
 def bi_rnn_precomputed(step_fn: Callable, params2, seq_stack: jnp.ndarray,
                        init_state2,
+                       rng: Optional[jax.Array] = None,
                        frame_mask: Optional[jnp.ndarray] = None,
                        **step_kwargs):
     r"""Bidirectional layer over direction-specific precomputed inputs.
@@ -138,6 +139,7 @@ def bi_rnn_precomputed(step_fn: Callable, params2, seq_stack: jnp.ndarray,
 
     :param seq_stack: [2, T, B, ...] — direction 1's sequence must already be
         time-flipped.
+    :param rng: per-step keys for in-scan (recurrent) dropout.
     """
     if frame_mask is None:
         mask_stack = None
@@ -145,11 +147,14 @@ def bi_rnn_precomputed(step_fn: Callable, params2, seq_stack: jnp.ndarray,
         mask_tm = jnp.swapaxes(frame_mask, 0, 1)
         mask_stack = jnp.stack((mask_tm, mask_tm[::-1]))
 
-    def run(p, useq, st, mseq):
-        return _scan_rnn(step_fn, p, useq, st, None, mask_tm=mseq,
+    rngs = jax.random.split(rng, 2) if rng is not None else None
+
+    def run(p, useq, st, key, mseq):
+        return _scan_rnn(step_fn, p, useq, st, key, mask_tm=mseq,
                          **step_kwargs)
 
-    outs, finals = jax.vmap(run)(params2, seq_stack, init_state2, mask_stack)
+    outs, finals = jax.vmap(run)(params2, seq_stack, init_state2, rngs,
+                                 mask_stack)
     y = jnp.concatenate((outs[0], outs[1][::-1]), axis=-1)
     return jnp.swapaxes(y, 0, 1), finals
 

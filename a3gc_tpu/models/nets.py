@@ -135,11 +135,14 @@ def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
                      rng=r_in, precision=prec)
     x = jax.nn.relu(x)
 
-    # Fast inference path: hoist the input half of the gate projection out of
-    # the scan — u = x·W_x becomes one [T·B·N, F] × [F, 4H] MXU matmul per
+    # Fast inference path: hoist the input half of the gate projection out
+    # of the scan — u = x·W_x becomes one [T·B·N, F] × [F, 4H] MXU matmul per
     # direction; only the [B·N, H] × [H, 4H] recurrent half stays sequential.
-    # Mathematically identical; training needs per-step input dropout so it
-    # keeps the unhoisted step.
+    # (Hoisting is semantically valid in training too — per-step input
+    # dropout equals one iid mask over the sequence — but measured SLOWER
+    # there: the materialized [2,T,B,N,4H] projection becomes a huge
+    # backward-pass residual, e.g. 1.2 GB for stage 1 at B=32/T=300, while
+    # the in-scan projection is recomputed cheaply. Keep it inference-only.)
     hoist = rng is None
 
     # Pallas whole-scan kernel: one kernel launch per layer direction,
@@ -168,18 +171,29 @@ def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
         x = C.graph_conv(params.linear_out, x, precision=prec)
         return x, state
 
-    def _layer_hoisted_lstm(cell2, x, st):
+    def _layer_hoisted_lstm(cell2, x, st, rng_layer):
+        rh = None
+        if rng_layer is not None:
+            # input dropout ONCE over [B,T,N,F] == per-step iid masks
+            # (ref: net_aagc.py:180); recurrent dropout stays in-scan
+            rx, rh = jax.random.split(rng_layer)
+            if cfg.dropout > 0:
+                keep = 1.0 - cfg.dropout
+                mask = jax.random.bernoulli(rx, keep, x.shape)
+                x = jnp.where(mask, x / keep, 0.0)
         F = x.shape[-1]
         u2 = jnp.einsum("btnf,dfg->dtbng", x, cell2.kernel[:, :F, :],
                         precision=prec)                     # [2,T,B,N,4H]
         u2 = jnp.stack((u2[0], u2[1][::-1]))
 
-        def step(p, ut, s):
+        def step(p, ut, s, rng=None):
             return C.gcn_lstm_step_hoisted(
                 p, ut, s, hidden_kernel=p.kernel[F:, :],
-                out_activation="tanh", precision=prec)
+                out_activation="tanh",
+                recurrent_dropout_rate=cfg.recurrent_dropout,
+                rng=rng, precision=prec)
 
-        return L.bi_rnn_precomputed(step, cell2, u2, st,
+        return L.bi_rnn_precomputed(step, cell2, u2, st, rng=rh,
                                     frame_mask=frame_mask)
 
     def _layer_hoisted_ggru(cell2, x, st):
@@ -187,7 +201,7 @@ def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
                         precision=prec) + cell2.b_in[:, None, None, None, :]
         u2 = jnp.stack((u2[0], u2[1][::-1]))
 
-        def step(p, ut, s):
+        def step(p, ut, s, rng=None):
             return C.ggru_step_hoisted(p, ut, s, precision=prec)
 
         return L.bi_rnn_precomputed(step, cell2, u2, st,
@@ -207,8 +221,8 @@ def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
     elif hoist:
         # rnn1's final state seeds rnn2 — reference semantics, see
         # graph_net_zero_state
-        x, state = _layer_hoisted_lstm(params.rnn1, x, state)
-        x, state = _layer_hoisted_lstm(params.rnn2, x, state)
+        x, state = _layer_hoisted_lstm(params.rnn1, x, state, None)
+        x, state = _layer_hoisted_lstm(params.rnn2, x, state, None)
     else:
         def step(p, xt, st, rng=None):
             return C.gcn_lstm_step(
