@@ -147,11 +147,11 @@ def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
 
     # Pallas whole-scan kernel: one kernel launch per layer direction,
     # weights + recurrent state VMEM-resident (see ops/pallas_gcn_lstm.py).
-    # batch-1 always; multi-stream (B·15 rows ≤ one MXU tile) when no
-    # per-stream frame mask is needed (the kernel takes one shared n_valid)
+    # batch-1 always; multi-stream when B·15 rows fit one MXU tile
+    # (per-stream lengths supported via vector n_valid)
     B = x.shape[0]
-    pallas_ok = (B == 1 or (cfg.cell != "ggru" and B * cfg.num_nodes <= 128
-                            and frame_mask is None))
+    pallas_ok = (B == 1 or (cfg.cell != "ggru"
+                            and B * cfg.num_nodes <= 128))
     use_pallas = (
         hoist and pallas_ok
         and (cfg.backend == "pallas"
@@ -161,7 +161,7 @@ def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
         from a3gc_tpu.ops.pallas_gcn_lstm import (
             bi_gcn_lstm_pallas, bi_ggru_pallas)
         n_valid = (None if frame_mask is None
-                   else jnp.sum(frame_mask[0]).astype(jnp.int32))
+                   else jnp.sum(frame_mask, axis=1).astype(jnp.int32))
         layer = (bi_ggru_pallas if cfg.cell == "ggru"
                  else bi_gcn_lstm_pallas)
         x, state = layer(params.rnn1, x, state, n_valid=n_valid,

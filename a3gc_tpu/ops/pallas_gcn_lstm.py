@@ -67,6 +67,8 @@ def _kernel(nvalid_ref,                       # scalar prefetch [1]
     h = h_scr[:]
     c = c_scr[:]
     hi = jax.lax.Precision.HIGHEST
+    n_streams = seg_ref.shape[0]
+    rows_per_stream = h_scr.shape[0] // n_streams
 
     # U frames per grid step (statically unrolled) to amortize grid/DMA
     # bookkeeping over multiple tiny recurrent steps
@@ -112,14 +114,22 @@ def _kernel(nvalid_ref,                       # scalar prefetch [1]
                         precision=hi) + abu_ref[:]         # [R,1]
             hy = hy + hy * jax.nn.sigmoid(a)
 
-        # masked state carry: frames >= n_valid keep the old state
+        # masked state carry: frames >= the stream's n_valid keep the old
+        # state (per-stream lengths; n_streams is small and static)
         if reverse:
             frame = T - 1 - (t * U + uu)
         else:
             frame = t * U + uu
-        valid = frame < nvalid_ref[0]
-        h = jnp.where(valid, hy, h)
-        c = jnp.where(valid, c_new, c)
+        if n_streams == 1:
+            valid = frame < nvalid_ref[0]
+            h = jnp.where(valid, hy, h)
+            c = jnp.where(valid, c_new, c)
+        else:
+            valid_rows = jnp.concatenate([
+                jnp.full((rows_per_stream, 1), frame < nvalid_ref[b])
+                for b in range(n_streams)])
+            h = jnp.where(valid_rows, hy, h)
+            c = jnp.where(valid_rows, c_new, c)
         out_ref[step] = jnp.tanh(h) if out_tanh else h
 
     h_scr[:] = h
@@ -154,8 +164,11 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
     N = R // n_streams
     H = G // 4
     attention = p.attention is not None
-    nvalid = jnp.asarray(
-        [T if n_valid is None else n_valid], jnp.int32)
+    if n_valid is None:
+        nvalid = jnp.full((n_streams,), T, jnp.int32)
+    else:
+        nvalid = jnp.broadcast_to(
+            jnp.asarray(n_valid, jnp.int32).reshape(-1), (n_streams,))
     # stream-membership matrices for the attention segment sums
     eyeb = jnp.eye(n_streams, dtype=u.dtype)
     seg = jnp.repeat(eyeb, N, axis=1)                      # [B, R]
@@ -487,7 +500,10 @@ def ggru_scan_pallas(p: GGRUCellParams, zi: jnp.ndarray, h0: jnp.ndarray, *,
     projections (forward frame order); h0 [N, H]."""
     T, N, G3 = zi.shape
     H = G3 // 3
-    nvalid = jnp.asarray([T if n_valid is None else n_valid], jnp.int32)
+    if n_valid is None:
+        nvalid = jnp.full((1,), T, jnp.int32)
+    else:
+        nvalid = jnp.asarray(n_valid, jnp.int32).reshape(-1)[:1]
     if reverse:
         index_map = lambda t, *_: (T - 1 - t, 0, 0)
     else:

@@ -181,3 +181,15 @@ class TestCascadeParity:
             run_mod.bucket_length = orig
         np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
                                    atol=1e-3, rtol=1e-4)
+
+
+class TestBatchedEvaluator:
+    def test_batched_equals_sequential(self, setup):
+        """Multi-stream batched evaluation == per-sequence evaluation."""
+        _, params3, cfg, model, _ = setup
+        seqs = synth_sequences([137, 96, 40], seed=7)
+        ev = CascadeEvaluator(params3, cfg, model)
+        m_seq, _, f_seq = ev.evaluate(seqs)
+        m_bat, _, f_bat = ev.evaluate_batched(seqs, streams=4)
+        assert f_seq == f_bat
+        np.testing.assert_allclose(m_bat, m_seq, rtol=1e-4, atol=1e-3)

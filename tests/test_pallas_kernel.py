@@ -140,3 +140,27 @@ def test_batched_streams_match_xla(nira):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(s[1]), np.asarray(ref_s[1]),
                                atol=1e-5)
+
+
+def test_batched_streams_per_stream_lengths(nira):
+    """B>1 with DIFFERENT per-stream lengths (vector n_valid) is exact."""
+    H, B, T = 16, 3, 24
+    lengths = np.array([24, 17, 9], np.int32)
+    params2 = make_params2(nira, 12, H, attention=True, seed=13)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(B, T, 15, 12)).astype(np.float32))
+    state2 = (jnp.zeros((2, B, 15, H)), jnp.zeros((2, B, 15, H)))
+    mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+
+    ref_y, ref_s = xla_bi(params2, x, state2, frame_mask=mask)
+    y, s = bi_gcn_lstm_pallas(params2, x, state2,
+                              n_valid=jnp.asarray(lengths), interpret=True)
+    for b in range(B):
+        n = lengths[b]
+        np.testing.assert_allclose(np.asarray(y[b, :n]),
+                                   np.asarray(ref_y[b, :n]), atol=1e-5,
+                                   err_msg=f"stream {b}")
+    np.testing.assert_allclose(np.asarray(s[0]), np.asarray(ref_s[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s[1]), np.asarray(ref_s[1]),
+                               atol=1e-5)
