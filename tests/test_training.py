@@ -220,3 +220,25 @@ class TestFullSequenceValidation:
         batch1 = {k: v[:1] for k, v in packed.items()}
         loss_exact = float(runner.eval_step(runner.state.params, batch1))
         assert abs(loss_full - loss_exact) < 1e-5
+
+
+class TestRemat:
+    def test_remat_matches_no_remat(self, nira, packed):
+        """Rematerialized training step computes identical gradients."""
+        from a3gc_tpu.models import nets as N2
+        import dataclasses as dc
+        net = N2.GraphNetConfig(cell="a3gc", units_in=12, units_out=3,
+                                units_hidden=8, linear_dropout=0.0,
+                                dropout=0.0, recurrent_dropout=0.0)
+        tc = TrainConfig(batch_size=4)
+        losses, kernels = [], []
+        for remat in (False, True):
+            cfg = PoseNetConfig(net=dc.replace(net, remat=remat), rotsize=3)
+            params = init_pose_net(jax.random.PRNGKey(0), cfg, nira)
+            runner = StageRunner(1, cfg, params, tc, steps_per_epoch=1)
+            loss = runner.train_epoch(DP.Sampler(packed, 4, seed=0),
+                                      jax.random.PRNGKey(0))
+            losses.append(loss)
+            kernels.append(np.asarray(runner.state.params.linear_in.kernel))
+        assert abs(losses[0] - losses[1]) < 1e-6
+        np.testing.assert_allclose(kernels[0], kernels[1], atol=1e-6)
