@@ -131,7 +131,14 @@ def cmd_train(args):
     stats = _load_stats(args) if args.norm else None
 
     train = DPipe.load_packed(args.train_data)
-    valid = DPipe.load_packed(args.valid_data)
+    valid_fn = None
+    if getattr(args, "fse", False):
+        from a3gc_tpu.data.factory.dipimu import load_test_sequences
+        fse_sequences = load_test_sequences(args.valid_data)
+        valid = train      # chunked path unused under --fse
+        valid_fn = lambda runner: runner.eval_full_sequences(fse_sequences)
+    else:
+        valid = DPipe.load_packed(args.valid_data)
     steps = max(len(train[next(iter(train))]) // tc.batch_size, 1)
 
     if args.model == "dip":
@@ -168,7 +175,8 @@ def cmd_train(args):
         tc,
         save_fn=lambda st, ep, p: save_params(
             p, save_dir, st, ep, finetuning=tc.finetuning),
-        log_fn=log)
+        log_fn=log,
+        valid_fn=valid_fn)
 
 
 def _train_dip(args, tc, train, valid, steps):
@@ -409,6 +417,10 @@ def build_parser():
     t.add_argument("--patience", type=int, default=3)
     t.add_argument("--epochs", type=int, default=500)
     t.add_argument("-f", "--finetuning", action="store_true")
+    t.add_argument("--fse", action="store_true",
+                   help="validate on full variable-length sequences "
+                        "(valid_data must be a test-style npz; "
+                        "ref: train_a3gc_tp.py:18)")
     t.add_argument("--resume", type=str, default="")
     t.add_argument("--start_at", type=int, default=1)
     t.add_argument("--start_epoch", type=int, default=0)

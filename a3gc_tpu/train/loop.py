@@ -294,7 +294,8 @@ def run_cascade_training(
         valid_sampler_fn: Callable[[], DP.Sampler],
         cfg: TrainConfig,
         save_fn: Optional[Callable[[int, int, object], None]] = None,
-        log_fn: Optional[Callable[[dict], None]] = None):
+        log_fn: Optional[Callable[[dict], None]] = None,
+        valid_fn: Optional[Callable[[StageRunner], float]] = None):
     r"""The 3-stage sequential driver with per-stage early stopping
     (ref: train_a3gc_tp.py:241-312): stages run in order from
     ``cfg.start_stage``; a stage stops after ``cfg.patience`` epochs without
@@ -310,7 +311,12 @@ def run_cascade_training(
             t0 = time.time()
             train_loss = runner.train_epoch(
                 train_sampler_fn(), jax.random.fold_in(rng, stage * 10000 + epoch))
-            valid_loss = runner.eval_epoch(valid_sampler_fn())
+            # valid_fn overrides chunked validation (e.g. --fse full-sequence
+            # validation, ref: train_a3gc_tp.py:18,212-216)
+            if valid_fn is not None:
+                valid_loss = valid_fn(runner)
+            else:
+                valid_loss = runner.eval_epoch(valid_sampler_fn())
             if log_fn:
                 log_fn({"stage": stage, "epoch": epoch,
                         "train_loss": train_loss, "valid_loss": valid_loss,
