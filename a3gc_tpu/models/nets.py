@@ -285,6 +285,7 @@ class DIPConfig:
     bidirectional: bool = struct.field(pytree_node=False, default=True)
     dropout: float = struct.field(pytree_node=False, default=0.2)
     precision: str = struct.field(pytree_node=False, default="highest")
+    backend: str = struct.field(pytree_node=False, default="auto")
 
     @property
     def matmul_precision(self):
@@ -365,6 +366,27 @@ def dip_apply(params: DIPParams, cfg: DIPConfig, x: jnp.ndarray,
     x = jnp.einsum("btf,fh->bth", x, params.linear1.kernel,
                    precision=prec) + params.linear1.bias
     x = jax.nn.relu(x)
+
+    # Pallas whole-scan LSTM for inference (same rationale as the graph
+    # cells: per-step dispatch dominates the tiny [B,H]x[H,4H] matmuls)
+    use_pallas = (
+        rng is None and cfg.bidirectional and x.shape[0] <= 8
+        and (frame_mask is None or x.shape[0] == 1)
+        and (cfg.backend == "pallas"
+             or (cfg.backend == "auto"
+                 and jax.devices()[0].platform in ("tpu", "axon"))))
+    if use_pallas:
+        from a3gc_tpu.ops.pallas_gcn_lstm import bi_lstm_pallas
+        n_valid = (None if frame_mask is None
+                   else jnp.sum(frame_mask[0]).astype(jnp.int32))
+        new_states = []
+        for layer_params, layer_state in zip(params.lstm, state):
+            x, fin = bi_lstm_pallas(layer_params, x, layer_state,
+                                    n_valid=n_valid, precision=prec)
+            new_states.append(fin)
+        y = jnp.einsum("bth,ho->bto", x, params.linear2.kernel,
+                       precision=prec) + params.linear2.bias
+        return y, tuple(new_states)
 
     new_states = []
     for layer_params, layer_state in zip(params.lstm, state):

@@ -554,3 +554,119 @@ def bi_ggru_pallas(params2, x: jnp.ndarray, state2, *,
                                  n_valid=n_valid, interpret=interpret)
     y = jnp.concatenate((out_f, out_b), axis=-1)[None]
     return y, jnp.stack((hf, hb))[:, None]
+
+
+# ---------------------------------------------------------------------------
+# plain LSTM whole-scan kernel for the DIP / TransPose family
+# (ref cell: torch.nn.LSTM used at net_aagc.py:28; gate order i,f,g,o)
+# ---------------------------------------------------------------------------
+
+def _lstm_kernel(nvalid_ref,
+                 u_ref,                       # [1, B, 4H] hoisted x·W_ih+b
+                 whh_ref,                     # [H, 4H]
+                 h0_ref, c0_ref,              # [B, H]
+                 out_ref,                     # [1, B, H]
+                 hfin_ref, cfin_ref,          # [B, H]
+                 h_scr, c_scr,                # VMEM scratch [B, H]
+                 *, T: int, H: int, reverse: bool):
+    t = pl.program_id(0)
+    hi = jax.lax.Precision.HIGHEST
+
+    @pl.when(t == 0)
+    def _init():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    h = h_scr[:]
+    c = c_scr[:]
+    z = u_ref[0] + jnp.dot(h, whh_ref[:], preferred_element_type=jnp.float32,
+                           precision=hi)
+    i = jax.nn.sigmoid(z[:, 0:H])
+    f = jax.nn.sigmoid(z[:, H:2 * H])
+    g = jnp.tanh(z[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(z[:, 3 * H:])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+
+    frame = (T - 1 - t) if reverse else t
+    valid = frame < nvalid_ref[0]
+    h_new = jnp.where(valid, h_new, h)
+    c_new = jnp.where(valid, c_new, c)
+    h_scr[:] = h_new
+    c_scr[:] = c_new
+    out_ref[0] = h_new
+
+    @pl.when(t == T - 1)
+    def _fin():
+        hfin_ref[:] = h_new
+        cfin_ref[:] = c_new
+
+
+def lstm_scan_pallas(w_hh: jnp.ndarray, u: jnp.ndarray,
+                     h0: jnp.ndarray, c0: jnp.ndarray, *,
+                     reverse: bool = False,
+                     n_valid: Optional[jnp.ndarray] = None,
+                     interpret: bool = False):
+    r"""Scan one direction of a dense LSTM layer. u [T, B, 4H] hoisted input
+    projections (x·W_ih + b_ih + b_hh, forward frame order); h0/c0 [B, H]."""
+    T, B, G = u.shape
+    H = G // 4
+    if n_valid is None:
+        nvalid = jnp.full((1,), T, jnp.int32)
+    else:
+        nvalid = jnp.asarray(n_valid, jnp.int32).reshape(-1)[:1]
+    if reverse:
+        index_map = lambda t, *_: (T - 1 - t, 0, 0)
+    else:
+        index_map = lambda t, *_: (t, 0, 0)
+    vmem_full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, G), index_map, memory_space=pltpu.VMEM),
+            vmem_full(), vmem_full(), vmem_full(),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, H), index_map, memory_space=pltpu.VMEM),
+            vmem_full(), vmem_full(),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
+                        pltpu.VMEM((B, H), jnp.float32)],
+    )
+    kernel = functools.partial(_lstm_kernel, T=T, H=H, reverse=reverse)
+    outs, hfin, cfin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nvalid, u, w_hh, h0, c0)
+    return outs, (hfin, cfin)
+
+
+def bi_lstm_pallas(layer_params2, x: jnp.ndarray, state2, *,
+                   n_valid: Optional[jnp.ndarray] = None,
+                   interpret: bool = False,
+                   precision=jax.lax.Precision.HIGHEST):
+    r"""Bidirectional dense LSTM layer, Pallas-scanned. Drop-in for the
+    DIP biLSTM layer at inference: x [B, T, F] → ([B, T, 2H], (h2, c2)).
+    ``layer_params2``: nets.LSTMLayerParams with leading direction axis;
+    ``state2``: (h, c) each [2, B, H]."""
+    B, T, F = x.shape
+    h2, c2 = state2
+    u2 = (jnp.einsum("btf,dfg->dtbg", x, layer_params2.w_ih,
+                     precision=precision)
+          + layer_params2.b_ih[:, None, None, :]
+          + layer_params2.b_hh[:, None, None, :])
+    out_f, (hf, cf) = lstm_scan_pallas(
+        layer_params2.w_hh[0], u2[0], h2[0], c2[0], reverse=False,
+        n_valid=n_valid, interpret=interpret)
+    out_b, (hb, cb) = lstm_scan_pallas(
+        layer_params2.w_hh[1], u2[1], h2[1], c2[1], reverse=True,
+        n_valid=n_valid, interpret=interpret)
+    y = jnp.swapaxes(jnp.concatenate((out_f, out_b), axis=-1), 0, 1)
+    return y, (jnp.stack((hf, hb)), jnp.stack((cf, cb)))

@@ -164,3 +164,54 @@ def test_batched_streams_per_stream_lengths(nira):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(s[1]), np.asarray(ref_s[1]),
                                atol=1e-5)
+
+
+def test_dense_lstm_pallas_matches_xla():
+    """bi_lstm_pallas == dip_apply's lax.scan layer (interpret mode)."""
+    from a3gc_tpu.models import nets as NN
+    from a3gc_tpu.ops.pallas_gcn_lstm import bi_lstm_pallas
+    import dataclasses as dc
+
+    cfg = NN.DIPConfig(n_input=20, n_output=8, n_hidden=16, n_layers=1,
+                       dropout=0.0, backend="xla")
+    params = NN.init_dip(jax.random.PRNGKey(0), cfg)
+    T, B = 26, 2
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(B, T, 20)).astype(np.float32))
+
+    ref_y, ref_state = NN.dip_apply(params, cfg, x)
+
+    # run just the LSTM layer via pallas, reproducing linear1+relu outside
+    h = jax.nn.relu(jnp.einsum("btf,fh->bth", x, params.linear1.kernel)
+                    + params.linear1.bias)
+    st = NN.dip_zero_state(cfg, B)[0]
+    y, fin = bi_lstm_pallas(params.lstm[0], h, st, interpret=True)
+    y = jnp.einsum("bth,ho->bto", y, params.linear2.kernel) + params.linear2.bias
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fin[0]), np.asarray(ref_state[0][0]),
+                               atol=2e-5)
+
+
+def test_dense_lstm_pallas_masked():
+    from a3gc_tpu.models import nets as NN
+    from a3gc_tpu.ops.pallas_gcn_lstm import bi_lstm_pallas
+
+    cfg = NN.DIPConfig(n_input=20, n_output=8, n_hidden=16, n_layers=1,
+                       dropout=0.0, backend="xla")
+    params = NN.init_dip(jax.random.PRNGKey(1), cfg)
+    T, n = 30, 21
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(1, T, 20)).astype(np.float32))
+    mask = (jnp.arange(T)[None] < n).astype(jnp.float32)
+
+    ref_y, ref_state = NN.dip_apply(params, cfg, x, frame_mask=mask)
+    h = jax.nn.relu(jnp.einsum("btf,fh->bth", x, params.linear1.kernel)
+                    + params.linear1.bias)
+    st = NN.dip_zero_state(cfg, 1)[0]
+    y, fin = bi_lstm_pallas(params.lstm[0], h, st, n_valid=jnp.asarray(n),
+                            interpret=True)
+    y = jnp.einsum("bth,ho->bto", y, params.linear2.kernel) + params.linear2.bias
+    np.testing.assert_allclose(np.asarray(y[:, :n]),
+                               np.asarray(ref_y[:, :n]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fin[1]),
+                               np.asarray(ref_state[0][1]), atol=2e-5)
