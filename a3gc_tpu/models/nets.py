@@ -367,14 +367,14 @@ def dip_apply(params: DIPParams, cfg: DIPConfig, x: jnp.ndarray,
                    precision=prec) + params.linear1.bias
     x = jax.nn.relu(x)
 
-    # Pallas whole-scan LSTM for inference (same rationale as the graph
-    # cells: per-step dispatch dominates the tiny [B,H]x[H,4H] matmuls)
+    # Pallas whole-scan LSTM — opt-in only: unlike the graph cells (whose
+    # XLA scan body carries an adjacency einsum + attention chain), the dense
+    # LSTM body is a single tiny dot + elementwise, and XLA's fused scan wins
+    # (measured on the tp cascade: 207k frames/s XLA vs 127k Pallas at B=1).
     use_pallas = (
         rng is None and cfg.bidirectional and x.shape[0] <= 8
         and (frame_mask is None or x.shape[0] == 1)
-        and (cfg.backend == "pallas"
-             or (cfg.backend == "auto"
-                 and jax.devices()[0].platform in ("tpu", "axon"))))
+        and cfg.backend == "pallas")
     if use_pallas:
         from a3gc_tpu.ops.pallas_gcn_lstm import bi_lstm_pallas
         n_valid = (None if frame_mask is None
