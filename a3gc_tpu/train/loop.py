@@ -75,10 +75,17 @@ def _adjacency_freeze_mask(params, cfg: PoseNetConfig):
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int,
                    params=None, stage_cfg: Optional[PoseNetConfig] = None):
     r"""torch-equivalent Adam + per-epoch ExponentialLR(γ)
-    (ref: train_a3gc_tp.py:234-239)."""
-    schedule = optax.exponential_decay(
+    (ref: train_a3gc_tp.py:234-239). A nonzero ``start_epoch`` fast-forwards
+    the schedule like the reference's resume path
+    (ref: train_a3gc_tp.py:287-290 — which the reference only applies to
+    stage 3 and crashes on in two trainers via the ``sheduler3`` typo; here
+    it works uniformly)."""
+    base = optax.exponential_decay(
         init_value=cfg.lr, transition_steps=max(steps_per_epoch, 1),
         decay_rate=cfg.lr_decay, staircase=True)
+    offset = cfg.start_epoch * max(steps_per_epoch, 1)
+    schedule = (base if offset == 0
+                else (lambda step: base(step + offset)))
     chain = []
     if cfg.weight_decay:
         # torch Adam folds weight decay into the gradient (L2), unlike AdamW
