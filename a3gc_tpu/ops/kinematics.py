@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
-    "transformation_matrix", "decode_transformation_matrix",
+    "transformation_matrix", "transformation_matrix_np",
+    "adjoint_transformation_matrix_np", "decode_transformation_matrix",
     "inverse_transformation_matrix", "bone_vector_to_joint_position",
     "joint_position_to_bone_vector", "forward_kinematics_R",
     "inverse_kinematics_R", "forward_kinematics_T", "inverse_kinematics_T",
@@ -198,3 +199,29 @@ def forward_kinematics(R_local: jnp.ndarray, p_local: jnp.ndarray, parent):
         moved = jnp.einsum("bjxy,bjy->bjx", R_global[:, pidx], p_local[:, idx], precision=jax.lax.Precision.HIGHEST)
         p_global = p_global.at[:, idx].set(p_global[:, pidx] + moved)
     return R_global, p_global
+
+
+# ---------------------------------------------------------------------------
+# numpy single-item helpers kept for API parity (ref: spatial.py:19-57)
+# ---------------------------------------------------------------------------
+
+def transformation_matrix_np(R, p) -> np.ndarray:
+    r"""Homogeneous transform T_sb [4,4] from R [3,3], p [3]
+    (ref: spatial.py:19-34)."""
+    T = np.zeros((4, 4))
+    T[:3, :3] = np.asarray(R)
+    T[:3, 3] = np.asarray(p)
+    T[3, 3] = 1
+    return T
+
+
+def adjoint_transformation_matrix_np(R, p) -> np.ndarray:
+    r"""Adjoint representation [Ad_T] [6,6] of T_sb (ref: spatial.py:37-57)."""
+    from a3gc_tpu.ops.rotations import vector_cross_matrix_np
+
+    R = np.asarray(R)
+    AdT = np.zeros((6, 6))
+    AdT[:3, :3] = R
+    AdT[3:, 3:] = R
+    AdT[3:, :3] = vector_cross_matrix_np(p) @ R
+    return AdT

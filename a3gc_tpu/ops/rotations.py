@@ -36,7 +36,9 @@ __all__ = [
     "quaternion_to_rotation_matrix", "rotation_matrix_to_quaternion",
     "rotation_matrix_to_euler_angle", "euler_angle_to_rotation_matrix",
     "lerp", "normalize_tensor", "append_value", "append_zero", "append_one",
-    "vector_cross_matrix",
+    "vector_cross_matrix", "vector_cross_matrix_np",
+    "block_diagonal_matrix_np", "rotation_matrix_to_euler_angle_np",
+    "euler_angle_to_rotation_matrix_np", "euler_convert_np",
 ]
 
 _EPS = 1e-8
@@ -461,3 +463,54 @@ def generate_random_rotation_matrix(key: jax.Array, n: int = 1) -> jnp.ndarray:
     Gaussian quaternions (exactly uniform on SO(3), no rejection loop)."""
     q = jax.random.normal(key, (n, 4))
     return quaternion_to_rotation_matrix(q)
+
+
+# ---------------------------------------------------------------------------
+# numpy single-item helpers kept for API parity (ref: general.py:77-103,
+# angular.py:271-309) — host-side utility surface, not compute paths
+# ---------------------------------------------------------------------------
+
+def vector_cross_matrix_np(x) -> np.ndarray:
+    r"""Skew-symmetric matrix for one vector3 (ref: general.py:77-86)."""
+    x = np.asarray(x).reshape(3)
+    return np.array([[0, -x[2], x[1]],
+                     [x[2], 0, -x[0]],
+                     [-x[1], x[0], 0]], dtype=float)
+
+
+def block_diagonal_matrix_np(matrix2d_list) -> np.ndarray:
+    r"""Block-diagonal matrix from 2-D blocks (ref: general.py:89-103)."""
+    shapes = np.array([np.asarray(m).shape for m in matrix2d_list])
+    out = np.zeros(shapes.sum(axis=0))
+    r = c = 0
+    for m in matrix2d_list:
+        m = np.asarray(m)
+        lr, lc = m.shape
+        out[r:r + lr, c:c + lc] = m
+        r += lr
+        c += lc
+    return out
+
+
+def rotation_matrix_to_euler_angle_np(r, seq: str = "XYZ") -> np.ndarray:
+    r"""R → euler, numpy batch (ref: angular.py:271-282)."""
+    return np.asarray(rotation_matrix_to_euler_angle(
+        jnp.asarray(np.asarray(r, np.float64).reshape(-1, 3, 3),
+                    jnp.float32), seq))
+
+
+def euler_angle_to_rotation_matrix_np(q, seq: str = "XYZ") -> np.ndarray:
+    r"""Euler → R, numpy batch (ref: angular.py:285-296)."""
+    return np.asarray(euler_angle_to_rotation_matrix(
+        jnp.asarray(np.asarray(q, np.float64).reshape(-1, 3),
+                    jnp.float32), seq))
+
+
+def euler_convert_np(q, from_seq: str = "XYZ", to_seq: str = "XYZ") -> np.ndarray:
+    r"""Re-express euler angles in another axis order (ref: angular.py:299-309)
+    — closed-form via the rotation matrix, no scipy."""
+    q = np.asarray(q, np.float64)
+    single = q.ndim == 1
+    mats = euler_angle_to_rotation_matrix_np(q.reshape(-1, 3), from_seq)
+    out = rotation_matrix_to_euler_angle_np(mats, to_seq)
+    return out[0] if single else out.reshape(q.shape)

@@ -191,3 +191,38 @@ class TestMisc:
         out = R.append_value(x, 1.0, axis=1)
         assert out.shape == (3, 4, 3)
         assert float(out[:, 3].sum()) == 9.0
+
+
+class TestNumpyHelpers:
+    def test_block_diagonal(self):
+        a = np.ones((2, 3))
+        b = 2 * np.ones((1, 2))
+        out = R.block_diagonal_matrix_np([a, b])
+        assert out.shape == (3, 5)
+        np.testing.assert_allclose(out[:2, :3], a)
+        np.testing.assert_allclose(out[2:, 3:], b)
+        np.testing.assert_allclose(out[:2, 3:], 0)
+
+    def test_euler_convert_vs_scipy(self):
+        rng = np.random.default_rng(20)
+        q = rng.uniform(-1.5, 1.5, size=(16, 3))
+        ours = R.euler_convert_np(q, "XYZ", "ZYX")
+        ref = ScipyRotation.from_euler("XYZ", q).as_euler("ZYX")
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_adjoint_transform(self):
+        from a3gc_tpu.ops.kinematics import adjoint_transformation_matrix_np
+        rot = ScipyRotation.random(1, random_state=2).as_matrix()[0]
+        p = np.array([1.0, -2.0, 0.5])
+        AdT = adjoint_transformation_matrix_np(rot, p)
+        assert AdT.shape == (6, 6)
+        np.testing.assert_allclose(AdT[:3, :3], rot)
+        np.testing.assert_allclose(
+            AdT[3:, :3], R.vector_cross_matrix_np(p) @ rot)
+
+    def test_transformation_matrix_np(self):
+        from a3gc_tpu.ops.kinematics import transformation_matrix_np
+        rot = np.eye(3)
+        T = transformation_matrix_np(rot, [1, 2, 3])
+        np.testing.assert_allclose(T[:3, 3], [1, 2, 3])
+        assert T[3, 3] == 1
