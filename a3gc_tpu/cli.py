@@ -284,6 +284,16 @@ def cmd_evaluate(args):
                 os.path.join("evaluation_results",
                              f"{args.model}_{os.path.basename(dataset)}.txt"),
                 dataset, seconds, mean, PoseEvaluator.METRIC_NAMES)
+        elif args.batch_streams > 1:
+            from a3gc_tpu.eval import CascadeEvaluator
+            from a3gc_tpu.utils import write_eval_report
+            ev = CascadeEvaluator(params3, cascade, model, stats, args.norm)
+            mean, seconds, frames = ev.evaluate_batched(
+                sequences, streams=args.batch_streams)
+            write_eval_report(
+                os.path.join("evaluation_results",
+                             f"{args.model}_{os.path.basename(dataset)}.txt"),
+                dataset, seconds, mean, PoseEvaluator.METRIC_NAMES)
         else:
             mean, seconds, frames = evaluate_sequences(
                 params3, cascade, model, sequences, stats=stats,
@@ -450,6 +460,9 @@ def build_parser():
     e.add_argument("--save_preds", action="store_true",
                    help="dump per-sequence gt/pred poses "
                         "(ref: evaluate_a3gc_tp.py:155-178)")
+    e.add_argument("--batch_streams", type=int, default=1,
+                   help="evaluate N sequences per kernel pass (multi-stream "
+                        "path; 1 = the reference's per-sequence protocol)")
     e.set_defaults(fn=cmd_evaluate)
 
     pp = sub.add_parser("preprocess", help="offline data factory")
