@@ -94,17 +94,25 @@ def _kernel(nvalid_ref,                       # scalar prefetch [1]
         hy = o * jnp.tanh(c_new)
 
         if attention:
-            # per-stream node sum via the segment matrix (B=1 ⇒ plain sum)
-            q = jax.nn.relu(jnp.dot(
-                seg_ref[:],
-                jnp.dot(hy, aw_ref[:], preferred_element_type=jnp.float32,
-                        precision=hi),
-                preferred_element_type=jnp.float32, precision=hi))  # [B, H]
-            wq_rows = jnp.dot(
-                segT_ref[:],
-                jnp.dot(q, awq_ref[:], preferred_element_type=jnp.float32,
-                        precision=hi),
-                preferred_element_type=jnp.float32, precision=hi)   # [R, H]
+            hyw = jnp.dot(hy, aw_ref[:], preferred_element_type=jnp.float32,
+                          precision=hi)
+            if n_streams == 1:
+                # plain node sum — the segment matmuls cost ~10% at B=1
+                q = jax.nn.relu(jnp.sum(hyw, axis=0, keepdims=True))  # [1,H]
+                wq_rows = jnp.dot(q, awq_ref[:],
+                                  preferred_element_type=jnp.float32,
+                                  precision=hi)            # [1,H] broadcast
+            else:
+                # per-stream node sums via the segment matrices
+                q = jax.nn.relu(jnp.dot(
+                    seg_ref[:], hyw,
+                    preferred_element_type=jnp.float32, precision=hi))
+                wq_rows = jnp.dot(
+                    segT_ref[:],
+                    jnp.dot(q, awq_ref[:],
+                            preferred_element_type=jnp.float32,
+                            precision=hi),
+                    preferred_element_type=jnp.float32, precision=hi)
             s = jnp.tanh(
                 jnp.dot(hy, awh_ref[:], preferred_element_type=jnp.float32,
                         precision=hi)
