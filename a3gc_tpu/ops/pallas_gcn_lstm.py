@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from a3gc_tpu.models.cells import GCNLSTMCellParams, GGRUCellParams
 
 __all__ = ["gcn_lstm_scan_pallas", "bi_gcn_lstm_pallas",
-           "ggru_scan_pallas", "bi_ggru_pallas"]
+           "ggru_scan_pallas", "bi_ggru_pallas", "bi_gcn_lstm_pallas_dirfused"]
 
 
 def _kernel(nvalid_ref,                       # scalar prefetch [1]
@@ -678,3 +678,210 @@ def bi_lstm_pallas(layer_params2, x: jnp.ndarray, state2, *,
         n_valid=n_valid, interpret=interpret)
     y = jnp.swapaxes(jnp.concatenate((out_f, out_b), axis=-1), 0, 1)
     return y, (jnp.stack((hf, hb)), jnp.stack((cf, cb)))
+
+
+# ---------------------------------------------------------------------------
+# direction-row-fused kernel: both directions of a bi-layer in ONE kernel
+# with ONE shared body (rows 0..N-1 = forward walking frame t, rows N..2N-1
+# = backward walking frame T-1-t). Per-direction weights are handled by
+# feature augmentation: h_aug = [h·m_f ‖ h·m_b] against vertically stacked
+# weights, so the body size (and hence Mosaic compile time) stays at the
+# single-direction level — unlike python-level direction unrolling, which
+# doubles the body and stalls remote compilation.
+# ---------------------------------------------------------------------------
+
+def _dirfused_kernel(nvalid_ref,
+                     uf_ref, ub_ref,          # [1, N, G] per-direction frames
+                     wh2_ref,                 # [2H, G] vstack(W_f, W_b)
+                     adj_ref,                 # [4, 2N, 2N] block-diag
+                     bias_rows_ref,           # [4, 2N, H] per-direction rows
+                     h0_ref, c0_ref,          # [2N, H]
+                     aw2_ref, awh2_ref,       # [2H, H] stacked
+                     awq2_ref,                # [2H, H] stacked
+                     au2_ref,                 # [2H, 1] stacked
+                     abs_rows_ref,            # [2N, H] per-direction rows
+                     abu_rows_ref,            # [2N, 1]
+                     m0_ref, m1_ref,          # [2N, 1] direction masks
+                     s0_ref, s1_ref,          # [2, 1] direction selectors
+                     outf_ref, outb_ref,      # [1, N, H]
+                     hfin_ref, cfin_ref,      # [2N, H]
+                     h_scr, c_scr,            # [2N, H]
+                     *, T: int, N: int, H: int, attention: bool,
+                     out_tanh: bool):
+    t = pl.program_id(0)
+    hi = jax.lax.Precision.HIGHEST
+
+    @pl.when(t == 0)
+    def _init():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    h = h_scr[:]
+    c = c_scr[:]
+    m0 = m0_ref[:]
+    m1 = m1_ref[:]
+
+    def aug(x):
+        # [2N, H] → [2N, 2H] with the features placed in the row's
+        # direction block (zeros elsewhere)
+        return jnp.concatenate((x * m0, x * m1), axis=1)
+
+    u = jnp.concatenate((uf_ref[0], ub_ref[0]), axis=0)        # [2N, G]
+    z = u + jnp.dot(aug(h), wh2_ref[:],
+                    preferred_element_type=jnp.float32, precision=hi)
+
+    def gate(g):
+        zg = z[:, g * H:(g + 1) * H]
+        return jnp.dot(adj_ref[g], zg, preferred_element_type=jnp.float32,
+                       precision=hi) + bias_rows_ref[g]
+
+    i = jax.nn.sigmoid(gate(0))
+    f = jax.nn.sigmoid(gate(1))
+    g_ = jnp.tanh(gate(2))
+    o = jax.nn.sigmoid(gate(3))
+    c_new = f * c + i * g_
+    hy = o * jnp.tanh(c_new)
+
+    if attention:
+        hy_aug = aug(hy)
+        # per-direction node sums via the direction-membership matrix
+        seg = jnp.concatenate((m0, m1), axis=1).T               # [2, 2N]
+        q = jax.nn.relu(jnp.dot(
+            seg, jnp.dot(hy_aug, aw2_ref[:],
+                         preferred_element_type=jnp.float32, precision=hi),
+            preferred_element_type=jnp.float32, precision=hi))  # [2, H]
+        q_aug = jnp.concatenate((q * s0_ref[:], q * s1_ref[:]), axis=1)
+        wq = jnp.dot(q_aug, awq2_ref[:],
+                     preferred_element_type=jnp.float32, precision=hi)  # [2,H]
+        wq_rows = jnp.dot(seg.T, wq, preferred_element_type=jnp.float32,
+                          precision=hi)                          # [2N, H]
+        s = jnp.tanh(
+            jnp.dot(hy_aug, awh2_ref[:], preferred_element_type=jnp.float32,
+                    precision=hi)
+            + wq_rows + abs_rows_ref[:])                         # [2N, H]
+        a = jnp.dot(aug(s), au2_ref[:], preferred_element_type=jnp.float32,
+                    precision=hi) + abu_rows_ref[:]              # [2N, 1]
+        hy = hy + hy * jax.nn.sigmoid(a)
+
+    # per-direction frame validity (fwd walks t, bwd walks T-1-t)
+    vf = (t < nvalid_ref[0]).astype(jnp.float32)
+    vb = ((T - 1 - t) < nvalid_ref[0]).astype(jnp.float32)
+    valid_rows = m0 * vf + m1 * vb                               # [2N, 1]
+    h = hy * valid_rows + h * (1.0 - valid_rows)
+    c = c_new * valid_rows + c * (1.0 - valid_rows)
+    h_scr[:] = h
+    c_scr[:] = c
+
+    y = jnp.tanh(h) if out_tanh else h
+    outf_ref[0] = y[:N]
+    outb_ref[0] = y[N:]
+
+    @pl.when(t == T - 1)
+    def _fin():
+        hfin_ref[:] = h
+        cfin_ref[:] = c
+
+
+def bi_gcn_lstm_pallas_dirfused(params2, x: jnp.ndarray, state2, *,
+                                n_valid: Optional[jnp.ndarray] = None,
+                                out_tanh: bool = True,
+                                interpret: bool = False,
+                                precision=jax.lax.Precision.HIGHEST):
+    r"""Direction-row-fused bidirectional layer (batch 1): ONE kernel, T grid
+    steps total (vs 2·T across two launches), same numerical results as
+    layers.bi_rnn. x [1, T, N, F] → ([1, T, N, 2H], state2)."""
+    assert x.shape[0] == 1, "dirfused path is batch-1"
+    T, N, F = x.shape[1], x.shape[2], x.shape[3]
+    H = params2.bias.shape[-1]
+    G = 4 * H
+    h2, c2 = state2
+    attention = params2.attention is not None
+
+    # hoisted input projections, per direction (forward frame order)
+    u2 = jnp.einsum("tnf,dfg->dtng", x[0], params2.kernel[:, :F, :],
+                    precision=precision)
+
+    nvalid = (jnp.full((1,), T, jnp.int32) if n_valid is None
+              else jnp.asarray(n_valid, jnp.int32).reshape(-1)[:1])
+
+    wh2 = jnp.concatenate((params2.kernel[0, -H:, :],
+                           params2.kernel[1, -H:, :]), axis=0)   # [2H, G]
+    eye2 = jnp.eye(2, dtype=x.dtype)
+    adj = jnp.einsum("dkNM,de->kdNeM", params2.adj, eye2).reshape(
+        4, 2 * N, 2 * N)
+    # per-direction gate bias, tiled onto rows (added AFTER the graph mix)
+    bias_rows = jnp.repeat(params2.bias, N, axis=0).reshape(
+        2, N, 4, H).transpose(2, 0, 1, 3).reshape(4, 2 * N, H)
+
+    att = params2.attention
+    if att is None:
+        aw2 = jnp.zeros((2 * H, H), x.dtype)
+        awh2 = jnp.zeros((2 * H, H), x.dtype)
+        awq2 = jnp.zeros((2 * H, H), x.dtype)
+        au2 = jnp.zeros((2 * H, 1), x.dtype)
+        abs_rows = jnp.zeros((2 * N, H), x.dtype)
+        abu_rows = jnp.zeros((2 * N, 1), x.dtype)
+    else:
+        aw2 = att.w.reshape(2 * H, H)
+        awh2 = att.wh.reshape(2 * H, H)
+        awq2 = att.wq.reshape(2 * H, H)
+        au2 = att.u.reshape(2 * H, 1)
+        abs_rows = jnp.repeat(att.bs[:, None, :], N, axis=1).reshape(
+            2 * N, H)
+        abu_rows = att.bu.reshape(2 * N, 1)
+
+    m0 = jnp.concatenate((jnp.ones((N, 1), x.dtype),
+                          jnp.zeros((N, 1), x.dtype)))
+    m1 = 1.0 - m0
+    s0 = jnp.asarray([[1.0], [0.0]], x.dtype)
+    s1 = jnp.asarray([[0.0], [1.0]], x.dtype)
+
+    fwd_map = lambda t, *_: (t, 0, 0)
+    bwd_map = lambda t, *_: (T - 1 - t, 0, 0)
+    vmem_full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, N, G), fwd_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, G), bwd_map, memory_space=pltpu.VMEM),
+            vmem_full(),                        # wh2
+            vmem_full(),                        # adj
+            vmem_full(),                        # bias_rows
+            vmem_full(), vmem_full(),           # h0, c0
+            vmem_full(), vmem_full(), vmem_full(),  # aw2 awh2 awq2
+            vmem_full(),                        # au2
+            vmem_full(),                        # abs_rows
+            vmem_full(),                        # abu_rows
+            vmem_full(), vmem_full(),           # m0 m1
+            vmem_full(), vmem_full(),           # s0 s1
+        ],
+        out_specs=[
+            pl.BlockSpec((1, N, H), fwd_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, H), bwd_map, memory_space=pltpu.VMEM),
+            vmem_full(), vmem_full(),
+        ],
+        scratch_shapes=[pltpu.VMEM((2 * N, H), jnp.float32),
+                        pltpu.VMEM((2 * N, H), jnp.float32)],
+    )
+    kernel = functools.partial(_dirfused_kernel, T=T, N=N, H=H,
+                               attention=attention, out_tanh=out_tanh)
+    out_f, out_b, hfin, cfin = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, N, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, N, H), jnp.float32),
+            jax.ShapeDtypeStruct((2 * N, H), jnp.float32),
+            jax.ShapeDtypeStruct((2 * N, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nvalid, u2[0], u2[1], wh2, adj, bias_rows,
+      h2[:, 0].reshape(2 * N, H), c2[:, 0].reshape(2 * N, H),
+      aw2, awh2, awq2, au2, abs_rows, abu_rows, m0, m1, s0, s1)
+
+    y = jnp.concatenate((out_f, out_b), axis=-1)[None]
+    new_h = hfin.reshape(2, 1, N, H)
+    new_c = cfin.reshape(2, 1, N, H)
+    return y, (new_h, new_c)

@@ -215,3 +215,42 @@ def test_dense_lstm_pallas_masked():
                                np.asarray(ref_y[:, :n]), atol=2e-5)
     np.testing.assert_allclose(np.asarray(fin[1]),
                                np.asarray(ref_state[0][1]), atol=2e-5)
+
+
+def test_dirfused_matches_xla(nira):
+    from a3gc_tpu.ops.pallas_gcn_lstm import bi_gcn_lstm_pallas_dirfused
+    H, T = 16, 25
+    for attention, ui, seed in ((True, 12, 20), (False, 2 * H, 22)):
+        params2 = make_params2(nira, ui, H, attention, seed=seed)
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(1, T, 15, ui)).astype(np.float32))
+        st_h = jnp.asarray(rng.normal(size=(2, 1, 15, H)).astype(np.float32))
+        st_c = jnp.asarray(rng.normal(size=(2, 1, 15, H)).astype(np.float32))
+        state2 = (st_h, st_c)
+        ref_y, ref_s = xla_bi(params2, x, state2)
+        y, s = bi_gcn_lstm_pallas_dirfused(params2, x, state2,
+                                           interpret=True)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y),
+                                   atol=1e-5, err_msg=f"att={attention}")
+        np.testing.assert_allclose(np.asarray(s[0]), np.asarray(ref_s[0]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s[1]), np.asarray(ref_s[1]),
+                                   atol=1e-5)
+
+
+def test_dirfused_masked(nira):
+    from a3gc_tpu.ops.pallas_gcn_lstm import bi_gcn_lstm_pallas_dirfused
+    H, T, n = 16, 32, 19
+    params2 = make_params2(nira, 12, H, True, seed=23)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(1, T, 15, 12)).astype(np.float32))
+    state2 = (jnp.zeros((2, 1, 15, H)), jnp.zeros((2, 1, 15, H)))
+    mask = (jnp.arange(T)[None] < n).astype(jnp.float32)
+    ref_y, ref_s = xla_bi(params2, x, state2, frame_mask=mask)
+    y, s = bi_gcn_lstm_pallas_dirfused(params2, x, state2,
+                                       n_valid=jnp.asarray(n),
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(y[:, :n]),
+                               np.asarray(ref_y[:, :n]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s[0]), np.asarray(ref_s[0]),
+                               atol=1e-5)
