@@ -219,8 +219,10 @@ def test_dense_lstm_pallas_masked():
 
 def test_dirfused_matches_xla(nira):
     from a3gc_tpu.ops.pallas_gcn_lstm import bi_gcn_lstm_pallas_dirfused
-    H, T = 16, 25
-    for attention, ui, seed in ((True, 12, 20), (False, 2 * H, 22)):
+    T = 25
+    # H=16 exercises the per-gate fallback; H=128 the block-diag gate mix
+    for H, attention, ui, seed in ((16, True, 12, 20), (16, False, 32, 22),
+                                   (128, True, 12, 30), (128, False, 40, 31)):
         params2 = make_params2(nira, ui, H, attention, seed=seed)
         rng = np.random.default_rng(seed)
         x = jnp.asarray(rng.normal(size=(1, T, 15, ui)).astype(np.float32))
