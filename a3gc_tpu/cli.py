@@ -43,6 +43,11 @@ def _add_common_model_flags(p):
                    help="SMPL pickle path (default: config paths; falls back "
                         "to a synthetic body model for smoke runs)")
     p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--precision", choices=("highest", "default"),
+                   default=None,
+                   help="MXU matmul precision for the nets (default: "
+                        "'highest' for train, 'default' for evaluate — "
+                        "measured SIP-safe, ~1.65x faster)")
     p.add_argument("--rotsize", type=int, default=9, choices=(3, 6, 9),
                    help="stage-3 rotation representation "
                         "(ref: train_tp.py:41, train_dip.py:35)")
@@ -65,16 +70,25 @@ def _load_body_model(args):
             os.path.join(tempfile.gettempdir(), "a3gc_synthetic_smpl.pkl")))
 
 
-def _stage_configs(args):
+def _stage_configs(args, precision="highest"):
     """The per-model cascade stage configs (ref model sizes:
-    train_a3gc_tp.py:159-161, train_tp.py:163-165, train_dip.py:128)."""
+    train_a3gc_tp.py:159-161, train_tp.py:163-165, train_dip.py:128).
+
+    ``precision`` sets the MXU matmul precision of the nets. Inference
+    defaults to "default" (single-pass bf16 multiply, fp32 accumulate):
+    measured SIP delta vs "highest" is 0.00008 deg over 2048-frame
+    sequences with the reference's trained checkpoints — 1000x inside the
+    0.1 deg parity budget — for ~1.65x end-to-end cascade throughput.
+    Training keeps "highest" (fp32-equivalent) like the reference.
+    """
     from a3gc_tpu.models import nets as N
     from a3gc_tpu.models.pipeline import CascadeConfig, PoseNetConfig
 
     if args.model in ("a3gc", "aagc", "agc", "ggru"):
         def g(ui, uo, h, rot):
             return PoseNetConfig(net=N.GraphNetConfig(
-                cell=args.model, units_in=ui, units_out=uo, units_hidden=h),
+                cell=args.model, units_in=ui, units_out=uo, units_hidden=h,
+                precision=precision),
                 rotsize=rot)
 
         return CascadeConfig(stage1=g(12, 3, args.hu1, 3),
@@ -84,7 +98,8 @@ def _stage_configs(args):
     if args.model == "tp":
         def d(ni, no, h, rot):
             return PoseNetConfig(net=N.DIPConfig(
-                n_input=ni, n_output=no, n_hidden=h), rotsize=rot)
+                n_input=ni, n_output=no, n_hidden=h, precision=precision),
+                rotsize=rot)
 
         return CascadeConfig(stage1=d(72, 15, 256, 3),
                              stage2=d(87, 69, 64, 3),
@@ -144,7 +159,8 @@ def cmd_train(args):
     if args.model == "dip":
         return _train_dip(args, tc, train, valid, steps)
 
-    cascade, is_graph = _stage_configs(args)
+    cascade, is_graph = _stage_configs(
+        args, precision=args.precision or "highest")
 
     mesh = make_mesh() if args.mesh else None
     runners = {}
@@ -190,7 +206,8 @@ def _train_dip(args, tc, train, valid, steps):
 
     rotsize = args.rotsize
     cfg = PoseNetConfig(net=N.DIPConfig(
-        n_input=60, n_output=15 * rotsize, n_hidden=args.hu1), rotsize=rotsize)
+        n_input=60, n_output=15 * rotsize, n_hidden=args.hu1,
+        precision=args.precision or "highest"), rotsize=rotsize)
     params = init_pose_net(jax.random.PRNGKey(tc.seed), cfg)
     stats = _load_stats(args)
     assert stats is not None, "DIP training needs normalization stats"
@@ -236,7 +253,8 @@ def cmd_evaluate(args):
     if args.model == "dip":
         return _evaluate_dip(args, model)
 
-    cascade, is_graph = _stage_configs(args)
+    cascade, is_graph = _stage_configs(
+        args, precision=args.precision or "default")
     stage_cfgs = (cascade.stage1, cascade.stage2, cascade.stage3)
     params3 = []
     pins = (args.mid1, args.mid2, args.mid3)
@@ -319,7 +337,8 @@ def _evaluate_dip(args, model):
     from a3gc_tpu.utils import discover_latest, restore_params
 
     cfg = PoseNetConfig(net=N.DIPConfig(
-        n_input=60, n_output=135, n_hidden=args.hu1), rotsize=9)
+        n_input=60, n_output=135, n_hidden=args.hu1,
+        precision=args.precision or "default"), rotsize=9)
     if args.torch_checkpoints:
         params = dip_params_from_state_dict(
             load_torch_checkpoint(args.torch_checkpoints[0]))

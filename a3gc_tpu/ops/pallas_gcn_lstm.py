@@ -55,7 +55,7 @@ def _kernel(nvalid_ref,                       # scalar prefetch [1]
             hfin_ref, cfin_ref,               # [R, H] final state
             h_scr, c_scr,                     # VMEM scratch [R, H]
             *, T: int, H: int, U: int, reverse: bool, attention: bool,
-            out_tanh: bool):
+            out_tanh: bool, precision=jax.lax.Precision.HIGHEST):
     t = pl.program_id(0)
     n_blocks = T // U
 
@@ -66,7 +66,7 @@ def _kernel(nvalid_ref,                       # scalar prefetch [1]
 
     h = h_scr[:]
     c = c_scr[:]
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision
     n_streams = seg_ref.shape[0]
     rows_per_stream = h_scr.shape[0] // n_streams
 
@@ -155,7 +155,8 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
                          n_valid: Optional[jnp.ndarray] = None,
                          out_tanh: bool = True,
                          interpret: bool = False,
-                         n_streams: int = 1):
+                         n_streams: int = 1,
+                         precision=jax.lax.Precision.HIGHEST):
     r"""Scan one direction of a graph-LSTM layer over a whole sequence.
 
     :param u: hoisted input projections [T, R, 4H] (= x·W_x, in FORWARD frame
@@ -240,7 +241,8 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
     )
 
     kernel = functools.partial(_kernel, T=T, H=H, U=U, reverse=reverse,
-                               attention=attention, out_tanh=out_tanh)
+                               attention=attention, out_tanh=out_tanh,
+                               precision=precision)
     wh = p.kernel[-H:, :]     # recurrent half of the fused kernel
     outs, hfin, cfin = pl.pallas_call(
         kernel,
@@ -269,12 +271,13 @@ def _bi_kernel(nvalid_ref,
                outf_ref, outb_ref,            # [1, N, H]
                hfin_ref, cfin_ref,            # [2, N, H]
                h_scr, c_scr,                  # [2, N, H]
-               *, T: int, H: int, attention: bool, out_tanh: bool):
+               *, T: int, H: int, attention: bool, out_tanh: bool,
+               precision=jax.lax.Precision.HIGHEST):
     """Both directions in one grid step: direction 0 walks frame t forward,
     direction 1 walks frame T-1-t backward — independent work that shares
     the per-step grid/DMA overhead (the dominant cost at these tiny sizes)."""
     t = pl.program_id(0)
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision
 
     @pl.when(t == 0)
     def _init():
@@ -377,10 +380,12 @@ def bi_gcn_lstm_pallas(params2, x: jnp.ndarray, state2, *,
         c2r = c2.reshape(2, B * N, -1)
         out_f, (hf, cf) = gcn_lstm_scan_pallas(
             p_f, u2[0], h2r[0], c2r[0], reverse=False, n_valid=n_valid,
-            out_tanh=out_tanh, interpret=interpret, n_streams=B)
+            out_tanh=out_tanh, interpret=interpret, n_streams=B,
+            precision=precision)
         out_b, (hb, cb) = gcn_lstm_scan_pallas(
             p_b, u2[1], h2r[1], c2r[1], reverse=True, n_valid=n_valid,
-            out_tanh=out_tanh, interpret=interpret, n_streams=B)
+            out_tanh=out_tanh, interpret=interpret, n_streams=B,
+            precision=precision)
         H = out_f.shape[-1]
         y = jnp.concatenate((out_f, out_b), axis=-1)      # [T, B·N, 2H]
         y = y.reshape(T, B, N, 2 * H).swapaxes(0, 1)      # [B, T, N, 2H]
@@ -435,7 +440,7 @@ def bi_gcn_lstm_pallas(params2, x: jnp.ndarray, state2, *,
         ],
     )
     kernel = functools.partial(_bi_kernel, T=T, H=H, attention=attention,
-                               out_tanh=out_tanh)
+                               out_tanh=out_tanh, precision=precision)
     wh2 = params2.kernel[:, -H:, :]
     out_f, out_b, hfin2, cfin2 = pl.pallas_call(
         kernel,
@@ -467,9 +472,10 @@ def _ggru_kernel(nvalid_ref,
                  out_ref,                     # [1, N, H]
                  hfin_ref,                    # [N, H]
                  h_scr,                       # VMEM scratch [N, H]
-                 *, T: int, H: int, reverse: bool):
+                 *, T: int, H: int, reverse: bool,
+                 precision=jax.lax.Precision.HIGHEST):
     t = pl.program_id(0)
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision
 
     @pl.when(t == 0)
     def _init():
@@ -503,7 +509,8 @@ def _ggru_kernel(nvalid_ref,
 def ggru_scan_pallas(p: GGRUCellParams, zi: jnp.ndarray, h0: jnp.ndarray, *,
                      reverse: bool = False,
                      n_valid: Optional[jnp.ndarray] = None,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     precision=jax.lax.Precision.HIGHEST):
     r"""Scan one direction of a G-GRU layer. zi [T, N, 3H] hoisted input
     projections (forward frame order); h0 [N, H]."""
     T, N, G3 = zi.shape
@@ -531,7 +538,8 @@ def ggru_scan_pallas(p: GGRUCellParams, zi: jnp.ndarray, h0: jnp.ndarray, *,
         ],
         scratch_shapes=[pltpu.VMEM((N, H), jnp.float32)],
     )
-    kernel = functools.partial(_ggru_kernel, T=T, H=H, reverse=reverse)
+    kernel = functools.partial(_ggru_kernel, T=T, H=H, reverse=reverse,
+                               precision=precision)
     outs, hfin = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -557,9 +565,11 @@ def bi_ggru_pallas(params2, x: jnp.ndarray, state2, *,
     p_f = jax.tree_util.tree_map(lambda a: a[0], params2)
     p_b = jax.tree_util.tree_map(lambda a: a[1], params2)
     out_f, hf = ggru_scan_pallas(p_f, zi2[0], state2[0, 0], reverse=False,
-                                 n_valid=n_valid, interpret=interpret)
+                                 n_valid=n_valid, interpret=interpret,
+                                 precision=precision)
     out_b, hb = ggru_scan_pallas(p_b, zi2[1], state2[1, 0], reverse=True,
-                                 n_valid=n_valid, interpret=interpret)
+                                 n_valid=n_valid, interpret=interpret,
+                                 precision=precision)
     y = jnp.concatenate((out_f, out_b), axis=-1)[None]
     return y, jnp.stack((hf, hb))[:, None]
 
@@ -576,9 +586,10 @@ def _lstm_kernel(nvalid_ref,
                  out_ref,                     # [1, B, H]
                  hfin_ref, cfin_ref,          # [B, H]
                  h_scr, c_scr,                # VMEM scratch [B, H]
-                 *, T: int, H: int, reverse: bool):
+                 *, T: int, H: int, reverse: bool,
+                 precision=jax.lax.Precision.HIGHEST):
     t = pl.program_id(0)
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision
 
     @pl.when(t == 0)
     def _init():
@@ -614,7 +625,8 @@ def lstm_scan_pallas(w_hh: jnp.ndarray, u: jnp.ndarray,
                      h0: jnp.ndarray, c0: jnp.ndarray, *,
                      reverse: bool = False,
                      n_valid: Optional[jnp.ndarray] = None,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     precision=jax.lax.Precision.HIGHEST):
     r"""Scan one direction of a dense LSTM layer. u [T, B, 4H] hoisted input
     projections (x·W_ih + b_ih + b_hh, forward frame order); h0/c0 [B, H]."""
     T, B, G = u.shape
@@ -642,7 +654,8 @@ def lstm_scan_pallas(w_hh: jnp.ndarray, u: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((B, H), jnp.float32),
                         pltpu.VMEM((B, H), jnp.float32)],
     )
-    kernel = functools.partial(_lstm_kernel, T=T, H=H, reverse=reverse)
+    kernel = functools.partial(_lstm_kernel, T=T, H=H, reverse=reverse,
+                               precision=precision)
     outs, hfin, cfin = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -672,10 +685,10 @@ def bi_lstm_pallas(layer_params2, x: jnp.ndarray, state2, *,
           + layer_params2.b_hh[:, None, None, :])
     out_f, (hf, cf) = lstm_scan_pallas(
         layer_params2.w_hh[0], u2[0], h2[0], c2[0], reverse=False,
-        n_valid=n_valid, interpret=interpret)
+        n_valid=n_valid, interpret=interpret, precision=precision)
     out_b, (hb, cb) = lstm_scan_pallas(
         layer_params2.w_hh[1], u2[1], h2[1], c2[1], reverse=True,
-        n_valid=n_valid, interpret=interpret)
+        n_valid=n_valid, interpret=interpret, precision=precision)
     y = jnp.swapaxes(jnp.concatenate((out_f, out_b), axis=-1), 0, 1)
     return y, (jnp.stack((hf, hb)), jnp.stack((cf, cb)))
 
@@ -707,9 +720,9 @@ def _dirfused_kernel(nvalid_ref,
                      hfin_ref, cfin_ref,      # [2N, H]
                      h_scr, c_scr,            # [2N, H]
                      *, T: int, N: int, H: int, attention: bool,
-                     out_tanh: bool):
+                     out_tanh: bool, precision=jax.lax.Precision.HIGHEST):
     t = pl.program_id(0)
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision
 
     @pl.when(t == 0)
     def _init():
@@ -866,7 +879,8 @@ def bi_gcn_lstm_pallas_dirfused(params2, x: jnp.ndarray, state2, *,
                         pltpu.VMEM((2 * N, H), jnp.float32)],
     )
     kernel = functools.partial(_dirfused_kernel, T=T, N=N, H=H,
-                               attention=attention, out_tanh=out_tanh)
+                               attention=attention, out_tanh=out_tanh,
+                               precision=precision)
     out_f, out_b, hfin, cfin = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
