@@ -133,11 +133,16 @@ def _kernel(nvalid_ref,                       # scalar prefetch [1]
             h = jnp.where(valid, hy, h)
             c = jnp.where(valid, c_new, c)
         else:
+            # float masks, not bool: Mosaic rejects the i1 vreg concat that
+            # a bool mask lowers to once the dots run at non-HIGHEST
+            # precision ("Invalid vector register cast")
             valid_rows = jnp.concatenate([
-                jnp.full((rows_per_stream, 1), frame < nvalid_ref[b])
+                jnp.full((rows_per_stream, 1),
+                         (frame < nvalid_ref[b]).astype(jnp.float32),
+                         dtype=jnp.float32)
                 for b in range(n_streams)])
-            h = jnp.where(valid_rows, hy, h)
-            c = jnp.where(valid_rows, c_new, c)
+            h = hy * valid_rows + h * (1.0 - valid_rows)
+            c = c_new * valid_rows + c * (1.0 - valid_rows)
         out_ref[step] = jnp.tanh(h) if out_tanh else h
 
     h_scr[:] = h
