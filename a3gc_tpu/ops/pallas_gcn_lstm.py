@@ -714,7 +714,7 @@ def _dirfused_kernel(nvalid_ref,
                      adj_ref,                 # [4, 2N, 2N] block-diag
                      bias_rows_ref,           # [4, 2N, H] per-direction rows
                      h0_ref, c0_ref,          # [2N, H]
-                     aw2_ref, awh2_ref,       # [2H, H] stacked
+                     awc_ref,                 # [2H, 2H] = [w ‖ wh]
                      awq2_ref,                # [2H, H] stacked
                      au2_ref,                 # [2H, 1] stacked
                      abs_rows_ref,            # [2N, H] per-direction rows
@@ -762,21 +762,21 @@ def _dirfused_kernel(nvalid_ref,
 
     if attention:
         hy_aug = aug(hy)
+        # ONE MXU pass for both attention input projections (w and wh are
+        # column-concatenated host-side)
+        ws = jnp.dot(hy_aug, awc_ref[:], preferred_element_type=jnp.float32,
+                     precision=hi)                               # [2N, 2H]
         # per-direction node sums via the direction-membership matrix
         seg = jnp.concatenate((m0, m1), axis=1).T               # [2, 2N]
         q = jax.nn.relu(jnp.dot(
-            seg, jnp.dot(hy_aug, aw2_ref[:],
-                         preferred_element_type=jnp.float32, precision=hi),
+            seg, ws[:, :H],
             preferred_element_type=jnp.float32, precision=hi))  # [2, H]
         q_aug = jnp.concatenate((q * s0_ref[:], q * s1_ref[:]), axis=1)
         wq = jnp.dot(q_aug, awq2_ref[:],
                      preferred_element_type=jnp.float32, precision=hi)  # [2,H]
         wq_rows = jnp.dot(seg.T, wq, preferred_element_type=jnp.float32,
                           precision=hi)                          # [2N, H]
-        s = jnp.tanh(
-            jnp.dot(hy_aug, awh2_ref[:], preferred_element_type=jnp.float32,
-                    precision=hi)
-            + wq_rows + abs_rows_ref[:])                         # [2N, H]
+        s = jnp.tanh(ws[:, H:] + wq_rows + abs_rows_ref[:])      # [2N, H]
         a = jnp.dot(aug(s), au2_ref[:], preferred_element_type=jnp.float32,
                     precision=hi) + abu_rows_ref[:]              # [2N, 1]
         hy = hy + hy * jax.nn.sigmoid(a)
@@ -833,15 +833,14 @@ def bi_gcn_lstm_pallas_dirfused(params2, x: jnp.ndarray, state2, *,
 
     att = params2.attention
     if att is None:
-        aw2 = jnp.zeros((2 * H, H), x.dtype)
-        awh2 = jnp.zeros((2 * H, H), x.dtype)
+        awc = jnp.zeros((2 * H, 2 * H), x.dtype)
         awq2 = jnp.zeros((2 * H, H), x.dtype)
         au2 = jnp.zeros((2 * H, 1), x.dtype)
         abs_rows = jnp.zeros((2 * N, H), x.dtype)
         abu_rows = jnp.zeros((2 * N, 1), x.dtype)
     else:
-        aw2 = att.w.reshape(2 * H, H)
-        awh2 = att.wh.reshape(2 * H, H)
+        awc = jnp.concatenate((att.w.reshape(2 * H, H),
+                               att.wh.reshape(2 * H, H)), axis=1)
         awq2 = att.wq.reshape(2 * H, H)
         au2 = att.u.reshape(2 * H, 1)
         abs_rows = jnp.repeat(att.bs[:, None, :], N, axis=1).reshape(
@@ -868,7 +867,7 @@ def bi_gcn_lstm_pallas_dirfused(params2, x: jnp.ndarray, state2, *,
             vmem_full(),                        # adj
             vmem_full(),                        # bias_rows
             vmem_full(), vmem_full(),           # h0, c0
-            vmem_full(), vmem_full(), vmem_full(),  # aw2 awh2 awq2
+            vmem_full(), vmem_full(),           # awc awq2
             vmem_full(),                        # au2
             vmem_full(),                        # abs_rows
             vmem_full(),                        # abu_rows
@@ -898,7 +897,7 @@ def bi_gcn_lstm_pallas_dirfused(params2, x: jnp.ndarray, state2, *,
         interpret=interpret,
     )(nvalid, u2[0], u2[1], wh2, adj, bias_rows,
       h2[:, 0].reshape(2 * N, H), c2[:, 0].reshape(2 * N, H),
-      aw2, awh2, awq2, au2, abs_rows, abu_rows, m0, m1, s0, s1)
+      awc, awq2, au2, abs_rows, abu_rows, m0, m1, s0, s1)
 
     y = jnp.concatenate((out_f, out_b), axis=-1)[None]
     new_h = hfin.reshape(2, 1, N, H)
