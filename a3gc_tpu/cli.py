@@ -235,6 +235,42 @@ def _train_dip(args, tc, train, valid, steps):
             break
 
 
+def _load_cascade_params(args, cascade, is_graph, nira):
+    """Per-stage checkpoint loading: reference .tar converts or this
+    framework's orbax checkpoints, latest-epoch discovery with per-stage
+    pins (ref: evaluate_a3gc_tp.py:100-119)."""
+    from a3gc_tpu.compat import (
+        dip_params_from_state_dict,
+        graph_net_params_from_state_dict,
+        load_torch_checkpoint,
+    )
+    from a3gc_tpu.models.pipeline import init_pose_net
+    from a3gc_tpu.utils import discover_latest, restore_params
+    import jax
+
+    stage_cfgs = (cascade.stage1, cascade.stage2, cascade.stage3)
+    params3 = []
+    pins = (args.mid1, args.mid2, args.mid3)
+    for i, scfg in enumerate(stage_cfgs):
+        if args.torch_checkpoints:
+            sd = load_torch_checkpoint(args.torch_checkpoints[i])
+            if is_graph:
+                params3.append(graph_net_params_from_state_dict(
+                    sd, args.model))
+            else:
+                params3.append(dip_params_from_state_dict(sd))
+        elif args.path:
+            template = init_pose_net(jax.random.PRNGKey(i), scfg, nira)
+            found = discover_latest(args.path, i + 1, phase=args.type,
+                                    epoch=pins[i] if pins[i] >= 0 else None)
+            assert found, f"no checkpoint for stage {i+1} in {args.path}"
+            params3.append(restore_params(found[0], template))
+        else:
+            # fresh init (benchmarking / smoke runs without checkpoints)
+            params3.append(init_pose_net(jax.random.PRNGKey(i), scfg, nira))
+    return tuple(params3)
+
+
 def cmd_evaluate(args):
     from a3gc_tpu.compat import (
         dip_params_from_state_dict, graph_net_params_from_state_dict,
@@ -255,25 +291,7 @@ def cmd_evaluate(args):
 
     cascade, is_graph = _stage_configs(
         args, precision=args.precision or "default")
-    stage_cfgs = (cascade.stage1, cascade.stage2, cascade.stage3)
-    params3 = []
-    pins = (args.mid1, args.mid2, args.mid3)
-    for i, scfg in enumerate(stage_cfgs):
-        if args.torch_checkpoints:
-            path = args.torch_checkpoints[i]
-            sd = load_torch_checkpoint(path)
-            if is_graph:
-                params3.append(graph_net_params_from_state_dict(
-                    sd, args.model))
-            else:
-                params3.append(dip_params_from_state_dict(sd))
-        else:
-            template = init_pose_net(jax.random.PRNGKey(i), scfg, nira)
-            found = discover_latest(args.path, i + 1, phase=args.type,
-                                    epoch=pins[i] if pins[i] >= 0 else None)
-            assert found, f"no checkpoint for stage {i+1} in {args.path}"
-            params3.append(restore_params(found[0], template))
-    params3 = tuple(params3)
+    params3 = _load_cascade_params(args, cascade, is_graph, nira)
 
     stats = _load_stats(args) if args.norm else None
     for dataset in args.datasets:
@@ -356,6 +374,65 @@ def _evaluate_dip(args, model):
         mean, seconds, frames = ev.evaluate(load_test_sequences(dataset))
         print(f"== {dataset}: {frames} frames in {seconds:.3f}s")
         print(PoseEvaluator.format(mean))
+
+
+def cmd_stream(args):
+    r"""Online streaming inference (the reference's online mode,
+    ref: net_aagc.py:802-812, run over the full cascade): fixed-size IMU
+    windows flow through one pre-compiled program with per-stage recurrent
+    state carried across windows. Reads packed test npz sequences, writes
+    predicted poses, prints ONE JSON line of latency/throughput stats."""
+    import json as _json
+    import time as _time
+
+    import numpy as np
+
+    from a3gc_tpu.data import load_adjacency_template
+    from a3gc_tpu.data.factory.dipimu import load_test_sequences
+    from a3gc_tpu.eval.streaming import StreamingCascade
+
+    model = _load_body_model(args)
+    nira = load_adjacency_template()
+    cascade, is_graph = _stage_configs(
+        args, precision=args.precision or "default")
+    params3 = _load_cascade_params(args, cascade, is_graph, nira)
+    stats = _load_stats(args) if args.norm else None
+
+    sess = StreamingCascade(params3, cascade, model, window=args.window,
+                            stats=stats, normalize=args.norm)
+    sequences = load_test_sequences(args.input)
+    W = args.window
+
+    # warm up (compile) outside the timed region
+    sess.step(sequences[0]["ori"][:W], sequences[0]["acc"][:W])
+    sess.reset()
+
+    latencies = []
+    outputs = []
+    for seq in sequences:
+        sess.reset()
+        T = (seq["ori"].shape[0] // W) * W
+        poses = []
+        for t0 in range(0, T, W):
+            t = _time.perf_counter()
+            pose = sess.step(seq["ori"][t0:t0 + W], seq["acc"][t0:t0 + W])
+            latencies.append(_time.perf_counter() - t)
+            poses.append(pose)
+        if poses:
+            outputs.append(np.concatenate(poses))
+
+    if args.output:
+        np.savez(args.output, **{f"pose_{i:03d}": p
+                                 for i, p in enumerate(outputs)})
+    lat = np.asarray(latencies) * 1e3
+    print(_json.dumps({
+        "window": W,
+        "windows": int(lat.size),
+        "latency_ms_mean": round(float(lat.mean()), 3),
+        "latency_ms_p50": round(float(np.percentile(lat, 50)), 3),
+        "latency_ms_p99": round(float(np.percentile(lat, 99)), 3),
+        "frames_per_sec": round(W / (lat.mean() / 1e3), 1),
+    }))
 
 
 def cmd_worst_frames(args):
@@ -483,6 +560,24 @@ def build_parser():
                    help="evaluate N sequences per kernel pass (multi-stream "
                         "path; 1 = the reference's per-sequence protocol)")
     e.set_defaults(fn=cmd_evaluate)
+
+    st = sub.add_parser("stream", help="online streaming inference "
+                        "(windowed, carried recurrent state)")
+    _add_common_model_flags(st)
+    st.add_argument("--input", type=str, required=True,
+                    help="packed test npz (from preprocess)")
+    st.add_argument("--window", type=int, default=60,
+                    help="frames per streaming window (60 = 1 s at 60 fps)")
+    st.add_argument("--output", type=str, default="",
+                    help="npz to write predicted pose sequences to")
+    st.add_argument("--path", type=str, default="")
+    st.add_argument("--torch_checkpoints", nargs="+", default=None)
+    st.add_argument("--type", choices=("pretrain", "finetuning"),
+                    default="finetuning")
+    st.add_argument("--mid1", type=int, default=-1)
+    st.add_argument("--mid2", type=int, default=-1)
+    st.add_argument("--mid3", type=int, default=-1)
+    st.set_defaults(fn=cmd_stream)
 
     pp = sub.add_parser("preprocess", help="offline data factory")
     _add_common_model_flags(pp)

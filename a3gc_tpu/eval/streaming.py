@@ -18,15 +18,19 @@ has the same behavior when fed incrementally.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from a3gc_tpu.models.pipeline import PoseNetConfig, pose_net_forward
+from a3gc_tpu.config import joint_set as JS
+from a3gc_tpu.models.pipeline import (
+    CascadeConfig, PoseNetConfig, pose_net_forward,
+    reduced_global_to_full_local,
+)
 
-__all__ = ["StreamingSession"]
+__all__ = ["StreamingSession", "StreamingCascade"]
 
 
 class StreamingSession:
@@ -67,3 +71,88 @@ class StreamingSession:
             f"window size {x.shape[1]} != configured {self.window}")
         out, self._state = self._fn(self.params, x, self._state)
         return np.asarray(out[0] if squeeze else out)
+
+
+class StreamingCascade:
+    r"""Online full-cascade inference with carried per-stage recurrent state.
+
+    The streaming counterpart of ``models.pipeline.cascade_apply``
+    (ref: evaluate_a3gc_tp.py:164-171 run incrementally via the nets'
+    ``forward(imu, rnn_state)`` online mode, net_aagc.py:809-812): one
+    pre-compiled program processes a fixed-size window of raw IMU frames
+    (ori [T_w, 54], acc [T_w, 18]) through normalize → scatter → the three
+    stages → IK, while each stage's recurrent state threads across windows.
+    Bounded latency on unbounded streams; one compilation per window size.
+
+    >>> sess = StreamingCascade(params3, cfg, model, window=60)
+    >>> for ori_w, acc_w in imu_stream:
+    ...     pose = sess.step(ori_w, acc_w)       # [60, 24, 3, 3]
+    >>> sess.reset()                             # next subject/sequence
+    """
+
+    def __init__(self, params3: Tuple, cfg: CascadeConfig, model,
+                 window: int = 60,
+                 stats: Optional[Dict[str, np.ndarray]] = None,
+                 normalize: bool = False):
+        from a3gc_tpu.data import pipeline as DPipe
+
+        self.params3 = params3
+        self.cfg = cfg
+        self.window = window
+        self.stats = ({k: jnp.asarray(v) for k, v in stats.items()}
+                      if (normalize and stats is not None) else None)
+        # explicit zero states (not None) so the program compiles ONCE: the
+        # state pytree structure is identical on the first and later windows
+        from a3gc_tpu.models import nets as _N
+        zero = (_N.graph_net_zero_state if cfg.is_graph
+                else _N.dip_zero_state)
+        self._zero_states = tuple(
+            zero(c.net, 1) for c in (cfg.stage1, cfg.stage2, cfg.stage3))
+        self._states = self._zero_states
+
+        @jax.jit
+        def _step(params3, ori, acc, s1, s2, s3):
+            # ori [1, T_w, 54], acc [1, T_w, 18]
+            o, a = DPipe.normalize_imu(ori, acc, self.stats)
+            if cfg.is_graph:
+                imu = DPipe.scatter_graph_inputs(o, a)      # [1,T_w,15,12]
+            else:
+                imu = jnp.concatenate((a, o), axis=-1)      # [1,T_w,72]
+            B, T = imu.shape[0], imu.shape[1]
+            p1, p2, p3 = params3
+
+            leaf, s1 = pose_net_forward(p1, cfg.stage1, imu, s1)
+            if cfg.is_graph:
+                leaf = leaf.reshape(B, T, JS.n_reduced, 3)
+            x2 = jnp.concatenate((imu, leaf), axis=-1)
+
+            full, s2 = pose_net_forward(p2, cfg.stage2, x2, s2)
+            if cfg.is_graph:
+                full = full.reshape(B, T, JS.n_reduced, 3)
+            x3 = jnp.concatenate((imu, full), axis=-1)
+
+            out, s3 = pose_net_forward(p3, cfg.stage3, x3, s3)
+            rotsize = cfg.stage3.rotsize
+            rep = (3, 3) if rotsize == 9 else (rotsize,)
+            pose = reduced_global_to_full_local(
+                out.reshape((-1, JS.n_reduced) + rep), model,
+                rotsize=rotsize)
+            return pose, s1, s2, s3
+
+        self._fn = _step
+
+    def reset(self):
+        r"""Clear all carried stage states (ref: evaluate_a3gc_tp.py:165)."""
+        self._states = self._zero_states
+
+    def step(self, ori_window: np.ndarray,
+             acc_window: np.ndarray) -> np.ndarray:
+        r"""Process one window; returns full local pose [T_w, 24, 3, 3]."""
+        ori = jnp.asarray(ori_window).reshape(1, -1, 54)
+        acc = jnp.asarray(acc_window).reshape(1, -1, 18)
+        assert ori.shape[1] == self.window, (
+            f"window size {ori.shape[1]} != configured {self.window}")
+        s1, s2, s3 = self._states
+        pose, s1, s2, s3 = self._fn(self.params3, ori, acc, s1, s2, s3)
+        self._states = (s1, s2, s3)
+        return np.asarray(pose)

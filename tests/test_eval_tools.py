@@ -146,3 +146,89 @@ class TestFlatCascadeEvaluator:
         mean, seconds, frames = ev.evaluate(seqs)
         assert mean.shape == (5, 2) and np.isfinite(mean).all()
         assert frames == T
+
+
+class TestStreamingCascade:
+    def _build(self, model):
+        from a3gc_tpu.eval.streaming import StreamingCascade
+        from a3gc_tpu.models.pipeline import CascadeConfig
+
+        nira = load_adjacency_template()
+
+        def g(ui, uo, h, rot):
+            return PoseNetConfig(net=N.GraphNetConfig(
+                cell="a3gc", units_in=ui, units_out=uo, units_hidden=h),
+                rotsize=rot)
+
+        cfg = CascadeConfig(stage1=g(12, 3, 8, 3), stage2=g(15, 3, 8, 3),
+                            stage3=g(15, 9, 8, 9))
+        params3 = tuple(
+            init_pose_net(jax.random.PRNGKey(i), c, nira)
+            for i, c in enumerate((cfg.stage1, cfg.stage2, cfg.stage3)))
+        return StreamingCascade, cfg, params3
+
+    def test_matches_offline_cascade(self, model):
+        """One window == the offline cascade on the same frames (both see
+        the whole window forward AND backward), and the carried state makes
+        the second window differ from a reset second window."""
+        from a3gc_tpu.models.pipeline import cascade_apply
+
+        SC, cfg, params3 = self._build(model)
+        sess = SC(params3, cfg, model, window=12)
+
+        rng = np.random.default_rng(3)
+        ori = Rotation.random(24 * 6, random_state=5).as_matrix().reshape(
+            24, 54).astype(np.float32)
+        acc = rng.normal(scale=0.5, size=(24, 18)).astype(np.float32)
+
+        w1 = sess.step(ori[:12], acc[:12])
+        assert w1.shape == (12, 24, 3, 3)
+
+        from a3gc_tpu.data import pipeline as DPipe
+        imu = DPipe.scatter_graph_inputs(jnp.asarray(ori[None, :12]),
+                                         jnp.asarray(acc[None, :12]))
+        offline = np.asarray(cascade_apply(params3, cfg, model, imu))
+        np.testing.assert_allclose(w1, offline, atol=2e-5)
+
+        w2 = sess.step(ori[12:], acc[12:])      # carried state
+        sess.reset()
+        w2_fresh = sess.step(ori[12:], acc[12:])
+        assert np.abs(w2 - w2_fresh).max() > 1e-7
+
+    def test_cli_stream_end_to_end(self, model, tmp_path):
+        """The stream subcommand runs over a packed npz and prints stats."""
+        import io, json, contextlib
+        from a3gc_tpu import cli as CLI
+
+        rng = np.random.default_rng(7)
+        seqs = {}
+        for i, T in enumerate((40, 25)):
+            ori = Rotation.random(T * 6, random_state=i).as_matrix().reshape(
+                T, 54).astype(np.float32)
+            seqs[f"seq{i}_ori"] = ori
+            seqs[f"seq{i}_acc"] = rng.normal(
+                scale=0.5, size=(T, 18)).astype(np.float32)
+            seqs[f"seq{i}_pose"] = np.tile(
+                np.eye(3, dtype=np.float32).reshape(1, 1, 3, 3),
+                (T, 15, 1, 1)).reshape(T, 135)
+        inp = tmp_path / "test.npz"
+        np.savez(inp, **seqs)
+        out = tmp_path / "poses.npz"
+
+        smpl = tmp_path / "s.pkl"
+        write_synthetic_smpl_pickle(str(smpl), n_vertices=120)
+        args = CLI.build_parser().parse_args([
+            "stream", "--input", str(inp), "--window", "10",
+            "--output", str(out), "--model", "a3gc",
+            "--hu1", "8", "--hu2", "8", "--hu3", "8",
+            "--smpl", str(smpl)])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            args.fn(args)
+        stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert stats["window"] == 10
+        assert stats["windows"] == 6          # 40//10 + 25//10 windows
+        assert stats["frames_per_sec"] > 0
+        with np.load(out) as z:
+            assert z["pose_000"].shape == (40, 24, 3, 3)
+            assert z["pose_001"].shape == (20, 24, 3, 3)
