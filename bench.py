@@ -54,8 +54,9 @@ def main():
     for _ in range(3):
         run_sync()
 
-    # steady-state timing
-    iters = 8
+    # steady-state timing (cheap per-iter vs the one-off compile; more
+    # iterations damp run-to-run variance of the relay-attached chip)
+    iters = 32
     t0 = time.perf_counter()
     for _ in range(iters - 1):
         fwd(params3, imu)
