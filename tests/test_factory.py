@@ -288,3 +288,35 @@ class TestEndToEndFactory:
         loss = runner.train_epoch(DPipe.Sampler(packed, 2),
                                   jax.random.PRNGKey(0))
         assert np.isfinite(loss)
+
+
+class TestDipSplitSelection:
+    def test_valid_split_file_ids(self, tmp_path):
+        """iter_dipimu_raw selects the reference's valid motions by
+        subject_motion file id (ref: preprocess.py:238-246): raw layout is
+        raw_dir/s_XX/<motion>.pkl and the valid set is s_01_05, s_03_05,
+        s_07_04."""
+        import pickle
+        from scipy.spatial.transform import Rotation
+        from a3gc_tpu.data.factory.dipimu import iter_dipimu_raw
+
+        rng = np.random.default_rng(0)
+        T = 30
+        for subject, motions in (("s_01", ("00", "05")),
+                                 ("s_03", ("05",)),
+                                 ("s_02", ("01",))):
+            d = tmp_path / subject
+            d.mkdir()
+            for m in motions:
+                ori = Rotation.random(T * 17, random_state=1).as_matrix()
+                data = {"imu_acc": rng.normal(size=(T, 17, 3)),
+                        "imu_ori": ori.reshape(T, 17, 3, 3),
+                        "gt": rng.normal(size=(T, 72)) * 0.1}
+                with open(d / f"{m}.pkl", "wb") as f:
+                    pickle.dump(data, f)
+
+        ids = lambda split: sorted(r["id"] for r in
+                                   iter_dipimu_raw(str(tmp_path), split))
+        assert ids("valid") == ["DIP_IMU_s_01_05.pkl", "DIP_IMU_s_03_05.pkl"]
+        # train excludes the valid motions (ref: preprocess.py:245)
+        assert ids("train") == ["DIP_IMU_s_01_00.pkl", "DIP_IMU_s_02_01.pkl"]
