@@ -263,96 +263,19 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
     return outs, (hfin, cfin)
 
 
-def _bi_kernel(nvalid_ref,
-               uf_ref, ub_ref,                # [1, N, G] per-direction frames
-               wh2_ref,                       # [2, H, G]
-               adj2_ref,                      # [2, 4, N, N]
-               bias2_ref,                     # [2, 4, H]
-               h02_ref, c02_ref,              # [2, N, H]
-               aw2_ref, awq2_ref, awh2_ref,   # [2, H, H]
-               au2_ref,                       # [2, H, 1]
-               abs2_ref,                      # [2, 1, H]
-               abu2_ref,                      # [2, N, 1]
-               outf_ref, outb_ref,            # [1, N, H]
-               hfin_ref, cfin_ref,            # [2, N, H]
-               h_scr, c_scr,                  # [2, N, H]
-               *, T: int, H: int, attention: bool, out_tanh: bool,
-               precision=jax.lax.Precision.HIGHEST):
-    """Both directions in one grid step: direction 0 walks frame t forward,
-    direction 1 walks frame T-1-t backward — independent work that shares
-    the per-step grid/DMA overhead (the dominant cost at these tiny sizes)."""
-    t = pl.program_id(0)
-    hi = precision
-
-    @pl.when(t == 0)
-    def _init():
-        h_scr[:] = h02_ref[:]
-        c_scr[:] = c02_ref[:]
-
-    for d, (u_ref, out_ref) in enumerate(((uf_ref, outf_ref),
-                                          (ub_ref, outb_ref))):
-        frame = t if d == 0 else T - 1 - t
-        h = h_scr[d]
-        c = c_scr[d]
-        z = u_ref[0] + jnp.dot(h, wh2_ref[d],
-                               preferred_element_type=jnp.float32,
-                               precision=hi)
-
-        def gate(g, z=z, d=d):
-            zg = z[:, g * H:(g + 1) * H]
-            return jnp.dot(adj2_ref[d, g], zg,
-                           preferred_element_type=jnp.float32,
-                           precision=hi) + bias2_ref[d, g]
-
-        i = jax.nn.sigmoid(gate(0))
-        f = jax.nn.sigmoid(gate(1))
-        g_ = jnp.tanh(gate(2))
-        o = jax.nn.sigmoid(gate(3))
-        c_new = f * c + i * g_
-        hy = o * jnp.tanh(c_new)
-
-        if attention:
-            q = jax.nn.relu(jnp.sum(
-                jnp.dot(hy, aw2_ref[d], preferred_element_type=jnp.float32,
-                        precision=hi), axis=0, keepdims=True))
-            s = jnp.tanh(
-                jnp.dot(hy, awh2_ref[d], preferred_element_type=jnp.float32,
-                        precision=hi)
-                + jnp.dot(q, awq2_ref[d],
-                          preferred_element_type=jnp.float32, precision=hi)
-                + abs2_ref[d])
-            a = jnp.dot(s, au2_ref[d], preferred_element_type=jnp.float32,
-                        precision=hi) + abu2_ref[d]
-            hy = hy + hy * jax.nn.sigmoid(a)
-
-        valid = frame < nvalid_ref[0]
-        h = jnp.where(valid, hy, h)
-        c = jnp.where(valid, c_new, c)
-        h_scr[d] = h
-        c_scr[d] = c
-        out_ref[0] = jnp.tanh(h) if out_tanh else h
-
-    @pl.when(t == T - 1)
-    def _fin():
-        hfin_ref[:] = h_scr[:]
-        cfin_ref[:] = c_scr[:]
-
-
 def bi_gcn_lstm_pallas(params2, x: jnp.ndarray, state2, *,
                        n_valid: Optional[jnp.ndarray] = None,
                        out_tanh: bool = True,
                        interpret: bool = False,
-                       fused_directions: bool = False,
                        precision=jax.lax.Precision.HIGHEST):
     r"""Bidirectional graph-LSTM layer for batch 1, Pallas-scanned.
 
     Drop-in equivalent of layers.bi_rnn + cells.gcn_lstm_step (inference, no
     dropout) at B=1: x [1, T, N, F] → ([1, T, N, 2H], state2).
     ``state2``: (h, c) each [2, 1, N, H] (direction-stacked, like bi_rnn).
-    ``fused_directions`` runs both directions in ONE kernel — numerically
-    identical and ~shares per-step overhead, but the doubled Mosaic kernel
-    body blows remote compilation past 10 minutes on this toolchain, so the
-    default is two single-direction launches (compile ≈1 min each).
+    Two single-direction launches (compile ≈1 min each); for batch 1 prefer
+    ``bi_gcn_lstm_pallas_dirfused`` (both directions in one kernel with a
+    single-direction-sized body — same runtime, half the compiles).
 
     Batched streams: for B > 1 the B sequences are folded onto the row axis
     (R = B·15 ≤ 128 rows feeds a full MXU tile), the adjacency becomes
@@ -369,99 +292,33 @@ def bi_gcn_lstm_pallas(params2, x: jnp.ndarray, state2, *,
     G = u2.shape[-1]
     u2 = u2.reshape(2, T, B * N, G)
 
-    if not fused_directions:
-        def expand(p):
-            if B == 1:
-                return p
-            # block-diagonal adjacency over streams
-            eyeb = jnp.eye(B, dtype=x.dtype)
-            adj = jnp.einsum("bc,knm->kbncm", eyeb, p.adj).reshape(
-                4, B * N, B * N)
-            return dataclasses.replace(p, adj=adj)
+    def expand(p):
+        if B == 1:
+            return p
+        # block-diagonal adjacency over streams
+        eyeb = jnp.eye(B, dtype=x.dtype)
+        adj = jnp.einsum("bc,knm->kbncm", eyeb, p.adj).reshape(
+            4, B * N, B * N)
+        return dataclasses.replace(p, adj=adj)
 
-        p_f = expand(jax.tree_util.tree_map(lambda a: a[0], params2))
-        p_b = expand(jax.tree_util.tree_map(lambda a: a[1], params2))
-        h2r = h2.reshape(2, B * N, -1)
-        c2r = c2.reshape(2, B * N, -1)
-        out_f, (hf, cf) = gcn_lstm_scan_pallas(
-            p_f, u2[0], h2r[0], c2r[0], reverse=False, n_valid=n_valid,
-            out_tanh=out_tanh, interpret=interpret, n_streams=B,
-            precision=precision)
-        out_b, (hb, cb) = gcn_lstm_scan_pallas(
-            p_b, u2[1], h2r[1], c2r[1], reverse=True, n_valid=n_valid,
-            out_tanh=out_tanh, interpret=interpret, n_streams=B,
-            precision=precision)
-        H = out_f.shape[-1]
-        y = jnp.concatenate((out_f, out_b), axis=-1)      # [T, B·N, 2H]
-        y = y.reshape(T, B, N, 2 * H).swapaxes(0, 1)      # [B, T, N, 2H]
-        new_h = jnp.stack((hf, hb)).reshape(2, B, N, H)
-        new_c = jnp.stack((cf, cb)).reshape(2, B, N, H)
-        return y, (new_h, new_c)
-    assert B == 1, "fused_directions path is batch-1 only"
-
-    G = 4 * (params2.bias.shape[-1])
-    H = params2.bias.shape[-1]
-    attention = params2.attention is not None
-    nvalid = jnp.asarray([T if n_valid is None else n_valid], jnp.int32)
-
-    att = params2.attention
-    if att is None:
-        zeros = jnp.zeros((2, H, H), x.dtype)
-        aw2, awq2, awh2 = zeros, zeros, zeros
-        au2 = jnp.zeros((2, H, 1), x.dtype)
-        abs2 = jnp.zeros((2, 1, H), x.dtype)
-        abu2 = jnp.zeros((2, N, 1), x.dtype)
-    else:
-        aw2, awq2, awh2 = att.w, att.wq, att.wh
-        au2 = att.u
-        abs2 = att.bs.reshape(2, 1, H)
-        abu2 = att.bu.reshape(2, N, 1)
-
-    fwd_map = lambda t, *_: (t, 0, 0)
-    bwd_map = lambda t, *_: (T - 1 - t, 0, 0)
-    vmem_full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, N, G), fwd_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, G), bwd_map, memory_space=pltpu.VMEM),
-            vmem_full(),                # wh2
-            vmem_full(),                # adj2
-            vmem_full(),                # bias2
-            vmem_full(), vmem_full(),   # h02, c02
-            vmem_full(), vmem_full(), vmem_full(),  # aw2 awq2 awh2
-            vmem_full(), vmem_full(), vmem_full(),  # au2 abs2 abu2
-        ],
-        out_specs=[
-            pl.BlockSpec((1, N, H), fwd_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, H), bwd_map, memory_space=pltpu.VMEM),
-            vmem_full(), vmem_full(),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, N, H), jnp.float32),
-            pltpu.VMEM((2, N, H), jnp.float32),
-        ],
-    )
-    kernel = functools.partial(_bi_kernel, T=T, H=H, attention=attention,
-                               out_tanh=out_tanh, precision=precision)
-    wh2 = params2.kernel[:, -H:, :]
-    out_f, out_b, hfin2, cfin2 = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((T, N, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, N, H), jnp.float32),
-            jax.ShapeDtypeStruct((2, N, H), jnp.float32),
-            jax.ShapeDtypeStruct((2, N, H), jnp.float32),
-        ],
-        interpret=interpret,
-    )(nvalid, u2[0], u2[1], wh2, params2.adj, params2.bias,
-      h2[:, 0], c2[:, 0], aw2, awq2, awh2, au2, abs2, abu2)
-
-    y = jnp.concatenate((out_f, out_b), axis=-1)[None]     # [1,T,N,2H]
-    return y, (hfin2[:, None], cfin2[:, None])
+    p_f = expand(jax.tree_util.tree_map(lambda a: a[0], params2))
+    p_b = expand(jax.tree_util.tree_map(lambda a: a[1], params2))
+    h2r = h2.reshape(2, B * N, -1)
+    c2r = c2.reshape(2, B * N, -1)
+    out_f, (hf, cf) = gcn_lstm_scan_pallas(
+        p_f, u2[0], h2r[0], c2r[0], reverse=False, n_valid=n_valid,
+        out_tanh=out_tanh, interpret=interpret, n_streams=B,
+        precision=precision)
+    out_b, (hb, cb) = gcn_lstm_scan_pallas(
+        p_b, u2[1], h2r[1], c2r[1], reverse=True, n_valid=n_valid,
+        out_tanh=out_tanh, interpret=interpret, n_streams=B,
+        precision=precision)
+    H = out_f.shape[-1]
+    y = jnp.concatenate((out_f, out_b), axis=-1)      # [T, B·N, 2H]
+    y = y.reshape(T, B, N, 2 * H).swapaxes(0, 1)      # [B, T, N, 2H]
+    new_h = jnp.stack((hf, hb)).reshape(2, B, N, H)
+    new_c = jnp.stack((cf, cb)).reshape(2, B, N, H)
+    return y, (new_h, new_c)
 
 
 # ---------------------------------------------------------------------------
