@@ -107,6 +107,21 @@ def init_graph_net(key, cfg: GraphNetConfig, adjacency) -> GraphNetParams:
     )
 
 
+def _is_ad_tracer(x) -> bool:
+    """True when ``x`` is being differentiated (jvp/grad/linearize trace).
+    The Pallas kernels have no JVP rule, so dispatch must fall back to the
+    XLA scan path under AD. Tracer classes are private jax API; degrade to
+    False (never dispatch differently) if they move."""
+    try:
+        from jax._src.interpreters import ad as _ad
+        types = tuple(t for t in (getattr(_ad, "JVPTracer", None),
+                                  getattr(_ad, "LinearizeTracer", None))
+                      if t is not None)
+        return isinstance(x, types)
+    except Exception:
+        return False
+
+
 def graph_net_zero_state(cfg: GraphNetConfig, batch: int, dtype=jnp.float32):
     r"""Zero recurrent state (ref: net_aagc.py:608-613).
 
@@ -158,8 +173,12 @@ def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
     B = x.shape[0]
     pallas_ok = (B == 1 or (cfg.cell != "ggru"
                             and B * cfg.num_nodes <= 128))
+    # the kernels are forward-only (no JVP rule): when this apply is being
+    # differentiated (fine-tuning without dropout passes no rng, so `hoist`
+    # alone cannot tell), x is an AD tracer after the params-dependent
+    # linear_in — fall back to the XLA scan path there
     use_pallas = (
-        hoist and pallas_ok
+        hoist and pallas_ok and not _is_ad_tracer(x)
         and (cfg.backend == "pallas"
              or (cfg.backend == "auto"
                  and jax.devices()[0].platform in ("tpu", "axon"))))
@@ -380,6 +399,7 @@ def dip_apply(params: DIPParams, cfg: DIPConfig, x: jnp.ndarray,
     use_pallas = (
         rng is None and cfg.bidirectional and x.shape[0] <= 8
         and (frame_mask is None or x.shape[0] == 1)
+        and not _is_ad_tracer(x)               # kernels are forward-only
         and cfg.backend == "pallas")
     if use_pallas:
         from a3gc_tpu.ops.pallas_gcn_lstm import bi_lstm_pallas

@@ -256,3 +256,29 @@ def test_dirfused_masked(nira):
                                np.asarray(ref_y[:, :n]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(s[0]), np.asarray(ref_s[0]),
                                atol=1e-5)
+
+
+def test_grad_falls_back_to_xla(nira):
+    """Differentiating through graph_net_apply must NOT select the
+    forward-only Pallas kernels, even with backend='pallas' and no dropout
+    rng (fine-tuning without dropout). Without the JVP-tracer guard this
+    raises NotImplementedError from pallas_call's missing JVP rule."""
+    import optax  # noqa: F401  (parity with training imports)
+    from a3gc_tpu.models import nets as NN
+    from a3gc_tpu.models.pipeline import pose_net_forward, pose_loss, \
+        PoseNetConfig, init_pose_net
+
+    cfg = PoseNetConfig(net=NN.GraphNetConfig(
+        cell="a3gc", units_in=12, units_out=3, units_hidden=8,
+        backend="pallas"), rotsize=3)
+    params = init_pose_net(jax.random.PRNGKey(0), cfg, nira)
+    x = jnp.zeros((1, 6, 15, 12))
+    y = jnp.zeros((1, 6, 15, 3))
+
+    def loss(p):
+        pred, _ = pose_net_forward(p, cfg, x)
+        return pose_loss(pred, y)
+
+    g = jax.grad(loss)(params)             # must not hit pallas JVP
+    assert np.isfinite(float(jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)))
