@@ -17,7 +17,6 @@ has the same behavior when fed incrementally.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
