@@ -108,3 +108,27 @@ class TestCliPipeline:
               "--model", "a3gc",
               "--output", str(tmp_path / "a3gc_m3")])
         assert (tmp_path / "a3gc_m3").exists()
+
+
+class TestPrecisionFlag:
+    def test_stage_configs_precision(self):
+        from a3gc_tpu.cli import _stage_configs, build_parser
+
+        args = build_parser().parse_args(
+            ["evaluate", "--model", "a3gc", "--datasets", "x.npz"])
+        cascade, is_graph = _stage_configs(args, precision="default")
+        assert is_graph
+        assert cascade.stage1.net.precision == "default"
+        assert cascade.stage3.net.precision == "default"
+        cascade, _ = _stage_configs(args, precision="highest")
+        assert cascade.stage2.net.precision == "highest"
+
+    def test_flag_default_is_none(self):
+        from a3gc_tpu.cli import build_parser
+        args = build_parser().parse_args(
+            ["evaluate", "--model", "tp", "--datasets", "x.npz"])
+        assert args.precision is None           # resolved per command
+        args = build_parser().parse_args(
+            ["train", "--model", "a3gc", "-b", "2", "--precision", "default",
+             "--train_data", "t.npz", "--valid_data", "v.npz"])
+        assert args.precision == "default"
