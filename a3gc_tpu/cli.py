@@ -415,9 +415,19 @@ def cmd_stream(args):
         poses = []
         for t0 in range(0, T, W):
             t = _time.perf_counter()
-            pose = sess.step(seq["ori"][t0:t0 + W], seq["acc"][t0:t0 + W])
+            if args.pipelined:
+                pose = sess.step_async(seq["ori"][t0:t0 + W],
+                                       seq["acc"][t0:t0 + W])
+            else:
+                pose = sess.step(seq["ori"][t0:t0 + W],
+                                 seq["acc"][t0:t0 + W])
             latencies.append(_time.perf_counter() - t)
-            poses.append(pose)
+            if pose is not None:
+                poses.append(pose)
+        if args.pipelined:
+            tail = sess.flush()
+            if tail is not None:
+                poses.append(tail)
         if poses:
             outputs.append(np.concatenate(poses))
 
@@ -427,6 +437,7 @@ def cmd_stream(args):
     lat = np.asarray(latencies) * 1e3
     print(_json.dumps({
         "window": W,
+        "pipelined": bool(args.pipelined),
         "windows": int(lat.size),
         "latency_ms_mean": round(float(lat.mean()), 3),
         "latency_ms_p50": round(float(np.percentile(lat, 50)), 3),
@@ -570,6 +581,9 @@ def build_parser():
                     help="frames per streaming window (60 = 1 s at 60 fps)")
     st.add_argument("--output", type=str, default="",
                     help="npz to write predicted pose sequences to")
+    st.add_argument("--pipelined", action="store_true",
+                    help="overlap device execution with the host round-trip "
+                         "(results lag one window; hides per-call latency)")
     st.add_argument("--path", type=str, default="")
     st.add_argument("--torch_checkpoints", nargs="+", default=None)
     st.add_argument("--type", choices=("pretrain", "finetuning"),

@@ -108,6 +108,7 @@ class StreamingCascade:
         self._zero_states = tuple(
             zero(c.net, 1) for c in (cfg.stage1, cfg.stage2, cfg.stage3))
         self._states = self._zero_states
+        self._pending = None
 
         @jax.jit
         def _step(params3, ori, acc, s1, s2, s3):
@@ -143,10 +144,9 @@ class StreamingCascade:
     def reset(self):
         r"""Clear all carried stage states (ref: evaluate_a3gc_tp.py:165)."""
         self._states = self._zero_states
+        self._pending = None
 
-    def step(self, ori_window: np.ndarray,
-             acc_window: np.ndarray) -> np.ndarray:
-        r"""Process one window; returns full local pose [T_w, 24, 3, 3]."""
+    def _dispatch(self, ori_window, acc_window):
         ori = jnp.asarray(ori_window).reshape(1, -1, 54)
         acc = jnp.asarray(acc_window).reshape(1, -1, 18)
         assert ori.shape[1] == self.window, (
@@ -154,4 +154,29 @@ class StreamingCascade:
         s1, s2, s3 = self._states
         pose, s1, s2, s3 = self._fn(self.params3, ori, acc, s1, s2, s3)
         self._states = (s1, s2, s3)
-        return np.asarray(pose)
+        return pose
+
+    def step(self, ori_window: np.ndarray,
+             acc_window: np.ndarray) -> np.ndarray:
+        r"""Process one window; returns full local pose [T_w, 24, 3, 3]."""
+        return np.asarray(self._dispatch(ori_window, acc_window))
+
+    def step_async(self, ori_window: np.ndarray,
+                   acc_window: np.ndarray) -> Optional[np.ndarray]:
+        r"""Pipelined streaming: dispatch this window and return the
+        PREVIOUS window's pose (None right after reset). Device execution
+        of window k overlaps the host round-trip of window k-1's result —
+        intended for directly-attached devices where the D2H transfer can
+        overlap compute. NOTE measured through this environment's remote
+        TPU relay it is SLOWER than :meth:`step` (56 vs 38 ms/window — the
+        in-flight execute and transfer RPCs contend on the tunnel); prefer
+        synchronous :meth:`step` there. Call :meth:`flush` after the last
+        window."""
+        pose = self._dispatch(ori_window, acc_window)
+        prev, self._pending = self._pending, pose
+        return None if prev is None else np.asarray(prev)
+
+    def flush(self) -> Optional[np.ndarray]:
+        r"""Return the last dispatched window's pose (pipelined mode)."""
+        prev, self._pending = self._pending, None
+        return None if prev is None else np.asarray(prev)

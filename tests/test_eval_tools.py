@@ -232,3 +232,24 @@ class TestStreamingCascade:
         with np.load(out) as z:
             assert z["pose_000"].shape == (40, 24, 3, 3)
             assert z["pose_001"].shape == (20, 24, 3, 3)
+
+    def test_pipelined_equals_synchronous(self, model):
+        """step_async + flush produce exactly the synchronous poses."""
+        SC, cfg, params3 = self._build(model)
+        rng = np.random.default_rng(9)
+        T, W = 36, 12
+        ori = Rotation.random(T * 6, random_state=8).as_matrix().reshape(
+            T, 54).astype(np.float32)
+        acc = rng.normal(scale=0.5, size=(T, 18)).astype(np.float32)
+
+        sess = SC(params3, cfg, model, window=W)
+        sync = [sess.step(ori[t:t + W], acc[t:t + W])
+                for t in range(0, T, W)]
+        sess.reset()
+        piped = [p for t in range(0, T, W)
+                 if (p := sess.step_async(ori[t:t + W], acc[t:t + W]))
+                 is not None]
+        piped.append(sess.flush())
+        assert len(piped) == len(sync)
+        for a, b in zip(sync, piped):
+            np.testing.assert_allclose(a, b, atol=0)
