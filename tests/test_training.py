@@ -244,6 +244,124 @@ class TestRemat:
         np.testing.assert_allclose(kernels[0], kernels[1], atol=1e-6)
 
 
+class TestTorchTrainingDynamics:
+    """Step-for-step optimizer-dynamics parity with the torch reference
+    (ref: train_a3gc_tp.py:74-84,234-239,287-290): identical converted
+    weights, identical batches, dropout off → the per-step loss trajectory
+    and the post-run weights must agree. Fails if Adam eps/bias-correction,
+    L2 weight-decay placement (torch folds it into the gradient), or the
+    per-epoch ExponentialLR(γ) schedule drift — including the stage-3
+    ``--start_epoch`` scheduler fast-forward."""
+
+    EPOCHS = 3
+    STEPS = 3  # per epoch
+    LR, WD, GAMMA = 1e-3, 1e-4, 0.8
+
+    @staticmethod
+    def _dealias(module):
+        """Clone aliased .t()-view adjacency Parameters (see
+        test_net_parity._dealias_parameters) so torch's in-place Adam
+        updates don't corrupt shared storage."""
+        for m in module.modules():
+            for _, p in m.named_parameters(recurse=False):
+                p.data = p.data.clone()
+
+    def _batches(self, units_in, units_out, n):
+        rng = np.random.default_rng(42)
+        out = []
+        for _ in range(n):
+            x = rng.normal(size=(4, 10, 15, units_in)).astype(np.float32) * .5
+            t = rng.normal(size=(4, 10, 15 * units_out)).astype(np.float32)
+            out.append((x, t))
+        return out
+
+    def _run_torch(self, ref_net, batches, start_epoch):
+        import torch
+        import net_aagc
+        criterion = net_aagc.pose_loss()
+        opt = torch.optim.Adam(ref_net.parameters(), self.LR,
+                               weight_decay=self.WD)
+        sched = torch.optim.lr_scheduler.ExponentialLR(opt, gamma=self.GAMMA)
+        for _ in range(start_epoch):  # ref: train_a3gc_tp.py:287-290
+            sched.step()
+        ref_net.eval()  # dropout off; autograd still flows
+        losses, i = [], 0
+        for _ in range(self.EPOCHS):
+            for _ in range(self.STEPS):
+                x, target = batches[i]
+                i += 1
+                pred, _ = ref_net(torch.from_numpy(x))
+                loss = criterion.forward(pred.reshape(target.shape),
+                                         torch.from_numpy(target))
+                opt.zero_grad()
+                loss.backward()
+                opt.step()
+                losses.append(float(loss))
+            sched.step()  # per-epoch, ref: train_a3gc_tp.py:248
+        return losses
+
+    def _run_ours(self, params, cfg, batches, start_epoch):
+        import optax
+        from a3gc_tpu.models.pipeline import pose_loss, pose_net_forward
+        from a3gc_tpu.train import make_optimizer
+        tc = TrainConfig(lr=self.LR, weight_decay=self.WD,
+                         lr_decay=self.GAMMA, start_epoch=start_epoch)
+        opt = make_optimizer(tc, self.STEPS, params, cfg)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, x, target):
+            def loss_fn(p):
+                pred, _ = pose_net_forward(p, cfg, x)
+                return pose_loss(pred.reshape(target.shape), target)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses = []
+        for x, t in batches[:self.EPOCHS * self.STEPS]:
+            params, opt_state, loss = step(params, opt_state,
+                                           jnp.asarray(x), jnp.asarray(t))
+            losses.append(float(loss))
+        return losses, params
+
+    @pytest.mark.parametrize("stage,start_epoch", [(1, 0), (3, 0), (3, 2)])
+    def test_a3gc_step_dynamics_match_torch(self, stage, start_epoch, nira,
+                                            reference_path):
+        import torch
+        import net_aagc
+        from a3gc_tpu.compat import graph_net_params_from_state_dict
+        units_in = {1: 12, 3: 15}[stage]
+        units_out = {1: 3, 3: 9}[stage]
+        torch.manual_seed(7 + stage)
+        ref = net_aagc.A3GC_net(units_in, units_out, 16,
+                                torch.from_numpy(nira))
+        self._dealias(ref)
+        sd0 = {k: v.detach().cpu().numpy().copy()
+               for k, v in ref.state_dict().items()}
+        params = graph_net_params_from_state_dict(sd0, "a3gc", prefix="")
+        cfg = PoseNetConfig(
+            net=N.GraphNetConfig(cell="a3gc", units_in=units_in,
+                                 units_out=units_out, units_hidden=16),
+            rotsize={1: 3, 3: 9}[stage])
+
+        batches = self._batches(units_in, units_out,
+                                self.EPOCHS * self.STEPS)
+        ref_losses = self._run_torch(ref, batches, start_epoch)
+        our_losses, our_params = self._run_ours(params, cfg, batches,
+                                                start_epoch)
+
+        np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-5)
+        sd_after = {k: v.detach().cpu().numpy()
+                    for k, v in ref.state_dict().items()}
+        ref_after = graph_net_params_from_state_dict(sd_after, "a3gc",
+                                                     prefix="")
+        for ours, theirs in zip(jax.tree_util.tree_leaves(our_params),
+                                jax.tree_util.tree_leaves(ref_after)):
+            np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs),
+                                       atol=2e-5)
+
+
 class TestSchedulerFastForward:
     def test_start_epoch_fast_forwards_lr(self, nira, packed):
         """--start_epoch resumes the per-epoch ExponentialLR where it left
