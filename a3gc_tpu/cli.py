@@ -140,7 +140,7 @@ def cmd_train(args):
                      max_epochs=args.epochs, normalize=args.norm,
                      cda=args.cda, finetuning=args.finetuning,
                      start_stage=args.start_at, start_epoch=args.start_epoch,
-                     seed=args.seed)
+                     seed=args.seed, dtype=args.dtype)
 
     nira = load_adjacency_template()
     stats = _load_stats(args) if args.norm else None
@@ -530,7 +530,16 @@ def build_parser():
     t.add_argument("-b", "--batch_size", type=int, required=True)
     t.add_argument("--lr", type=float, default=1e-3)
     t.add_argument("--weight-decay", "--wd", dest="weight_decay", type=float,
-                   default=0.0)
+                   default=0.0,
+                   help="L2 weight decay folded into the gradient, torch "
+                        "Adam style (default 0.0 = the reference's Adam "
+                        "default, ref: train_a3gc_tp.py:26-27,234-236)")
+    t.add_argument("--dtype", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="compute dtype of the forward/backward pass; "
+                        "bfloat16 keeps fp32 master params and casts "
+                        "params+inputs per step (measured ~2.7x faster "
+                        "training on TPU)")
     t.add_argument("--patience", type=int, default=3)
     t.add_argument("--epochs", type=int, default=500)
     t.add_argument("-f", "--finetuning", action="store_true")

@@ -19,6 +19,7 @@ jit/vmap/pjit-compatible, with dropout active only when an rng is provided.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -107,19 +108,124 @@ def init_graph_net(key, cfg: GraphNetConfig, adjacency) -> GraphNetParams:
     )
 
 
-def _is_ad_tracer(x) -> bool:
-    """True when ``x`` is being differentiated (jvp/grad/linearize trace).
-    The Pallas kernels have no JVP rule, so dispatch must fall back to the
-    XLA scan path under AD. Tracer classes are private jax API; degrade to
-    False (never dispatch differently) if they move."""
-    try:
-        from jax._src.interpreters import ad as _ad
-        types = tuple(t for t in (getattr(_ad, "JVPTracer", None),
-                                  getattr(_ad, "LinearizeTracer", None))
-                      if t is not None)
-        return isinstance(x, types)
-    except Exception:
-        return False
+def _pallas_interpret() -> bool:
+    """Run the Pallas kernels in interpret mode off-TPU (forced
+    ``backend='pallas'`` in CPU tests); compiled Mosaic on TPU."""
+    return jax.devices()[0].platform not in ("tpu", "axon")
+
+
+def _layer_hoisted_lstm(cfg: GraphNetConfig, cell2, x, st, rng_layer,
+                        frame_mask):
+    r"""One bi-LSTM graph layer with the input half of the gate projection
+    hoisted out of the scan — u = x·W_x becomes one [T·B·N, F] × [F, 4H] MXU
+    matmul per direction; only the [B·N, H] × [H, 4H] recurrent half stays
+    sequential."""
+    prec = cfg.matmul_precision
+    rh = None
+    if rng_layer is not None:
+        # input dropout ONCE over [B,T,N,F] == per-step iid masks
+        # (ref: net_aagc.py:180); recurrent dropout stays in-scan
+        rx, rh = jax.random.split(rng_layer)
+        if cfg.dropout > 0:
+            keep = 1.0 - cfg.dropout
+            mask = jax.random.bernoulli(rx, keep, x.shape)
+            x = jnp.where(mask, x / keep, 0.0)
+    F = x.shape[-1]
+    u2 = jnp.einsum("btnf,dfg->dtbng", x, cell2.kernel[:, :F, :],
+                    precision=prec)                     # [2,T,B,N,4H]
+    u2 = jnp.stack((u2[0], u2[1][::-1]))
+
+    def step(p, ut, s, rng=None):
+        return C.gcn_lstm_step_hoisted(
+            p, ut, s, hidden_kernel=p.kernel[F:, :],
+            out_activation="tanh",
+            recurrent_dropout_rate=cfg.recurrent_dropout,
+            rng=rng, precision=prec)
+
+    return L.bi_rnn_precomputed(step, cell2, u2, st, rng=rh,
+                                frame_mask=frame_mask)
+
+
+def _layer_hoisted_ggru(cfg: GraphNetConfig, cell2, x, st, frame_mask):
+    prec = cfg.matmul_precision
+    u2 = jnp.einsum("btnf,dfg->dtbng", x, cell2.w_in,
+                    precision=prec) + cell2.b_in[:, None, None, None, :]
+    u2 = jnp.stack((u2[0], u2[1][::-1]))
+
+    def step(p, ut, s, rng=None):
+        return C.ggru_step_hoisted(p, ut, s, precision=prec)
+
+    return L.bi_rnn_precomputed(step, cell2, u2, st, frame_mask=frame_mask)
+
+
+def _rnn_stack_xla(cfg: GraphNetConfig, rnn1, rnn2, x, state, frame_mask):
+    r"""Both recurrent layers on the hoisted XLA scan path (no dropout —
+    callers with an rng take the in-scan path in graph_net_apply). rnn1's
+    final state seeds rnn2 — reference semantics, see
+    graph_net_zero_state."""
+    if cfg.cell == "ggru":
+        x, state = _layer_hoisted_ggru(cfg, rnn1, x, state, frame_mask)
+        x, state = _layer_hoisted_ggru(cfg, rnn2, x, state, frame_mask)
+    else:
+        x, state = _layer_hoisted_lstm(cfg, rnn1, x, state, None, frame_mask)
+        x, state = _layer_hoisted_lstm(cfg, rnn2, x, state, None, frame_mask)
+    return x, state
+
+
+def _rnn_stack_pallas_impl(cfg: GraphNetConfig, rnn1, rnn2, x, state,
+                           frame_mask):
+    r"""Both recurrent layers as Pallas whole-scan kernels: one kernel
+    launch per layer, weights + recurrent state VMEM-resident (see
+    ops/pallas_gcn_lstm.py). batch-1 always; multi-stream when B·15 rows
+    fit one MXU tile (per-stream lengths via vector n_valid)."""
+    from a3gc_tpu.ops.pallas_gcn_lstm import (
+        bi_gcn_lstm_pallas, bi_gcn_lstm_pallas_dirfused, bi_ggru_pallas)
+    prec = cfg.matmul_precision
+    interp = _pallas_interpret()
+    n_valid = (None if frame_mask is None
+               else jnp.sum(frame_mask, axis=1).astype(jnp.int32))
+    if cfg.cell == "ggru":
+        layer = bi_ggru_pallas
+    elif x.shape[0] == 1:
+        # both directions in one kernel: 2N rows, T grid steps — ~1.6×
+        # the per-layer speed of two single-direction launches
+        layer = bi_gcn_lstm_pallas_dirfused
+    else:
+        layer = bi_gcn_lstm_pallas
+    x, state = layer(rnn1, x, state, n_valid=n_valid, precision=prec,
+                     interpret=interp)
+    x, state = layer(rnn2, x, state, n_valid=n_valid, precision=prec,
+                     interpret=interp)
+    return x, state
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _rnn_stack_pallas(cfg, rnn1, rnn2, x, state, frame_mask):
+    r"""Pallas forward with an XLA-scan backward: the kernels are
+    forward-only (no JVP rule), so the VJP recomputes the forward on the
+    numerically-equivalent hoisted XLA path and differentiates that —
+    gradients through ``backend='pallas'`` equal the XLA gradients
+    exactly."""
+    return _rnn_stack_pallas_impl(cfg, rnn1, rnn2, x, state, frame_mask)
+
+
+def _rnn_stack_pallas_fwd(cfg, rnn1, rnn2, x, state, frame_mask):
+    out = _rnn_stack_pallas_impl(cfg, rnn1, rnn2, x, state, frame_mask)
+    return out, (rnn1, rnn2, x, state, frame_mask)
+
+
+def _rnn_stack_pallas_bwd(cfg, res, cts):
+    rnn1, rnn2, x, state, frame_mask = res
+    _, vjp = jax.vjp(
+        lambda r1, r2, xx, st: _rnn_stack_xla(cfg, r1, r2, xx, st,
+                                              frame_mask),
+        rnn1, rnn2, x, state)
+    g_r1, g_r2, g_x, g_state = vjp(cts)
+    g_mask = None if frame_mask is None else jnp.zeros_like(frame_mask)
+    return g_r1, g_r2, g_x, g_state, g_mask
+
+
+_rnn_stack_pallas.defvjp(_rnn_stack_pallas_fwd, _rnn_stack_pallas_bwd)
 
 
 def graph_net_zero_state(cfg: GraphNetConfig, batch: int, dtype=jnp.float32):
@@ -169,79 +275,27 @@ def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
     # Pallas whole-scan kernel: one kernel launch per layer direction,
     # weights + recurrent state VMEM-resident (see ops/pallas_gcn_lstm.py).
     # batch-1 always; multi-stream when B·15 rows fit one MXU tile
-    # (per-stream lengths supported via vector n_valid)
+    # (per-stream lengths supported via vector n_valid). Differentiable:
+    # _rnn_stack_pallas carries a custom VJP whose backward recomputes on
+    # the XLA scan path.
     B = x.shape[0]
     pallas_ok = (B == 1 or (cfg.cell != "ggru"
                             and B * cfg.num_nodes <= 128))
-    # the kernels are forward-only (no JVP rule): when this apply is being
-    # differentiated (fine-tuning without dropout passes no rng, so `hoist`
-    # alone cannot tell), x is an AD tracer after the params-dependent
-    # linear_in — fall back to the XLA scan path there
     use_pallas = (
-        hoist and pallas_ok and not _is_ad_tracer(x)
+        hoist and pallas_ok
         and (cfg.backend == "pallas"
              or (cfg.backend == "auto"
                  and jax.devices()[0].platform in ("tpu", "axon"))))
     if use_pallas:
-        from a3gc_tpu.ops.pallas_gcn_lstm import (
-            bi_gcn_lstm_pallas, bi_gcn_lstm_pallas_dirfused, bi_ggru_pallas)
-        n_valid = (None if frame_mask is None
-                   else jnp.sum(frame_mask, axis=1).astype(jnp.int32))
-        if cfg.cell == "ggru":
-            layer = bi_ggru_pallas
-        elif B == 1:
-            # both directions in one kernel: 2N rows, T grid steps — ~1.6×
-            # the per-layer speed of two single-direction launches
-            layer = bi_gcn_lstm_pallas_dirfused
-        else:
-            layer = bi_gcn_lstm_pallas
-        x, state = layer(params.rnn1, x, state, n_valid=n_valid,
-                         precision=prec)
-        x, state = layer(params.rnn2, x, state, n_valid=n_valid,
-                         precision=prec)
+        x, state = _rnn_stack_pallas(cfg, params.rnn1, params.rnn2, x,
+                                     state, frame_mask)
         x = C.graph_conv(params.linear_out, x, precision=prec)
         return x, state
 
-    def _layer_hoisted_lstm(cell2, x, st, rng_layer):
-        rh = None
-        if rng_layer is not None:
-            # input dropout ONCE over [B,T,N,F] == per-step iid masks
-            # (ref: net_aagc.py:180); recurrent dropout stays in-scan
-            rx, rh = jax.random.split(rng_layer)
-            if cfg.dropout > 0:
-                keep = 1.0 - cfg.dropout
-                mask = jax.random.bernoulli(rx, keep, x.shape)
-                x = jnp.where(mask, x / keep, 0.0)
-        F = x.shape[-1]
-        u2 = jnp.einsum("btnf,dfg->dtbng", x, cell2.kernel[:, :F, :],
-                        precision=prec)                     # [2,T,B,N,4H]
-        u2 = jnp.stack((u2[0], u2[1][::-1]))
-
-        def step(p, ut, s, rng=None):
-            return C.gcn_lstm_step_hoisted(
-                p, ut, s, hidden_kernel=p.kernel[F:, :],
-                out_activation="tanh",
-                recurrent_dropout_rate=cfg.recurrent_dropout,
-                rng=rng, precision=prec)
-
-        return L.bi_rnn_precomputed(step, cell2, u2, st, rng=rh,
-                                    frame_mask=frame_mask)
-
-    def _layer_hoisted_ggru(cell2, x, st):
-        u2 = jnp.einsum("btnf,dfg->dtbng", x, cell2.w_in,
-                        precision=prec) + cell2.b_in[:, None, None, None, :]
-        u2 = jnp.stack((u2[0], u2[1][::-1]))
-
-        def step(p, ut, s, rng=None):
-            return C.ggru_step_hoisted(p, ut, s, precision=prec)
-
-        return L.bi_rnn_precomputed(step, cell2, u2, st,
-                                    frame_mask=frame_mask)
-
     if cfg.cell == "ggru":
         if hoist:
-            x, state = _layer_hoisted_ggru(params.rnn1, x, state)
-            x, state = _layer_hoisted_ggru(params.rnn2, x, state)
+            x, state = _rnn_stack_xla(cfg, params.rnn1, params.rnn2, x,
+                                      state, frame_mask)
         else:
             step = lambda p, xt, st, **kw: C.ggru_step(p, xt, st,
                                                        precision=prec)
@@ -250,10 +304,8 @@ def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
             x, state = L.bi_rnn(step, params.rnn2, x, state,
                                 frame_mask=frame_mask)
     elif hoist:
-        # rnn1's final state seeds rnn2 — reference semantics, see
-        # graph_net_zero_state
-        x, state = _layer_hoisted_lstm(params.rnn1, x, state, None)
-        x, state = _layer_hoisted_lstm(params.rnn2, x, state, None)
+        x, state = _rnn_stack_xla(cfg, params.rnn1, params.rnn2, x, state,
+                                  frame_mask)
     else:
         def base_step(p, xt, st, rng):
             return C.gcn_lstm_step(
@@ -376,49 +428,13 @@ def dip_zero_state(cfg: DIPConfig, batch: int, dtype=jnp.float32):
     return tuple((z, z) for _ in range(cfg.n_layers))
 
 
-def dip_apply(params: DIPParams, cfg: DIPConfig, x: jnp.ndarray,
-              state=None, rng: Optional[jax.Array] = None,
-              frame_mask: Optional[jnp.ndarray] = None):
-    r"""DIP forward (ref: net_aagc.py:33-38): dropout → linear → relu →
-    stacked biLSTM → linear. x [B, T, F] → ([B, T, n_output], state)."""
+def _dip_stack_xla(cfg: DIPConfig, lstm, x, state, frame_mask):
+    r"""Stacked (bi)LSTM on the XLA scan path, input projection hoisted:
+    u = x·W_ih + b_ih is one big MXU matmul per direction; the LSTM has no
+    per-step dropout so this is valid in training too."""
     prec = cfg.matmul_precision
-    if state is None:
-        state = dip_zero_state(cfg, x.shape[0], x.dtype)
-    if rng is not None and cfg.dropout > 0:
-        keep = 1.0 - cfg.dropout
-        mask = jax.random.bernoulli(rng, keep, x.shape)
-        x = jnp.where(mask, x / keep, 0.0)
-    x = jnp.einsum("btf,fh->bth", x, params.linear1.kernel,
-                   precision=prec) + params.linear1.bias
-    x = jax.nn.relu(x)
-
-    # Pallas whole-scan LSTM — opt-in only: unlike the graph cells (whose
-    # XLA scan body carries an adjacency einsum + attention chain), the dense
-    # LSTM body is a single tiny dot + elementwise, and XLA's fused scan wins
-    # (measured on the tp cascade: 207k frames/s XLA vs 127k Pallas at B=1).
-    use_pallas = (
-        rng is None and cfg.bidirectional and x.shape[0] <= 8
-        and (frame_mask is None or x.shape[0] == 1)
-        and not _is_ad_tracer(x)               # kernels are forward-only
-        and cfg.backend == "pallas")
-    if use_pallas:
-        from a3gc_tpu.ops.pallas_gcn_lstm import bi_lstm_pallas
-        n_valid = (None if frame_mask is None
-                   else jnp.sum(frame_mask[0]).astype(jnp.int32))
-        new_states = []
-        for layer_params, layer_state in zip(params.lstm, state):
-            x, fin = bi_lstm_pallas(layer_params, x, layer_state,
-                                    n_valid=n_valid, precision=prec)
-            new_states.append(fin)
-        y = jnp.einsum("bth,ho->bto", x, params.linear2.kernel,
-                       precision=prec) + params.linear2.bias
-        return y, tuple(new_states)
-
     new_states = []
-    for layer_params, layer_state in zip(params.lstm, state):
-        # hoist the input projection u = x·W_ih + b_ih out of the scan (one
-        # big MXU matmul per direction); the LSTM has no per-step dropout so
-        # this is valid in training too
+    for layer_params, layer_state in zip(lstm, state):
         def step(p, ut, st):
             h, c = st
             z = (ut[:, 0, :] + p.b_hh
@@ -447,7 +463,82 @@ def dip_apply(params: DIPParams, cfg: DIPConfig, x: jnp.ndarray,
                                frame_mask=frame_mask)
         x = y[:, :, 0, :]
         new_states.append(fin)
+    return x, tuple(new_states)
+
+
+def _dip_stack_pallas_impl(cfg: DIPConfig, lstm, x, state, frame_mask):
+    from a3gc_tpu.ops.pallas_gcn_lstm import bi_lstm_pallas
+    prec = cfg.matmul_precision
+    interp = _pallas_interpret()
+    n_valid = (None if frame_mask is None
+               else jnp.sum(frame_mask[0]).astype(jnp.int32))
+    new_states = []
+    for layer_params, layer_state in zip(lstm, state):
+        x, fin = bi_lstm_pallas(layer_params, x, layer_state,
+                                n_valid=n_valid, precision=prec,
+                                interpret=interp)
+        new_states.append(fin)
+    return x, tuple(new_states)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _dip_stack_pallas(cfg, lstm, x, state, frame_mask):
+    r"""Pallas forward with an XLA-scan backward (same contract as
+    _rnn_stack_pallas: the kernels are forward-only, the VJP recomputes on
+    the hoisted XLA path)."""
+    return _dip_stack_pallas_impl(cfg, lstm, x, state, frame_mask)
+
+
+def _dip_stack_pallas_fwd(cfg, lstm, x, state, frame_mask):
+    out = _dip_stack_pallas_impl(cfg, lstm, x, state, frame_mask)
+    return out, (lstm, x, state, frame_mask)
+
+
+def _dip_stack_pallas_bwd(cfg, res, cts):
+    lstm, x, state, frame_mask = res
+    _, vjp = jax.vjp(
+        lambda lp, xx, st: _dip_stack_xla(cfg, lp, xx, st, frame_mask),
+        lstm, x, state)
+    g_lstm, g_x, g_state = vjp(cts)
+    g_mask = None if frame_mask is None else jnp.zeros_like(frame_mask)
+    return g_lstm, g_x, g_state, g_mask
+
+
+_dip_stack_pallas.defvjp(_dip_stack_pallas_fwd, _dip_stack_pallas_bwd)
+
+
+def dip_apply(params: DIPParams, cfg: DIPConfig, x: jnp.ndarray,
+              state=None, rng: Optional[jax.Array] = None,
+              frame_mask: Optional[jnp.ndarray] = None):
+    r"""DIP forward (ref: net_aagc.py:33-38): dropout → linear → relu →
+    stacked biLSTM → linear. x [B, T, F] → ([B, T, n_output], state)."""
+    prec = cfg.matmul_precision
+    if state is None:
+        state = dip_zero_state(cfg, x.shape[0], x.dtype)
+    if rng is not None and cfg.dropout > 0:
+        keep = 1.0 - cfg.dropout
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        x = jnp.where(mask, x / keep, 0.0)
+    x = jnp.einsum("btf,fh->bth", x, params.linear1.kernel,
+                   precision=prec) + params.linear1.bias
+    x = jax.nn.relu(x)
+
+    # Pallas whole-scan LSTM — opt-in only: unlike the graph cells (whose
+    # XLA scan body carries an adjacency einsum + attention chain), the dense
+    # LSTM body is a single tiny dot + elementwise, and XLA's fused scan wins
+    # (measured on the tp cascade: 207k frames/s XLA vs 127k Pallas at B=1).
+    # Differentiable via _dip_stack_pallas's custom VJP.
+    use_pallas = (
+        rng is None and cfg.bidirectional and x.shape[0] <= 8
+        and (frame_mask is None or x.shape[0] == 1)
+        and cfg.backend == "pallas")
+    if use_pallas:
+        x, new_states = _dip_stack_pallas(cfg, params.lstm, x, state,
+                                          frame_mask)
+    else:
+        x, new_states = _dip_stack_xla(cfg, params.lstm, x, state,
+                                       frame_mask)
 
     y = jnp.einsum("bth,ho->bto", x, params.linear2.kernel,
                    precision=prec) + params.linear2.bias
-    return y, tuple(new_states)
+    return y, new_states

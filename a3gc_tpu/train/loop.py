@@ -55,6 +55,18 @@ class TrainState:
     step: jnp.ndarray
 
 
+def _make_caster(train_cfg: TrainConfig):
+    r"""Mixed precision (the reference's --half flag, ref:
+    train_a3gc_tp.py:24-25 — except bf16 and with fp32 master params, which
+    is the TPU-correct version of it): cast fp32 leaves to bf16 for the
+    forward/backward; the optimizer update stays fp32."""
+    if train_cfg.dtype != "bfloat16":
+        return lambda tree: tree
+    return lambda tree: jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, tree)
+
+
 def _adjacency_freeze_mask(params, cfg: PoseNetConfig):
     r"""True = trainable. Freezes the AGC cells' shared adjacency
     (requires_grad=False in the reference, ref: net_aagc.py:238)."""
@@ -159,17 +171,7 @@ class StageRunner:
                      "full_noise_std": train_cfg.full_noise_std})
         noise_kw["rotsize"] = stage_cfg.rotsize if stage == 3 else 9
 
-        # mixed precision (the reference's --half flag, ref:
-        # train_a3gc_tp.py:24-25 — except bf16 and with fp32 master params,
-        # which is the TPU-correct version of it)
-        half = train_cfg.dtype == "bfloat16"
-
-        def _cast(tree):
-            if not half:
-                return tree
-            return jax.tree_util.tree_map(
-                lambda a: a.astype(jnp.bfloat16)
-                if a.dtype == jnp.float32 else a, tree)
+        _cast = _make_caster(train_cfg)
 
         def loss_fn(params, raw, rng):
             rng_noise, rng_drop = jax.random.split(rng)
@@ -267,11 +269,14 @@ class DIPRunner:
                                 opt_state=self.optimizer.init(params),
                                 step=jnp.zeros((), jnp.int32))
         stats = {k: jnp.asarray(v) for k, v in stats.items()}
+        _cast = _make_caster(train_cfg)
 
         def loss_fn(params, raw, rng):
             inputs, target = DP.dip_batch(raw, stats)
-            pred, _ = pose_net_forward(params, stage_cfg, inputs, rng=rng)
-            return pose_loss(pred.reshape(target.shape), target)
+            pred, _ = pose_net_forward(_cast(params), stage_cfg,
+                                       _cast(inputs), rng=rng)
+            return pose_loss(
+                pred.reshape(target.shape).astype(jnp.float32), target)
 
         @jax.jit
         def train_step(state: TrainState, raw, rng):

@@ -259,10 +259,11 @@ def test_dirfused_masked(nira):
 
 
 def test_grad_falls_back_to_xla(nira):
-    """Differentiating through graph_net_apply must NOT select the
-    forward-only Pallas kernels, even with backend='pallas' and no dropout
-    rng (fine-tuning without dropout). Without the JVP-tracer guard this
-    raises NotImplementedError from pallas_call's missing JVP rule."""
+    """Differentiating through graph_net_apply with backend='pallas' and no
+    dropout rng (fine-tuning without dropout) must work: the kernels are
+    forward-only, and _rnn_stack_pallas's custom VJP routes the backward
+    pass through the XLA scan path. Without it this raises
+    NotImplementedError from pallas_call's missing JVP rule."""
     import optax  # noqa: F401  (parity with training imports)
     from a3gc_tpu.models import nets as NN
     from a3gc_tpu.models.pipeline import pose_net_forward, pose_loss, \
@@ -279,6 +280,39 @@ def test_grad_falls_back_to_xla(nira):
         pred, _ = pose_net_forward(p, cfg, x)
         return pose_loss(pred, y)
 
-    g = jax.grad(loss)(params)             # must not hit pallas JVP
+    g = jax.grad(loss)(params)             # custom VJP, not pallas JVP
     assert np.isfinite(float(jax.tree_util.tree_reduce(
         lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)))
+
+
+@pytest.mark.parametrize("cell", ["a3gc", "ggru"])
+def test_grad_through_pallas_equals_xla_grad(nira, cell):
+    """Value equality: grad through backend='pallas' (custom VJP, Pallas
+    forward in interpret mode on CPU) == grad through backend='xla'."""
+    import dataclasses as dc
+    from a3gc_tpu.models import nets as NN
+    from a3gc_tpu.models.pipeline import pose_net_forward, pose_loss, \
+        PoseNetConfig, init_pose_net
+
+    net = NN.GraphNetConfig(cell=cell, units_in=12, units_out=3,
+                            units_hidden=8, backend="pallas")
+    cfg_p = PoseNetConfig(net=net, rotsize=3)
+    cfg_x = PoseNetConfig(net=dc.replace(net, backend="xla"), rotsize=3)
+    params = init_pose_net(jax.random.PRNGKey(0), cfg_p, nira)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 7, 15, 12)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(1, 7, 15, 3)).astype(np.float32))
+
+    def loss(p, cfg):
+        pred, _ = pose_net_forward(p, cfg, x)
+        return pose_loss(pred, y)
+
+    lp, gp = jax.value_and_grad(lambda p: loss(p, cfg_p))(params)
+    lx, gx = jax.value_and_grad(lambda p: loss(p, cfg_x))(params)
+    # primal: pallas vs XLA forward (tiny fp reassociation differences)
+    assert abs(float(lp) - float(lx)) < 1e-5
+    # gradients: identical programs (the custom VJP recomputes on XLA)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

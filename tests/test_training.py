@@ -164,6 +164,36 @@ class TestMixedPrecision:
         # master params stay fp32
         assert runner.state.params.linear_in.kernel.dtype == jnp.float32
 
+    def test_dip_runner_bf16(self, packed):
+        import jax.numpy as jnp
+        from a3gc_tpu.models import nets as N2
+        from a3gc_tpu.models.pipeline import init_pose_net
+        from a3gc_tpu.train.loop import DIPRunner
+        cfg = PoseNetConfig(net=N2.DIPConfig(n_input=60, n_output=135,
+                                             n_hidden=8), rotsize=9)
+        params = init_pose_net(jax.random.PRNGKey(0), cfg)
+        nch = {"ori": 54, "acc": 18}
+        stats = {f"{k}_{s}_channel": (np.zeros(n, np.float32) if s == "mean"
+                                      else np.ones(n, np.float32))
+                 for k, n in nch.items() for s in ("mean", "std")}
+        rng = np.random.default_rng(0)
+        raw = {"ori": rng.normal(size=(2, 8, 54)).astype(np.float32),
+               "acc": rng.normal(size=(2, 8, 18)).astype(np.float32),
+               "pose": rng.normal(size=(2, 8, 135)).astype(np.float32)}
+        tc = TrainConfig(batch_size=2, dtype="bfloat16")
+        runner = DIPRunner(cfg, params, tc, steps_per_epoch=1, stats=stats)
+        state, loss = runner.train_step(runner.state, raw,
+                                        jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+        assert state.params.linear1.kernel.dtype == jnp.float32
+
+    def test_cli_dtype_flag(self):
+        from a3gc_tpu.cli import build_parser
+        args = build_parser().parse_args(
+            ["train", "--model", "a3gc", "-b", "2", "--dtype", "bfloat16",
+             "--train_data", "t.npz", "--valid_data", "v.npz"])
+        assert args.dtype == "bfloat16"
+
 
 class TestR6DTargets:
     def test_stage3_r6d_trains(self, nira, packed):
