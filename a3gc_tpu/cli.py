@@ -162,7 +162,12 @@ def cmd_train(args):
     cascade, is_graph = _stage_configs(
         args, precision=args.precision or "highest")
 
-    mesh = make_mesh() if args.mesh else None
+    mesh = None
+    if args.mesh or args.tp > 1:
+        from a3gc_tpu.config import MeshConfig
+        n = jax.device_count()
+        assert n % args.tp == 0, f"--tp {args.tp} must divide {n} devices"
+        mesh = make_mesh(MeshConfig(data=n // args.tp, model=args.tp))
     runners = {}
     stage_cfgs = {1: cascade.stage1, 2: cascade.stage2, 3: cascade.stage3}
     for stage, scfg in stage_cfgs.items():
@@ -557,6 +562,10 @@ def build_parser():
     t.add_argument("--valid_data", type=str, required=True)
     t.add_argument("--mesh", action="store_true",
                    help="shard the batch over all visible devices")
+    t.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel size: devices per model replica; "
+                        "the gate/feature axis of wide kernels is split "
+                        "over the mesh 'model' axis (implies --mesh)")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("evaluate", help="cascade evaluation")

@@ -193,6 +193,12 @@ class Sampler:
         self.drop_remainder = drop_remainder
         self._rng = np.random.default_rng(seed)
         self.n = len(next(iter(data.values())))
+        if drop_remainder and self.n < batch_size:
+            raise ValueError(
+                f"batch_size {batch_size} exceeds the dataset's "
+                f"{self.n} sequences — every epoch would be empty "
+                f"(loss 0.0). Lower --batch_size or disable "
+                f"drop_remainder.")
 
     def __len__(self) -> int:
         if self.drop_remainder:

@@ -1,6 +1,8 @@
 from a3gc_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
+    param_sharding,
     replicate,
     shard_batch,
+    shard_params,
 )

@@ -25,7 +25,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from a3gc_tpu.config import MeshConfig
 
-__all__ = ["make_mesh", "batch_sharding", "shard_batch", "replicate"]
+__all__ = ["make_mesh", "batch_sharding", "shard_batch", "replicate",
+           "param_sharding", "shard_params"]
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None,
@@ -57,3 +58,28 @@ def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree (params / opt state) over the mesh."""
     sh = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def param_sharding(mesh: Mesh, x) -> NamedSharding:
+    r"""Tensor-parallel placement policy for one parameter array.
+
+    The gate/feature axis is always the LAST axis of our kernels
+    ([in, 4H] gate kernels, [H, H] attention kernels, [F, 3H] GRU input
+    kernels, optionally behind a leading direction axis) and of the
+    matching bias vectors — so TP = split the last axis over ``model``
+    when it divides evenly and is wide enough to be worth it. Everything
+    else (15×15 adjacencies, tiny output projections) is replicated; with
+    ``model=1`` everything is replicated and semantics equal the
+    reference's single device.
+    """
+    m = mesh.shape.get("model", 1)
+    if (m > 1 and hasattr(x, "ndim") and x.ndim >= 2
+            and x.shape[-1] % m == 0 and x.shape[-1] >= 32):
+        return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + ["model"])))
+    return NamedSharding(mesh, P())
+
+
+def shard_params(tree, mesh: Mesh):
+    """Place a params / optimizer-state pytree per ``param_sharding``."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, param_sharding(mesh, x)), tree)

@@ -160,8 +160,17 @@ class StageRunner:
         self.mesh = mesh
         self.optimizer = make_optimizer(train_cfg, steps_per_epoch, params,
                                         stage_cfg)
+        opt_state = self.optimizer.init(params)
+        if mesh is not None:
+            # DP: batch over 'data' (see _put); TP: wide gate/feature
+            # kernels split over 'model' (param_sharding policy) — the
+            # Adam moments follow the same policy since they share the
+            # parameter shapes. XLA inserts the collectives.
+            from a3gc_tpu.parallel import shard_params
+            params = shard_params(params, mesh)
+            opt_state = shard_params(opt_state, mesh)
         self.state = TrainState(params=params,
-                                opt_state=self.optimizer.init(params),
+                                opt_state=opt_state,
                                 step=jnp.zeros((), jnp.int32))
 
         assemble = DP.graph_batch if graph else DP.flat_batch

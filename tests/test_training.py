@@ -151,6 +151,29 @@ class TestShardedTraining:
         p2 = np.asarray(r_single.state.params.linear_in.kernel)
         np.testing.assert_allclose(p1, p2, atol=1e-5)
 
+    def test_tp_sharded_equals_single_device(self, nira, packed):
+        """DP×TP (4×2) mesh: the gate kernels are split over 'model'
+        (param_sharding) and the result must equal single-device training."""
+        from a3gc_tpu.parallel import param_sharding
+        mesh = make_mesh(MeshConfig(data=4, model=2))
+        cfg, params = make_stage(1, nira, hidden=8)   # 4H = 32 splits by 2
+        tc = TrainConfig(batch_size=8, lr=1e-3)
+        r_mesh = StageRunner(1, cfg, params, tc, steps_per_epoch=1, mesh=mesh)
+        # the recurrent gate kernel [2, in+H, 4H] is genuinely TP-sharded
+        spec = param_sharding(mesh, r_mesh.state.params.rnn1.kernel)
+        assert "model" in str(spec.spec)
+        assert not r_mesh.state.params.rnn1.kernel.sharding.is_fully_replicated
+        r_single = StageRunner(1, cfg, params, tc, steps_per_epoch=1)
+        l1 = r_mesh.train_epoch(DP.Sampler(packed, 8, seed=0),
+                                jax.random.PRNGKey(0))
+        l2 = r_single.train_epoch(DP.Sampler(packed, 8, seed=0),
+                                  jax.random.PRNGKey(0))
+        assert abs(l1 - l2) < 1e-4
+        for a, b in zip(jax.tree_util.tree_leaves(r_mesh.state.params),
+                        jax.tree_util.tree_leaves(r_single.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
 
 class TestMixedPrecision:
     def test_bf16_training_step(self, nira, packed):
