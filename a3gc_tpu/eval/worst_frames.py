@@ -56,7 +56,8 @@ def select_extreme_frames(scores: np.ndarray, k: int = 10,
         order = order[::-1]
     chosen: List[int] = []
     for idx in order:
-        if all(abs(int(idx) - c) >= min_separation for c in chosen):
+        # strictly greater, matching ref: get_worst_frames.py:96-99
+        if all(abs(int(idx) - c) > min_separation for c in chosen):
             chosen.append(int(idx))
         if len(chosen) == k:
             break
@@ -90,13 +91,15 @@ def compare_models(model: ParametricModel,
     }
 
     if out_dir:
-        os.makedirs(out_dir, exist_ok=True)
         gt_all = np.concatenate([np.asarray(g).reshape(-1, 24, 3, 3)
                                  for g in gts])
         a_all = np.concatenate([np.asarray(p).reshape(-1, 24, 3, 3)
                                 for p in preds_a])
         b_all = np.concatenate([np.asarray(p).reshape(-1, 24, 3, 3)
                                 for p in preds_b])
+
+        # combined per-criterion payloads (this framework's richer format)
+        os.makedirs(out_dir, exist_ok=True)
         for name, frames in result.items():
             payload = {
                 "frames": frames,
@@ -108,4 +111,25 @@ def compare_models(model: ParametricModel,
             }
             with open(os.path.join(out_dir, f"{name}.p"), "wb") as f:
                 pickle.dump(payload, f)
+
+        # the reference's exact 18-pickle artifact contract
+        # (ref: get_worst_frames.py:123-175):
+        # best_worst/respect_{our,tp,comp}/{worst,best}/{gt,tp,our}.p —
+        # model A is the reference's 'tp', model B its 'our', and 'comp'
+        # ranks by err_tp − err_our (worst = B improves most).
+        contract = {
+            ("respect_our", "worst"): result["b_worst"],
+            ("respect_our", "best"): result["b_best"],
+            ("respect_tp", "worst"): result["a_worst"],
+            ("respect_tp", "best"): result["a_best"],
+            ("respect_comp", "worst"): result["b_improves_most"],
+            ("respect_comp", "best"): result["b_regresses_most"],
+        }
+        for (crit, kind), frames in contract.items():
+            d = os.path.join(out_dir, crit, kind)
+            os.makedirs(d, exist_ok=True)
+            for fname, arr in (("gt.p", gt_all), ("tp.p", a_all),
+                               ("our.p", b_all)):
+                with open(os.path.join(d, fname), "wb") as f:
+                    pickle.dump(arr[frames], f)
     return result

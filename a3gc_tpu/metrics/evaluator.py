@@ -262,7 +262,11 @@ def binary_confusion_matrix(p: jnp.ndarray, t: jnp.ndarray,
 def binary_classification_errors(p: jnp.ndarray, t: jnp.ndarray,
                                  is_after_sigmoid: bool = False) -> jnp.ndarray:
     r"""[3,2] precision/recall/f1 for positive & negative classes
-    (ref: evaluator.py:64-97)."""
+    (ref: evaluator.py:64-97).
+
+    NOTE: zero denominators (a class absent from both pred and target)
+    yield NaN — identical to the reference's torch division semantics on
+    purpose; callers that need a guard should jnp.nan_to_num the result."""
     (tp, fn), (fp, tn) = binary_confusion_matrix(p, t, is_after_sigmoid)
     prec_p = tp / (tp + fp)
     rec_p = tp / (tp + fn)

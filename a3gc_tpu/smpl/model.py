@@ -172,60 +172,47 @@ class ParametricModel:
                     fp.write("f %d %d %d\n" % (f[0], f[1], f[2]))
 
     # ------------------------------------------------------------------
-    # interactive viewers (ref: model.py:276-362) — host-side, optional
-    # vctoolkit/Open3D dependency exactly like the reference
+    # motion viewers — capability parity with the reference's Open3D /
+    # vctoolkit viewers (ref: model.py:276-362), REDESIGNED: a built-in
+    # orthographic software rasterizer (smpl/viewer.py) writes an
+    # animated GIF / PNG artifact instead of opening an interactive
+    # window, so visualization works headless with no optional deps.
     # ------------------------------------------------------------------
-    def view_joint(self, joint_list, fps=60, distance_between_subjects=0.8):
-        r"""Render joint skeletons (ref: model.py:276-309). Requires the
-        optional ``vctoolkit`` package (not bundled)."""
-        import vctoolkit as vc
-        import vctoolkit.viso3d as vo3d
+    def view_joint(self, joint_list, fps=60, distance_between_subjects=0.8,
+                   out_path="motion_joints.gif", size=360):
+        r"""Render joint skeletons side by side (ref: model.py:276-309).
+        Returns the written artifact path."""
+        from a3gc_tpu.smpl.viewer import render_skeleton, save_animation
 
         J = self.n_joints
-        joint_list = [
-            (np.asarray(j).reshape(-1, J, 3)
-             - np.asarray(j).reshape(-1, J, 3)[:1, :1])
-            for j in joint_list]
-        v_list, f_list = [], []
-        f = vc.joints_to_mesh(joint_list[0][0], self.parent)[1]
-        for i, joints in enumerate(joint_list):
-            v = np.stack([vc.joints_to_mesh(frame, self.parent)[0]
-                          for frame in joints])
-            v[:, :, 0] += distance_between_subjects * i
-            v_list.append(v)
-            f_list.append(f.copy())
-            f += v.shape[1]
-        verts = np.concatenate(v_list, axis=1)
-        faces = np.concatenate(f_list)
-        if verts.shape[0] > 1:
-            vo3d.render_sequence_3d(verts, faces, 720, 720, "a.mp4", fps,
-                                    visible=True)
-        else:
-            vo3d.vis_mesh(verts[0], faces)
+        subjects = []
+        for i, j in enumerate(joint_list):
+            j = np.asarray(j).reshape(-1, J, 3)
+            j = j - j[:1, :1]                  # root-align like the ref
+            j = j.copy()
+            j[:, :, 0] += distance_between_subjects * i
+            subjects.append(j)
+        frames = render_skeleton(subjects, self.parent, size=size)
+        return save_animation(frames, out_path, fps=fps)
 
-    def view_mesh(self, vertex_list, fps=60, distance_between_subjects=0.8):
-        r"""Render skinned meshes (ref: model.py:311-340)."""
-        import vctoolkit.viso3d as vo3d
+    def view_mesh(self, vertex_list, fps=60, distance_between_subjects=0.8,
+                  out_path="motion_mesh.gif", size=360):
+        r"""Render skinned meshes side by side (ref: model.py:311-340).
+        Returns the written artifact path."""
+        from a3gc_tpu.smpl.viewer import render_mesh, save_animation
 
-        v_list, f_list = [], []
-        f = np.asarray(self.faces).copy()
-        for i, verts in enumerate(vertex_list):
-            v = np.asarray(verts).reshape(-1, self.n_vertices, 3).copy()
+        subjects = []
+        for i, v in enumerate(vertex_list):
+            v = np.asarray(v).reshape(-1, self.n_vertices, 3).copy()
             v[:, :, 0] += distance_between_subjects * i
-            v_list.append(v)
-            f_list.append(f.copy())
-            f += v.shape[1]
-        verts = np.concatenate(v_list, axis=1)
-        faces = np.concatenate(f_list)
-        if verts.shape[0] > 1:
-            vo3d.render_sequence_3d(verts, faces, 720, 720, "a.mp4", fps,
-                                    visible=True)
-        else:
-            vo3d.vis_mesh(verts[0], faces)
+            subjects.append(v)
+        frames = render_mesh(subjects, np.asarray(self.faces), size=size)
+        return save_animation(frames, out_path, fps=fps)
 
     def view_motion(self, pose_list, tran_list=None, fps=60,
-                    distance_between_subjects=0.8):
-        r"""Render motions by FK+skinning then view_mesh (ref: model.py:342-362)."""
+                    distance_between_subjects=0.8,
+                    out_path="motion.gif", size=360):
+        r"""FK+skinning then view_mesh (ref: model.py:342-362)."""
         verts = []
         for i, pose in enumerate(pose_list):
             pose = jnp.asarray(pose).reshape(-1, self.n_joints, 3, 3)
@@ -235,8 +222,9 @@ class ParametricModel:
                 tran = t - t[:1]
             verts.append(np.asarray(
                 self.forward_kinematics(pose, tran=tran, calc_mesh=True)[2]))
-        self.view_mesh(verts, fps,
-                       distance_between_subjects=distance_between_subjects)
+        return self.view_mesh(
+            verts, fps, distance_between_subjects=distance_between_subjects,
+            out_path=out_path, size=size)
 
     @staticmethod
     def save_unity_motion(pose=None, tran=None, output_dir="saved_motions/"):

@@ -168,15 +168,13 @@ class TestCascadeParity:
         ev = CascadeEvaluator(params3, cfg, model)
         m1, _, _ = ev.evaluate(seqs)
 
-        padded = [{k: (np.pad(v, ((0, 160), (0, 0))) if False else v)
-                   for k, v in seqs[0].items()}]
         # force a bigger bucket by threading a longer warmup
         import a3gc_tpu.eval.run as run_mod
         orig = run_mod.bucket_length
         try:
             run_mod.bucket_length = lambda n, minimum=512: orig(n, minimum)
             ev2 = CascadeEvaluator(params3, cfg, model)
-            m2, _, _ = ev2.evaluate(padded)
+            m2, _, _ = ev2.evaluate(seqs)
         finally:
             run_mod.bucket_length = orig
         np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),

@@ -253,3 +253,33 @@ class TestStreamingCascade:
         assert len(piped) == len(sync)
         for a, b in zip(sync, piped):
             np.testing.assert_allclose(a, b, atol=0)
+
+
+class TestWorstFramesContract:
+    def test_reference_18_pickle_layout(self, model, tmp_path):
+        """compare_models writes the reference's exact artifact set
+        (ref: get_worst_frames.py:123-175): 3 criteria x best/worst x
+        {gt,tp,our}.p = 18 pickles of [k,24,3,3] frame arrays."""
+        import pickle
+        gt = poses(700, seed=4)
+        pa = poses(700, seed=4, noise=0.2)
+        pb = poses(700, seed=4, noise=0.05)
+        out_dir = tmp_path / "best_worst"
+        compare_models(model, [gt], [pa], [pb], k=2, min_separation=100,
+                       out_dir=str(out_dir))
+        n = 0
+        for crit in ("respect_our", "respect_tp", "respect_comp"):
+            for kind in ("worst", "best"):
+                for fname in ("gt.p", "tp.p", "our.p"):
+                    p = out_dir / crit / kind / fname
+                    assert p.exists(), p
+                    arr = pickle.load(open(p, "rb"))
+                    assert arr.shape == (2, 24, 3, 3)
+                    n += 1
+        assert n == 18
+        # respect_comp/worst must hold the frames where B improves most:
+        # its gt rows equal gt at those indices
+        with open(out_dir / "b_improves_most.p", "rb") as f:
+            payload = pickle.load(f)
+        comp_gt = pickle.load(open(out_dir / "respect_comp/worst/gt.p", "rb"))
+        np.testing.assert_allclose(comp_gt, payload["gt"], atol=0)

@@ -124,3 +124,39 @@ class TestBatchAlias:
                                            batch_size=2)
         for x, y in zip(a, b):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=0)
+
+
+class TestViewers:
+    """The built-in software-rasterizer viewers (redesign of the
+    reference's Open3D/vctoolkit viewers, ref: model.py:276-362) must
+    produce real image artifacts headless."""
+
+    def test_view_joint_writes_gif(self, model, tmp_path):
+        pose = jnp.asarray(random_pose(3, seed=1, scale=0.2))
+        _, joints = model.forward_kinematics(pose)
+        out = model.view_joint([np.asarray(joints), np.asarray(joints)],
+                               out_path=str(tmp_path / "j.gif"), size=96)
+        from PIL import Image
+        im = Image.open(out)
+        assert im.size == (96, 96) and getattr(im, "n_frames", 1) == 3
+
+    def test_view_motion_writes_mesh_gif(self, model, tmp_path):
+        pose = random_pose(2, seed=2, scale=0.1)
+        out = model.view_motion([pose], out_path=str(tmp_path / "m.gif"),
+                                size=96)
+        from PIL import Image
+        import numpy as _np
+        im = Image.open(out)
+        assert getattr(im, "n_frames", 1) == 2
+        # the mesh must actually rasterize: frame is not blank white
+        frame = _np.asarray(im.convert("RGB"))
+        assert (frame < 250).any()
+
+    def test_single_frame_png(self, model, tmp_path):
+        from a3gc_tpu.smpl.viewer import render_skeleton, save_animation
+        pose = jnp.asarray(random_pose(1, seed=3, scale=0.2))
+        _, joints = model.forward_kinematics(pose)
+        frames = render_skeleton(np.asarray(joints), model.parent, size=64)
+        out = save_animation(frames, str(tmp_path / "f.png"))
+        from PIL import Image
+        assert Image.open(out).size == (64, 64)
