@@ -138,17 +138,19 @@ class CascadeEvaluator:
                 pose_p = pose_p.at[:, :, ign].set(eye)
                 pose_t = pose_t_full.at[:, :, ign].set(eye)
 
-                def one(pp, tt, nv):
+                def one(args):
+                    pp, tt, nv = args
                     errs = full_motion_metrics(
                         self.model, pp, tt, n_valid=nv, fps=fps,
                         joint_mask=JS.sip_joints)
                     return jnp.stack((errs[9], errs[3], errs[0] * 100,
                                       errs[10] / 1000, errs[4] / 100))
 
-                # static loop instead of vmap: vmapping the metrics einsums
-                # trips an XLA hlo-verifier bug on this toolchain; S is small
-                return jnp.stack([one(pose_p[i], pose_t[i], n_valid[i])
-                                  for i in range(S)])
+                # lax.map (a scan), not vmap: vmapping the metrics einsums
+                # trips an XLA hlo-verifier bug on this toolchain, and a
+                # python loop would retrace the metric suite S times —
+                # compile time must stay flat as streams scale to 32+
+                return jax.lax.map(one, (pose_p, pose_t, n_valid))
 
             return _run_b
 

@@ -274,13 +274,15 @@ def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
 
     # Pallas whole-scan kernel: one kernel launch per layer direction,
     # weights + recurrent state VMEM-resident (see ops/pallas_gcn_lstm.py).
-    # batch-1 always; multi-stream when B·15 rows fit one MXU tile
-    # (per-stream lengths supported via vector n_valid). Differentiable:
+    # batch-1 always; multi-stream up to B·15 ≤ 512 rows (streams are
+    # padded to chunks of 8 and graph-mixed per ≤128-row MXU tile;
+    # per-stream lengths via vector n_valid). Past that the hoisted XLA
+    # scan's batched matmuls are MXU-efficient on their own. Differentiable:
     # _rnn_stack_pallas carries a custom VJP whose backward recomputes on
     # the XLA scan path.
     B = x.shape[0]
     pallas_ok = (B == 1 or (cfg.cell != "ggru"
-                            and B * cfg.num_nodes <= 128))
+                            and B * cfg.num_nodes <= 512))
     use_pallas = (
         hoist and pallas_ok
         and (cfg.backend == "pallas"

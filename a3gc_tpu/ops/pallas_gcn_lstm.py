@@ -24,7 +24,6 @@ Numerics match cells.gcn_lstm_step_hoisted: same op order, fp32.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Optional
 
@@ -39,10 +38,10 @@ __all__ = ["gcn_lstm_scan_pallas", "bi_gcn_lstm_pallas",
            "ggru_scan_pallas", "bi_ggru_pallas", "bi_gcn_lstm_pallas_dirfused"]
 
 
-def _kernel(nvalid_ref,                       # scalar prefetch [1]
+def _kernel(nvalid_ref,                       # scalar prefetch [B]
             u_ref,                            # [U, R, 4H] per-block input proj
             wh_ref,                           # [H, 4H]
-            adj_ref,                          # [4, R, R] (block-diag when B>1)
+            adj_ref,                          # [4, Rc, Rc] chunk block-diag
             bias_ref,                         # [4, H]
             h0_ref, c0_ref,                   # [R, H] initial state
             aw_ref, awq_ref, awh_ref,         # [H, H] attention mats
@@ -51,11 +50,13 @@ def _kernel(nvalid_ref,                       # scalar prefetch [1]
             abu_ref,                          # [R, 1]
             seg_ref,                          # [B, R] stream-membership 0/1
             segT_ref,                         # [R, B]
+            nvf_ref,                          # [B, 1] per-stream n_valid (f32)
             out_ref,                          # [U, R, H]
             hfin_ref, cfin_ref,               # [R, H] final state
             h_scr, c_scr,                     # VMEM scratch [R, H]
             *, T: int, H: int, U: int, reverse: bool, attention: bool,
-            out_tanh: bool, precision=jax.lax.Precision.HIGHEST):
+            out_tanh: bool, n_chunks: int = 1,
+            precision=jax.lax.Precision.HIGHEST):
     t = pl.program_id(0)
     n_blocks = T // U
 
@@ -68,7 +69,7 @@ def _kernel(nvalid_ref,                       # scalar prefetch [1]
     c = c_scr[:]
     hi = precision
     n_streams = seg_ref.shape[0]
-    rows_per_stream = h_scr.shape[0] // n_streams
+    Rc = adj_ref.shape[1]         # rows per chunk (= R when n_chunks == 1)
 
     # U frames per grid step (statically unrolled) to amortize grid/DMA
     # bookkeeping over multiple tiny recurrent steps
@@ -79,19 +80,35 @@ def _kernel(nvalid_ref,                       # scalar prefetch [1]
                                   preferred_element_type=jnp.float32,
                                   precision=hi)
 
-        # per-gate graph mix + bias + nonlinearity, gate order i,f,g,o
-        def gate(g):
-            zg = z[:, g * H:(g + 1) * H]                  # [N, H]
-            return jnp.dot(adj_ref[g], zg,
-                           preferred_element_type=jnp.float32,
-                           precision=hi) + bias_ref[g]
+        # Per-gate graph mix + bias + nonlinearity, gate order i,f,g,o.
+        # When R exceeds one MXU row tile, the block-diagonal adjacency is
+        # applied per chunk of streams (static sublane-aligned row slices):
+        # the same [Rc, Rc] chunk block-diag multiplies every chunk, so the
+        # MXU never touches the off-diagonal zeros a dense [R, R] expansion
+        # would carry (R/Rc fewer passes).
+        hy_parts, c_parts = [], []
+        for ci in range(n_chunks):
+            zc = z[ci * Rc:(ci + 1) * Rc] if n_chunks > 1 else z
+            cc = c[ci * Rc:(ci + 1) * Rc] if n_chunks > 1 else c
 
-        i = jax.nn.sigmoid(gate(0))
-        f = jax.nn.sigmoid(gate(1))
-        g_ = jnp.tanh(gate(2))
-        o = jax.nn.sigmoid(gate(3))
-        c_new = f * c + i * g_
-        hy = o * jnp.tanh(c_new)
+            def gate(g):
+                zg = zc[:, g * H:(g + 1) * H]             # [Rc, H]
+                return jnp.dot(adj_ref[g], zg,
+                               preferred_element_type=jnp.float32,
+                               precision=hi) + bias_ref[g]
+
+            i = jax.nn.sigmoid(gate(0))
+            f = jax.nn.sigmoid(gate(1))
+            g_ = jnp.tanh(gate(2))
+            o = jax.nn.sigmoid(gate(3))
+            c_new_c = f * cc + i * g_
+            hy_parts.append(o * jnp.tanh(c_new_c))
+            c_parts.append(c_new_c)
+        if n_chunks == 1:
+            c_new, hy = c_parts[0], hy_parts[0]
+        else:
+            c_new = jnp.concatenate(c_parts, axis=0)
+            hy = jnp.concatenate(hy_parts, axis=0)
 
         if attention:
             hyw = jnp.dot(hy, aw_ref[:], preferred_element_type=jnp.float32,
@@ -133,14 +150,17 @@ def _kernel(nvalid_ref,                       # scalar prefetch [1]
             h = jnp.where(valid, hy, h)
             c = jnp.where(valid, c_new, c)
         else:
-            # float masks, not bool: Mosaic rejects the i1 vreg concat that
-            # a bool mask lowers to once the dots run at non-HIGHEST
-            # precision ("Invalid vector register cast")
-            valid_rows = jnp.concatenate([
-                jnp.full((rows_per_stream, 1),
-                         (frame < nvalid_ref[b]).astype(jnp.float32),
-                         dtype=jnp.float32)
-                for b in range(n_streams)])
+            # Per-stream float 0/1 validity, broadcast onto rows through the
+            # stream-membership matrix (one [R,B]x[B,1] dot — exact at any
+            # precision since each row sums a single 0/1 term). Arithmetic
+            # masks, not bool: Mosaic rejects i1 vreg casts/concats at
+            # non-HIGHEST dot precision ("Invalid vector register cast").
+            frame_f = frame.astype(jnp.float32) if hasattr(
+                frame, "astype") else jnp.float32(frame)
+            valid_col = jnp.clip(nvf_ref[:] - frame_f, 0.0, 1.0)  # [B, 1]
+            valid_rows = jnp.dot(segT_ref[:], valid_col,
+                                 preferred_element_type=jnp.float32,
+                                 precision=hi)                    # [R, 1]
             h = hy * valid_rows + h * (1.0 - valid_rows)
             c = c_new * valid_rows + c * (1.0 - valid_rows)
         out_ref[step] = jnp.tanh(h) if out_tanh else h
@@ -167,11 +187,15 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
     :param u: hoisted input projections [T, R, 4H] (= x·W_x, in FORWARD frame
         order; the kernel itself reverses its walk when ``reverse``). For
         multi-stream serving R = B·N rows (streams stacked on the node axis);
-        ``p.adj`` must then be the [4, R, R] block-diagonal expansion and
-        attention biases row-tiled — see ``bi_gcn_lstm_pallas``.
+        ``p.adj`` stays the base [4, N, N] — this function builds the
+        chunk-sized block-diagonal expansion (streams are mixed per chunk of
+        ≤128 rows so the MXU never multiplies off-diagonal zeros) and
+        row-tiles the attention biases.
     :param h0, c0: initial state [R, H].
     :param n_valid: frames < n_valid are real; others carry state through.
-    :param n_streams: B (rows per stream = R // B).
+    :param n_streams: B (rows per stream = R // B). When B·N exceeds one MXU
+        row tile, B must be divisible into chunks of ≤128 rows (callers pad
+        B to a multiple of 8 — see ``bi_gcn_lstm_pallas``).
     :return: (outputs [T, R, H] in forward frame order, (h_fin, c_fin)).
     """
     T, R, G = u.shape
@@ -183,7 +207,20 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
     else:
         nvalid = jnp.broadcast_to(
             jnp.asarray(n_valid, jnp.int32).reshape(-1), (n_streams,))
-    # stream-membership matrices for the attention segment sums
+    nvf = nvalid.astype(jnp.float32).reshape(n_streams, 1)
+    # streams per chunk: largest divisor of B whose rows fit one MXU tile
+    spc = max(k for k in range(1, n_streams + 1)
+              if n_streams % k == 0 and k * N <= 128)
+    n_chunks = n_streams // spc
+    # chunk block-diagonal adjacency (identity when spc == 1)
+    if spc == 1:
+        adj = p.adj
+    else:
+        eyec = jnp.eye(spc, dtype=u.dtype)
+        adj = jnp.einsum("bc,knm->kbncm", eyec, p.adj).reshape(
+            4, spc * N, spc * N)
+    # stream-membership matrices for the attention segment sums and the
+    # per-stream validity broadcast
     eyeb = jnp.eye(n_streams, dtype=u.dtype)
     seg = jnp.repeat(eyeb, N, axis=1)                      # [B, R]
     segT = seg.T                                           # [R, B]
@@ -234,6 +271,7 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
             vmem_full(),            # abs
             vmem_full(),            # abu
             vmem_full(), vmem_full(),   # seg, segT
+            vmem_full(),            # nvf
         ],
         out_specs=[
             pl.BlockSpec((U, R, H), u_index_map, memory_space=pltpu.VMEM),
@@ -247,7 +285,7 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
 
     kernel = functools.partial(_kernel, T=T, H=H, U=U, reverse=reverse,
                                attention=attention, out_tanh=out_tanh,
-                               precision=precision)
+                               n_chunks=n_chunks, precision=precision)
     wh = p.kernel[-H:, :]     # recurrent half of the fused kernel
     outs, hfin, cfin = pl.pallas_call(
         kernel,
@@ -258,8 +296,8 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
             jax.ShapeDtypeStruct((R, H), jnp.float32),
         ],
         interpret=interpret,
-    )(nvalid, u, wh, p.adj, p.bias, h0, c0, aw, awq, awh, au, abs_, abu,
-      seg, segT)
+    )(nvalid, u, wh, adj, p.bias, h0, c0, aw, awq, awh, au, abs_, abu,
+      seg, segT, nvf)
     return outs, (hfin, cfin)
 
 
@@ -278,46 +316,53 @@ def bi_gcn_lstm_pallas(params2, x: jnp.ndarray, state2, *,
     single-direction-sized body — same runtime, half the compiles).
 
     Batched streams: for B > 1 the B sequences are folded onto the row axis
-    (R = B·15 ≤ 128 rows feeds a full MXU tile), the adjacency becomes
-    block-diagonal, and the attention's per-stream node sums go through
+    (streams stacked on the node axis), the adjacency becomes block-diagonal
+    per ≤128-row chunk, and the attention's per-stream node sums go through
     segment matrices — one kernel serves B independent streams per step.
+    Past 8 streams (B·15 > 128 rows) B is padded to a multiple of 8 with
+    dummy streams whose n_valid is 0 (their state never updates), so any
+    stream count works; the kernel mixes 8-stream chunks sequentially.
     """
     B, T, N, F = x.shape
     h2, c2 = state2
 
+    # pad streams so each adjacency chunk fills (at most) one MXU row tile
+    Bk = B if B * N <= 128 else -(-B // 8) * 8
+    if n_valid is None:
+        n_valid = jnp.full((B,), T, jnp.int32)
+    nvalid = jnp.broadcast_to(
+        jnp.asarray(n_valid, jnp.int32).reshape(-1), (B,))
+    if Bk != B:
+        x = jnp.pad(x, [(0, Bk - B)] + [(0, 0)] * 3)
+        pad_s = [(0, 0), (0, Bk - B), (0, 0), (0, 0)]   # [2, B, N, H]
+        h2 = jnp.pad(h2, pad_s)
+        c2 = jnp.pad(c2, pad_s)
+        nvalid = jnp.pad(nvalid, (0, Bk - B))   # dummy streams: 0 frames
+
     # hoisted input projection for both directions: one big MXU matmul
-    # [B,T,N,F] → [2,T,B·N,4H]
+    # [Bk,T,N,F] → [2,T,Bk·N,4H]
     u2 = jnp.einsum("btnf,dfg->dtbng", x, params2.kernel[:, :F, :],
                     precision=precision)
     G = u2.shape[-1]
-    u2 = u2.reshape(2, T, B * N, G)
+    u2 = u2.reshape(2, T, Bk * N, G)
 
-    def expand(p):
-        if B == 1:
-            return p
-        # block-diagonal adjacency over streams
-        eyeb = jnp.eye(B, dtype=x.dtype)
-        adj = jnp.einsum("bc,knm->kbncm", eyeb, p.adj).reshape(
-            4, B * N, B * N)
-        return dataclasses.replace(p, adj=adj)
-
-    p_f = expand(jax.tree_util.tree_map(lambda a: a[0], params2))
-    p_b = expand(jax.tree_util.tree_map(lambda a: a[1], params2))
-    h2r = h2.reshape(2, B * N, -1)
-    c2r = c2.reshape(2, B * N, -1)
+    p_f = jax.tree_util.tree_map(lambda a: a[0], params2)
+    p_b = jax.tree_util.tree_map(lambda a: a[1], params2)
+    h2r = h2.reshape(2, Bk * N, -1)
+    c2r = c2.reshape(2, Bk * N, -1)
     out_f, (hf, cf) = gcn_lstm_scan_pallas(
-        p_f, u2[0], h2r[0], c2r[0], reverse=False, n_valid=n_valid,
-        out_tanh=out_tanh, interpret=interpret, n_streams=B,
+        p_f, u2[0], h2r[0], c2r[0], reverse=False, n_valid=nvalid,
+        out_tanh=out_tanh, interpret=interpret, n_streams=Bk,
         precision=precision)
     out_b, (hb, cb) = gcn_lstm_scan_pallas(
-        p_b, u2[1], h2r[1], c2r[1], reverse=True, n_valid=n_valid,
-        out_tanh=out_tanh, interpret=interpret, n_streams=B,
+        p_b, u2[1], h2r[1], c2r[1], reverse=True, n_valid=nvalid,
+        out_tanh=out_tanh, interpret=interpret, n_streams=Bk,
         precision=precision)
     H = out_f.shape[-1]
-    y = jnp.concatenate((out_f, out_b), axis=-1)      # [T, B·N, 2H]
-    y = y.reshape(T, B, N, 2 * H).swapaxes(0, 1)      # [B, T, N, 2H]
-    new_h = jnp.stack((hf, hb)).reshape(2, B, N, H)
-    new_c = jnp.stack((cf, cb)).reshape(2, B, N, H)
+    y = jnp.concatenate((out_f, out_b), axis=-1)      # [T, Bk·N, 2H]
+    y = y.reshape(T, Bk, N, 2 * H).swapaxes(0, 1)[:B]  # [B, T, N, 2H]
+    new_h = jnp.stack((hf, hb)).reshape(2, Bk, N, H)[:, :B]
+    new_c = jnp.stack((cf, cb)).reshape(2, Bk, N, H)[:, :B]
     return y, (new_h, new_c)
 
 

@@ -1,14 +1,23 @@
-"""Benchmark: A3GC-TP streaming cascade inference throughput on one chip.
+"""Benchmark + on-chip numerics check for the A3GC-TP cascade.
 
-Measures end-to-end pose frames/sec/chip of the flagship A3GC 3-stage
-cascade (IMU -> leaf pos -> all pos -> rotations -> IK), the quantity the
-reference reports as "offline time" over the test sets
+Default mode measures end-to-end pose frames/sec/chip of the flagship A3GC
+3-stage cascade (IMU -> leaf pos -> all pos -> rotations -> IK), the
+quantity the reference reports as "offline time" over the test sets
 (ref: evaluate_a3gc_tp.py:152-186) and the BASELINE.md north-star metric
-(target: >= 10,000 frames/sec/chip on TPU v5e).
+(target: >= 10,000 frames/sec/chip on TPU v5e). Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline"}.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Parameterized so the README's measured table regenerates mechanically:
+    python bench.py --model {a3gc,aagc,agc,ggru,tp} \
+                    --batch_streams N --precision {default,highest}
+
+`--check` runs each Pallas whole-scan kernel against the XLA scan path ON
+THE CHIP (not interpret mode) — with the reference's shipped trained
+checkpoints where available — and writes the max-abs-delta table to
+KERNEL_CHECK.json, making the "numerics match on chip" claim reproducible.
 """
 
+import argparse
 import json
 import os
 import time
@@ -16,29 +25,35 @@ import time
 import numpy as np
 
 BASELINE_FPS = 10_000.0  # north star, BASELINE.md
+TRAINED = "/root/reference/trained_models"
 
 
-def main():
+def run_throughput(args):
     import jax
+    import jax.numpy as jnp
 
     # NOTE: jax's persistent compilation cache is intentionally NOT enabled —
     # combined with this environment's remote-compile PJRT tunnel it stalls
     # compilation (observed >15 min vs ~6 min without). Cold bench ≈ 6 min.
 
-    import jax.numpy as jnp
-
     from __graft_entry__ import _flagship
     from a3gc_tpu.models.pipeline import cascade_apply
 
     # reference-default hidden sizes (ref: train_a3gc_tp.py:28-33)
-    # streaming eval = full sequences at batch 1 (ref: evaluate_a3gc_tp.py:164)
-    seq_len = 2048
-    cfg, params3, model, _ = _flagship(hidden=(256, 64, 128),
-                                       seq_len=seq_len, batch=1)
+    # streaming eval = full sequences (ref: evaluate_a3gc_tp.py:164);
+    # --batch_streams folds B independent sequences onto the kernel row axis
+    seq_len = args.seq_len
+    B = args.batch_streams
+    cfg, params3, model, _ = _flagship(
+        hidden=(256, 64, 128), seq_len=seq_len, batch=B,
+        model_name=args.model, precision=args.precision)
 
     rng = np.random.default_rng(0)
-    imu = jnp.asarray(
-        rng.normal(scale=0.5, size=(1, seq_len, 15, 12)).astype(np.float32))
+    if cfg.is_graph:
+        shape = (B, seq_len, 15, 12)
+    else:
+        shape = (B, seq_len, 72)
+    imu = jnp.asarray(rng.normal(scale=0.5, size=shape).astype(np.float32))
 
     fwd = jax.jit(lambda p, x: cascade_apply(p, cfg, model, x))
 
@@ -56,20 +71,153 @@ def main():
 
     # steady-state timing (cheap per-iter vs the one-off compile; more
     # iterations damp run-to-run variance of the relay-attached chip)
-    iters = 32
+    iters = args.iters
     t0 = time.perf_counter()
     for _ in range(iters - 1):
         fwd(params3, imu)
     run_sync()
     dt = time.perf_counter() - t0
 
-    frames_per_sec = seq_len * iters / dt
+    frames_per_sec = seq_len * B * iters / dt
+    if args.model == "a3gc" and B == 1:
+        metric = "a3gc_tp_streaming_pose_frames_per_sec_per_chip"
+    else:
+        metric = (f"{args.model}_cascade_frames_per_sec_per_chip"
+                  + (f"_b{B}" if B > 1 else ""))
     print(json.dumps({
-        "metric": "a3gc_tp_streaming_pose_frames_per_sec_per_chip",
+        "metric": metric,
         "value": round(frames_per_sec, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(frames_per_sec / BASELINE_FPS, 3),
     }))
+
+
+def _trained_graph_params(ckpt, cell):
+    from a3gc_tpu.compat.torch_import import (
+        graph_net_params_from_state_dict, load_torch_checkpoint)
+    sd = load_torch_checkpoint(os.path.join(TRAINED, ckpt))
+    return graph_net_params_from_state_dict(sd, cell)
+
+
+def _trained_dip_params(ckpt):
+    from a3gc_tpu.compat.torch_import import (
+        dip_params_from_state_dict, load_torch_checkpoint)
+    sd = load_torch_checkpoint(os.path.join(TRAINED, ckpt))
+    return dip_params_from_state_dict(sd)
+
+
+def run_check(args):
+    """Pallas-vs-XLA max-abs output delta per kernel family, on the chip."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from a3gc_tpu.data import load_adjacency_template
+    from a3gc_tpu.models import nets as N
+
+    nira = load_adjacency_template()
+    have_ckpts = os.path.isdir(TRAINED)
+    rng = np.random.default_rng(0)
+    results = {"device": jax.devices()[0].platform,
+               "trained_checkpoints": have_ckpts, "cases": []}
+
+    def graph_case(name, cell, units, params, B, T, precision):
+        units_in, units_out, hidden = units
+        net = N.GraphNetConfig(cell=cell, units_in=units_in,
+                               units_out=units_out, units_hidden=hidden,
+                               precision=precision, backend="pallas")
+        trained = params is not None
+        if params is None:
+            params = N.init_graph_net(jax.random.PRNGKey(1), net, nira)
+        x = jnp.asarray(rng.normal(
+            size=(B, T, 15, units_in)).astype(np.float32) * 0.5)
+        y_p, _ = jax.jit(
+            lambda p, xx: N.graph_net_apply(p, net, xx))(params, x)
+        net_x = dc.replace(net, backend="xla")
+        y_x, _ = jax.jit(
+            lambda p, xx: N.graph_net_apply(p, net_x, xx))(params, x)
+        delta = float(np.abs(np.asarray(y_p) - np.asarray(y_x)).max())
+        scale = float(np.abs(np.asarray(y_x)).max())
+        results["cases"].append({
+            "case": name, "cell": cell, "batch_streams": B, "frames": T,
+            "precision": precision, "trained": trained,
+            "max_abs_delta": delta, "out_max_abs": scale})
+        print(f"  {name:<42s} max|Δ| = {delta:.3e}  (|y|max {scale:.2f})")
+
+    def dip_case(name, sizes, params, T, precision):
+        n_in, n_out, hidden = sizes
+        net = N.DIPConfig(n_input=n_in, n_output=n_out, n_hidden=hidden,
+                          precision=precision, backend="pallas")
+        trained = params is not None
+        if params is None:
+            params = N.init_dip(jax.random.PRNGKey(1), net)
+        x = jnp.asarray(rng.normal(
+            size=(1, T, n_in)).astype(np.float32) * 0.5)
+        y_p, _ = jax.jit(lambda p, xx: N.dip_apply(p, net, xx))(params, x)
+        net_x = dc.replace(net, backend="xla")
+        y_x, _ = jax.jit(lambda p, xx: N.dip_apply(p, net_x, xx))(params, x)
+        delta = float(np.abs(np.asarray(y_p) - np.asarray(y_x)).max())
+        scale = float(np.abs(np.asarray(y_x)).max())
+        results["cases"].append({
+            "case": name, "cell": "lstm", "batch_streams": 1, "frames": T,
+            "precision": precision, "trained": trained,
+            "max_abs_delta": delta, "out_max_abs": scale})
+        print(f"  {name:<42s} max|Δ| = {delta:.3e}  (|y|max {scale:.2f})")
+
+    a3gc_p = (_trained_graph_params(
+        "A3GC/checkpoint_model3_finetuning_8.tar", "a3gc")
+        if have_ckpts else None)
+    ggru_p = (_trained_graph_params(
+        "G-GRU/checkpoint_model3_finetuning_22.tar", "ggru")
+        if have_ckpts else None)
+    tp_p = (_trained_dip_params("Transpose/checkpoint_model3_finetuning_8.tar")
+            if have_ckpts else None)
+
+    for prec in args.precisions.split(","):
+        print(f"[check] precision={prec}")
+        graph_case(f"a3gc_model3_b1_{prec}", "a3gc", (15, 9, 128),
+                   a3gc_p, 1, args.seq_len, prec)
+        graph_case(f"a3gc_model3_b16_chunked_{prec}", "a3gc", (15, 9, 128),
+                   a3gc_p, 16, args.seq_len // 2, prec)
+        graph_case(f"ggru_model3_b1_{prec}", "ggru", (15, 9, 128),
+                   ggru_p, 1, args.seq_len, prec)
+        dip_case(f"tp_model3_b1_{prec}", (141, 135, 128),
+                 tp_p, args.seq_len, prec)
+    # the attention-free kernel specialization (AAGC cell), random init
+    graph_case("aagc_random_b1_highest", "aagc", (15, 9, 128),
+               None, 1, args.seq_len, "highest")
+
+    with open(args.check_out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"metric": "pallas_vs_xla_max_abs_delta",
+                      "value": max(c["max_abs_delta"]
+                                   for c in results["cases"]),
+                      "unit": "abs", "vs_baseline": 0}))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="a3gc",
+                    choices=("a3gc", "aagc", "agc", "ggru", "tp"))
+    ap.add_argument("--batch_streams", type=int, default=1,
+                    help="independent sequences folded onto the kernel row "
+                         "axis (serving mode)")
+    ap.add_argument("--seq_len", type=int, default=2048)
+    ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--precision", choices=("default", "highest"),
+                    default="default")
+    ap.add_argument("--check", action="store_true",
+                    help="on-chip Pallas-vs-XLA numerics check instead of "
+                         "the throughput benchmark")
+    ap.add_argument("--check_out", default="KERNEL_CHECK.json")
+    ap.add_argument("--precisions", default="default,highest",
+                    help="comma list for --check")
+    args = ap.parse_args()
+    if args.check:
+        run_check(args)
+    else:
+        run_throughput(args)
 
 
 if __name__ == "__main__":

@@ -191,3 +191,14 @@ class TestBatchedEvaluator:
         m_bat, _, f_bat = ev.evaluate_batched(seqs, streams=4)
         assert f_seq == f_bat
         np.testing.assert_allclose(m_bat, m_seq, rtol=1e-4, atol=1e-3)
+
+    def test_wide_stream_group(self, setup):
+        """streams=16 (metrics via one lax.map trace, not a per-stream
+        unroll; group padded with empty slots) == per-sequence results."""
+        _, params3, cfg, model, _ = setup
+        seqs = synth_sequences([90, 40, 61], seed=9)
+        ev = CascadeEvaluator(params3, cfg, model)
+        m_seq, _, f_seq = ev.evaluate(seqs)
+        m_bat, _, f_bat = ev.evaluate_batched(seqs, streams=16)
+        assert f_seq == f_bat
+        np.testing.assert_allclose(m_bat, m_seq, rtol=1e-4, atol=1e-3)

@@ -316,3 +316,50 @@ def test_grad_through_pallas_equals_xla_grad(nira, cell):
     for a, b in zip(jax.tree_util.tree_leaves(gp),
                     jax.tree_util.tree_leaves(gx)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_many_streams_chunked_match_xla(nira):
+    """B > 8 (rows past one MXU tile): streams are padded to a multiple of
+    8 and graph-mixed per 128-row chunk — results must still equal the XLA
+    scan stream-for-stream, including per-stream lengths and final state.
+    B=11 pads to 16 (2 chunks) and exercises dummy-stream masking."""
+    H, B, T = 16, 11, 18
+    lengths = np.array([18, 13, 7, 18, 1, 9, 16, 5, 12, 18, 3], np.int32)
+    params2 = make_params2(nira, 12, H, attention=True, seed=17)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(B, T, 15, 12)).astype(np.float32))
+    state2 = (jnp.asarray(rng.normal(size=(2, B, 15, H)).astype(np.float32)),
+              jnp.asarray(rng.normal(size=(2, B, 15, H)).astype(np.float32)))
+    mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+
+    ref_y, ref_s = xla_bi(params2, x, state2, frame_mask=mask)
+    y, s = bi_gcn_lstm_pallas(params2, x, state2,
+                              n_valid=jnp.asarray(lengths), interpret=True)
+    assert y.shape == (B, T, 15, 2 * H)
+    for b in range(B):
+        n = lengths[b]
+        np.testing.assert_allclose(np.asarray(y[b, :n]),
+                                   np.asarray(ref_y[b, :n]), atol=1e-5,
+                                   err_msg=f"stream {b}")
+    np.testing.assert_allclose(np.asarray(s[0]), np.asarray(ref_s[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s[1]), np.asarray(ref_s[1]),
+                               atol=1e-5)
+
+
+def test_many_streams_net_dispatch(nira):
+    """graph_net_apply routes B=16 (240 rows) through the chunked Pallas
+    path when backend='pallas' and matches the XLA backend."""
+    import dataclasses as dc
+    from a3gc_tpu.models import nets as NN
+
+    net_p = NN.GraphNetConfig(cell="a3gc", units_in=12, units_out=3,
+                              units_hidden=8, backend="pallas")
+    net_x = dc.replace(net_p, backend="xla")
+    params = NN.init_graph_net(jax.random.PRNGKey(2), net_p, nira)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(16, 9, 15, 12)).astype(np.float32))
+
+    y_p, _ = NN.graph_net_apply(params, net_p, x)
+    y_x, _ = NN.graph_net_apply(params, net_x, x)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=1e-5)
