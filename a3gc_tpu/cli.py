@@ -403,10 +403,12 @@ def cmd_stream(args):
     params3 = _load_cascade_params(args, cascade, is_graph, nira)
     stats = _load_stats(args) if args.norm else None
 
-    sess = StreamingCascade(params3, cascade, model, window=args.window,
-                            stats=stats, normalize=args.norm)
     sequences = load_test_sequences(args.input)
     W = args.window
+    if args.streams > 1:
+        return _stream_multi(args, params3, cascade, model, stats, sequences)
+    sess = StreamingCascade(params3, cascade, model, window=args.window,
+                            stats=stats, normalize=args.norm)
 
     # warm up (compile) outside the timed region
     sess.step(sequences[0]["ori"][:W], sequences[0]["acc"][:W])
@@ -448,6 +450,81 @@ def cmd_stream(args):
         "latency_ms_p50": round(float(np.percentile(lat, 50)), 3),
         "latency_ms_p99": round(float(np.percentile(lat, 99)), 3),
         "frames_per_sec": round(W / (lat.mean() / 1e3), 1),
+    }))
+
+
+def _stream_multi(args, params3, cascade, model, stats, sequences):
+    r"""Multiplexed online serving: S independent clients share ONE
+    compiled multi-stream program per window (the online counterpart of
+    ``evaluate --batch_streams``; the reference serves one stream per
+    process, ref: net_aagc.py:802-812). Sequences are assigned to client
+    slots round-robin; a slot's state is reset when its sequence ends
+    while the other slots keep streaming. Prints ONE JSON line with
+    aggregate latency/throughput."""
+    import json as _json
+    import time as _time
+
+    import numpy as np
+
+    from a3gc_tpu.eval.streaming import StreamingCascade
+
+    S, W = args.streams, args.window
+    sess = StreamingCascade(params3, cascade, model, window=W,
+                            stats=stats, normalize=args.norm, streams=S)
+
+    def slot_feed(playlist):
+        for seq in playlist:
+            T = (seq["ori"].shape[0] // W) * W
+            for t0 in range(0, T, W):
+                yield (seq["ori"].reshape(-1, 54)[t0:t0 + W],
+                       seq["acc"].reshape(-1, 18)[t0:t0 + W], t0 == 0)
+
+    feeds = [slot_feed(sequences[i::S]) for i in range(S)]
+    zero_o, zero_a = np.zeros((W, 54), np.float32), np.zeros((W, 18),
+                                                             np.float32)
+
+    # warm up (compile) outside the timed region
+    sess.step(np.zeros((S, W, 54), np.float32),
+              np.zeros((S, W, 18), np.float32))
+    sess.reset()
+
+    latencies, total_frames, ticks = [], 0, 0
+    live = [True] * S
+    started = [False] * S
+    while any(live):
+        ori = np.empty((S, W, 54), np.float32)
+        acc = np.empty((S, W, 18), np.float32)
+        active = 0
+        for i in range(S):
+            nxt = next(feeds[i], None) if live[i] else None
+            if nxt is None:
+                live[i] = False
+                ori[i], acc[i] = zero_o, zero_a
+                continue
+            o, a, is_start = nxt
+            if is_start and started[i]:
+                sess.reset(stream=i)     # client i starts a new sequence
+            started[i] = True
+            ori[i], acc[i] = o, a
+            active += 1
+        if active == 0:
+            break
+        t = _time.perf_counter()
+        sess.step(ori, acc)
+        latencies.append(_time.perf_counter() - t)
+        total_frames += active * W
+        ticks += 1
+
+    lat = np.asarray(latencies) * 1e3
+    print(_json.dumps({
+        "streams": S,
+        "window": W,
+        "windows": ticks,
+        "latency_ms_mean": round(float(lat.mean()), 3),
+        "latency_ms_p50": round(float(np.percentile(lat, 50)), 3),
+        "latency_ms_p99": round(float(np.percentile(lat, 99)), 3),
+        "frames_per_sec": round(total_frames / max(lat.sum() / 1e3, 1e-9),
+                                1),
     }))
 
 
@@ -602,6 +679,10 @@ def build_parser():
     st.add_argument("--pipelined", action="store_true",
                     help="overlap device execution with the host round-trip "
                          "(results lag one window; hides per-call latency)")
+    st.add_argument("--streams", type=int, default=1,
+                    help="multiplex N independent clients through one "
+                         "compiled multi-stream program (per-client state, "
+                         "per-client reset); aggregate stats printed")
     st.add_argument("--path", type=str, default="")
     st.add_argument("--torch_checkpoints", nargs="+", default=None)
     st.add_argument("--type", choices=("pretrain", "finetuning"),

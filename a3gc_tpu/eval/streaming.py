@@ -87,17 +87,26 @@ class StreamingCascade:
     >>> for ori_w, acc_w in imu_stream:
     ...     pose = sess.step(ori_w, acc_w)       # [60, 24, 3, 3]
     >>> sess.reset()                             # next subject/sequence
+
+    Multi-stream serving: ``streams=S`` multiplexes S independent clients
+    through ONE compiled program per window — the S sequences fold onto the
+    kernel row axis (the same batched-stream path as
+    ``evaluate --batch_streams``), each with its own carried state.
+    ``step`` then takes ori [S, T_w, 54] / acc [S, T_w, 18] and returns
+    [S, T_w, 24, 3, 3]; ``reset(stream=i)`` clears ONE client's state
+    (a client ended its sequence) without touching the others.
     """
 
     def __init__(self, params3: Tuple, cfg: CascadeConfig, model,
                  window: int = 60,
                  stats: Optional[Dict[str, np.ndarray]] = None,
-                 normalize: bool = False):
+                 normalize: bool = False, streams: int = 1):
         from a3gc_tpu.data import pipeline as DPipe
 
         self.params3 = params3
         self.cfg = cfg
         self.window = window
+        self.streams = streams
         self.stats = ({k: jnp.asarray(v) for k, v in stats.items()}
                       if (normalize and stats is not None) else None)
         # explicit zero states (not None) so the program compiles ONCE: the
@@ -106,7 +115,8 @@ class StreamingCascade:
         zero = (_N.graph_net_zero_state if cfg.is_graph
                 else _N.dip_zero_state)
         self._zero_states = tuple(
-            zero(c.net, 1) for c in (cfg.stage1, cfg.stage2, cfg.stage3))
+            zero(c.net, streams)
+            for c in (cfg.stage1, cfg.stage2, cfg.stage3))
         self._states = self._zero_states
         self._pending = None
 
@@ -141,24 +151,37 @@ class StreamingCascade:
 
         self._fn = _step
 
-    def reset(self):
-        r"""Clear all carried stage states (ref: evaluate_a3gc_tp.py:165)."""
-        self._states = self._zero_states
+    def reset(self, stream: Optional[int] = None):
+        r"""Clear carried stage states (ref: evaluate_a3gc_tp.py:165).
+
+        ``stream=i`` zeroes only client i's slice of every state array
+        (batch axis 1 in both the graph [2, S, N, H] and DIP [2, S, H]
+        layouts) — the serving primitive for one client ending its
+        sequence while the other S-1 continue."""
+        if stream is None:
+            self._states = self._zero_states
+        else:
+            self._states = jax.tree_util.tree_map(
+                lambda s: s.at[:, stream].set(0.0), self._states)
         self._pending = None
 
     def _dispatch(self, ori_window, acc_window):
-        ori = jnp.asarray(ori_window).reshape(1, -1, 54)
-        acc = jnp.asarray(acc_window).reshape(1, -1, 18)
+        S = self.streams
+        ori = jnp.asarray(ori_window).reshape(S, -1, 54)
+        acc = jnp.asarray(acc_window).reshape(S, -1, 18)
         assert ori.shape[1] == self.window, (
             f"window size {ori.shape[1]} != configured {self.window}")
         s1, s2, s3 = self._states
         pose, s1, s2, s3 = self._fn(self.params3, ori, acc, s1, s2, s3)
         self._states = (s1, s2, s3)
+        if S > 1:
+            pose = pose.reshape((S, -1) + pose.shape[1:])
         return pose
 
     def step(self, ori_window: np.ndarray,
              acc_window: np.ndarray) -> np.ndarray:
-        r"""Process one window; returns full local pose [T_w, 24, 3, 3]."""
+        r"""Process one window; returns full local pose [T_w, 24, 3, 3]
+        (streams=1) or [S, T_w, 24, 3, 3]."""
         return np.asarray(self._dispatch(ori_window, acc_window))
 
     def step_async(self, ori_window: np.ndarray,

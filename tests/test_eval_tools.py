@@ -255,6 +255,72 @@ class TestStreamingCascade:
             np.testing.assert_allclose(a, b, atol=0)
 
 
+    def test_multi_stream_equals_independent_sessions(self, model):
+        """streams=S serving == S independent single-stream sessions,
+        including a per-stream reset mid-run (client 1 ends its sequence
+        while client 0 keeps its carried state)."""
+        SC, cfg, params3 = self._build(model)
+        W, S = 8, 3
+        multi = SC(params3, cfg, model, window=W, streams=S)
+        singles = [SC(params3, cfg, model, window=W) for _ in range(S)]
+
+        rng = np.random.default_rng(11)
+        ori = Rotation.random(2 * W * S * 6, random_state=8).as_matrix(
+        ).reshape(S, 2 * W, 54).astype(np.float32)
+        acc = rng.normal(scale=0.5, size=(S, 2 * W, 18)).astype(np.float32)
+
+        # window 1
+        m1 = multi.step(ori[:, :W], acc[:, :W])
+        assert m1.shape == (S, W, 24, 3, 3)
+        for i in range(S):
+            s1 = singles[i].step(ori[i, :W], acc[i, :W])
+            np.testing.assert_allclose(m1[i], s1, atol=2e-5,
+                                       err_msg=f"stream {i} window 1")
+
+        # stream 1 starts a new sequence; others carry state
+        multi.reset(stream=1)
+        singles[1].reset()
+        m2 = multi.step(ori[:, W:], acc[:, W:])
+        for i in range(S):
+            s2 = singles[i].step(ori[i, W:], acc[i, W:])
+            np.testing.assert_allclose(m2[i], s2, atol=2e-5,
+                                       err_msg=f"stream {i} window 2")
+
+    def test_cli_stream_multi(self, model, tmp_path):
+        """`stream --streams 2` multiplexes the packed sequences and prints
+        aggregate stats."""
+        import io, json, contextlib
+        from a3gc_tpu import cli as CLI
+
+        rng = np.random.default_rng(13)
+        seqs = {}
+        for i, T in enumerate((40, 25, 17)):
+            ori = Rotation.random(T * 6, random_state=20 + i).as_matrix(
+            ).reshape(T, 54).astype(np.float32)
+            seqs[f"seq{i}_ori"] = ori
+            seqs[f"seq{i}_acc"] = rng.normal(
+                scale=0.5, size=(T, 18)).astype(np.float32)
+            seqs[f"seq{i}_pose"] = np.tile(
+                np.eye(3, dtype=np.float32).reshape(1, 1, 3, 3),
+                (T, 15, 1, 1)).reshape(T, 135)
+        inp = tmp_path / "test.npz"
+        np.savez(inp, **seqs)
+
+        smpl = tmp_path / "s.pkl"
+        write_synthetic_smpl_pickle(str(smpl), n_vertices=120)
+        args = CLI.build_parser().parse_args([
+            "stream", "--input", str(inp), "--window", "10",
+            "--streams", "2", "--model", "a3gc",
+            "--hu1", "8", "--hu2", "8", "--hu3", "8",
+            "--smpl", str(smpl)])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            args.fn(args)
+        stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert stats["streams"] == 2
+        # seq0 (40f) + seq2 (17f->10f) on slot 0, seq1 (25f->20f) on slot 1
+        assert stats["frames_per_sec"] > 0
+
 class TestWorstFramesContract:
     def test_reference_18_pickle_layout(self, model, tmp_path):
         """compare_models writes the reference's exact artifact set
@@ -283,3 +349,4 @@ class TestWorstFramesContract:
             payload = pickle.load(f)
         comp_gt = pickle.load(open(out_dir / "respect_comp/worst/gt.p", "rb"))
         np.testing.assert_allclose(comp_gt, payload["gt"], atol=0)
+
