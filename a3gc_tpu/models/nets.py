@@ -281,8 +281,7 @@ def graph_net_apply(params: GraphNetParams, cfg: GraphNetConfig,
     # _rnn_stack_pallas carries a custom VJP whose backward recomputes on
     # the XLA scan path.
     B = x.shape[0]
-    pallas_ok = (B == 1 or (cfg.cell != "ggru"
-                            and B * cfg.num_nodes <= 512))
+    pallas_ok = B == 1 or B * cfg.num_nodes <= 512
     use_pallas = (
         hoist and pallas_ok
         and (cfg.backend == "pallas"

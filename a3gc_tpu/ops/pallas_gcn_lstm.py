@@ -370,30 +370,40 @@ def bi_gcn_lstm_pallas(params2, x: jnp.ndarray, state2, *,
 # G-GRU whole-scan kernel (ref cell: net_aagc.py:342-368)
 # ---------------------------------------------------------------------------
 
-def _ggru_kernel(nvalid_ref,
-                 zi_ref,                      # [1, N, 3H] hoisted x·W_in+b_in
+def _ggru_kernel(nvalid_ref,                  # scalar prefetch [B]
+                 zi_ref,                      # [1, R, 3H] hoisted x·W_in+b_in
                  gcn_ref,                     # [H, H]
-                 adj_ref,                     # [N, N]
+                 adj_ref,                     # [Rc, Rc] chunk block-diag
                  whid_ref,                    # [H, 3H]
-                 h0_ref,                      # [N, H]
-                 out_ref,                     # [1, N, H]
-                 hfin_ref,                    # [N, H]
-                 h_scr,                       # VMEM scratch [N, H]
-                 *, T: int, H: int, reverse: bool,
-                 precision=jax.lax.Precision.HIGHEST):
+                 h0_ref,                      # [R, H]
+                 segT_ref,                    # [R, B]
+                 nvf_ref,                     # [B, 1] per-stream n_valid f32
+                 out_ref,                     # [1, R, H]
+                 hfin_ref,                    # [R, H]
+                 h_scr,                       # VMEM scratch [R, H]
+                 *, T: int, H: int, reverse: bool, n_chunks: int = 1,
+                 n_streams: int = 1, precision=jax.lax.Precision.HIGHEST):
     t = pl.program_id(0)
     hi = precision
+    Rc = adj_ref.shape[0]
 
     @pl.when(t == 0)
     def _init():
         h_scr[:] = h0_ref[:]
 
     h = h_scr[:]
-    # msg = adj · (h · gcn_kernel)
+    # msg = adj · (h · gcn_kernel) — block-diag adjacency applied per
+    # ≤128-row stream chunk, like the LSTM kernel
     msg = jnp.dot(h, gcn_ref[:], preferred_element_type=jnp.float32,
                   precision=hi)
-    msg = jnp.dot(adj_ref[:], msg, preferred_element_type=jnp.float32,
-                  precision=hi)
+    if n_chunks == 1:
+        msg = jnp.dot(adj_ref[:], msg, preferred_element_type=jnp.float32,
+                      precision=hi)
+    else:
+        msg = jnp.concatenate([
+            jnp.dot(adj_ref[:], msg[c * Rc:(c + 1) * Rc],
+                    preferred_element_type=jnp.float32, precision=hi)
+            for c in range(n_chunks)], axis=0)
     zh = jnp.dot(msg, whid_ref[:], preferred_element_type=jnp.float32,
                  precision=hi)
     zi = zi_ref[0]
@@ -403,8 +413,19 @@ def _ggru_kernel(nvalid_ref,
     h_new = u * h + (1.0 - u) * cand
 
     frame = (T - 1 - t) if reverse else t
-    valid = frame < nvalid_ref[0]
-    h_new = jnp.where(valid, h_new, h)
+    if n_streams == 1:
+        valid = frame < nvalid_ref[0]
+        h_new = jnp.where(valid, h_new, h)
+    else:
+        # arithmetic float masks (see _kernel): per-stream 0/1 validity
+        # broadcast onto rows through the membership matrix
+        frame_f = frame.astype(jnp.float32) if hasattr(
+            frame, "astype") else jnp.float32(frame)
+        valid_col = jnp.clip(nvf_ref[:] - frame_f, 0.0, 1.0)
+        valid_rows = jnp.dot(segT_ref[:], valid_col,
+                             preferred_element_type=jnp.float32,
+                             precision=hi)
+        h_new = h_new * valid_rows + h * (1.0 - valid_rows)
     h_scr[:] = h_new
     out_ref[0] = h_new
 
@@ -417,15 +438,32 @@ def ggru_scan_pallas(p: GGRUCellParams, zi: jnp.ndarray, h0: jnp.ndarray, *,
                      reverse: bool = False,
                      n_valid: Optional[jnp.ndarray] = None,
                      interpret: bool = False,
+                     n_streams: int = 1,
                      precision=jax.lax.Precision.HIGHEST):
-    r"""Scan one direction of a G-GRU layer. zi [T, N, 3H] hoisted input
-    projections (forward frame order); h0 [N, H]."""
-    T, N, G3 = zi.shape
+    r"""Scan one direction of a G-GRU layer. zi [T, R, 3H] hoisted input
+    projections (forward frame order); h0 [R, H]. Multi-stream serving
+    folds R = B·N rows like the LSTM kernel (``p.adj`` stays [N, N]; the
+    chunk block-diag expansion happens here)."""
+    T, R, G3 = zi.shape
+    N = R // n_streams
     H = G3 // 3
     if n_valid is None:
-        nvalid = jnp.full((1,), T, jnp.int32)
+        nvalid = jnp.full((n_streams,), T, jnp.int32)
     else:
-        nvalid = jnp.asarray(n_valid, jnp.int32).reshape(-1)[:1]
+        nvalid = jnp.broadcast_to(
+            jnp.asarray(n_valid, jnp.int32).reshape(-1), (n_streams,))
+    nvf = nvalid.astype(jnp.float32).reshape(n_streams, 1)
+    spc = max(k for k in range(1, n_streams + 1)
+              if n_streams % k == 0 and k * N <= 128)
+    n_chunks = n_streams // spc
+    if spc == 1:
+        adj = p.adj
+    else:
+        eyec = jnp.eye(spc, dtype=zi.dtype)
+        adj = jnp.einsum("bc,nm->bncm", eyec, p.adj).reshape(
+            spc * N, spc * N)
+    segT = jnp.repeat(jnp.eye(n_streams, dtype=zi.dtype), N, axis=1).T
+
     if reverse:
         index_map = lambda t, *_: (T - 1 - t, 0, 0)
     else:
@@ -436,26 +474,28 @@ def ggru_scan_pallas(p: GGRUCellParams, zi: jnp.ndarray, h0: jnp.ndarray, *,
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, N, G3), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, G3), index_map, memory_space=pltpu.VMEM),
             vmem_full(), vmem_full(), vmem_full(), vmem_full(),
+            vmem_full(), vmem_full(),   # segT, nvf
         ],
         out_specs=[
-            pl.BlockSpec((1, N, H), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, H), index_map, memory_space=pltpu.VMEM),
             vmem_full(),
         ],
-        scratch_shapes=[pltpu.VMEM((N, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((R, H), jnp.float32)],
     )
     kernel = functools.partial(_ggru_kernel, T=T, H=H, reverse=reverse,
+                               n_chunks=n_chunks, n_streams=n_streams,
                                precision=precision)
     outs, hfin = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T, N, H), jnp.float32),
-            jax.ShapeDtypeStruct((N, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, R, H), jnp.float32),
+            jax.ShapeDtypeStruct((R, H), jnp.float32),
         ],
         interpret=interpret,
-    )(nvalid, zi, p.gcn_kernel, p.adj, p.w_hid, h0)
+    )(nvalid, zi, p.gcn_kernel, adj, p.w_hid, h0, segT, nvf)
     return outs, hfin
 
 
@@ -463,22 +503,42 @@ def bi_ggru_pallas(params2, x: jnp.ndarray, state2, *,
                    n_valid: Optional[jnp.ndarray] = None,
                    interpret: bool = False,
                    precision=jax.lax.Precision.HIGHEST):
-    r"""Bidirectional G-GRU layer for batch 1, Pallas-scanned. Drop-in for
-    layers.bi_rnn + cells.ggru_step at B=1: x [1, T, N, F] →
-    ([1, T, N, 2H], h2). ``state2``: h [2, 1, N, H]."""
-    assert x.shape[0] == 1, "pallas path is specialized for batch 1"
-    zi2 = jnp.einsum("tnf,dfg->dtng", x[0], params2.w_in,
-                     precision=precision) + params2.b_in[:, None, None, :]
+    r"""Bidirectional G-GRU layer, Pallas-scanned. Drop-in for
+    layers.bi_rnn + cells.ggru_step (inference): x [B, T, N, F] →
+    ([B, T, N, 2H], h2). ``state2``: h [2, B, N, H]. B > 1 folds streams
+    onto the row axis (padded to a multiple of 8 past 128 rows, zero-length
+    dummy streams) with per-stream ``n_valid``."""
+    B, T, N, F = x.shape
+    h2 = state2
+
+    Bk = B if B * N <= 128 else -(-B // 8) * 8
+    if n_valid is None:
+        n_valid = jnp.full((B,), T, jnp.int32)
+    nvalid = jnp.broadcast_to(
+        jnp.asarray(n_valid, jnp.int32).reshape(-1), (B,))
+    if Bk != B:
+        x = jnp.pad(x, [(0, Bk - B)] + [(0, 0)] * 3)
+        h2 = jnp.pad(h2, [(0, 0), (0, Bk - B), (0, 0), (0, 0)])
+        nvalid = jnp.pad(nvalid, (0, Bk - B))
+
+    zi2 = (jnp.einsum("btnf,dfg->dtbng", x, params2.w_in,
+                      precision=precision)
+           + params2.b_in[:, None, None, None, :])
+    G3 = zi2.shape[-1]
+    zi2 = zi2.reshape(2, T, Bk * N, G3)
     p_f = jax.tree_util.tree_map(lambda a: a[0], params2)
     p_b = jax.tree_util.tree_map(lambda a: a[1], params2)
-    out_f, hf = ggru_scan_pallas(p_f, zi2[0], state2[0, 0], reverse=False,
-                                 n_valid=n_valid, interpret=interpret,
-                                 precision=precision)
-    out_b, hb = ggru_scan_pallas(p_b, zi2[1], state2[1, 0], reverse=True,
-                                 n_valid=n_valid, interpret=interpret,
-                                 precision=precision)
-    y = jnp.concatenate((out_f, out_b), axis=-1)[None]
-    return y, jnp.stack((hf, hb))[:, None]
+    h2r = h2.reshape(2, Bk * N, -1)
+    out_f, hf = ggru_scan_pallas(p_f, zi2[0], h2r[0], reverse=False,
+                                 n_valid=nvalid, interpret=interpret,
+                                 n_streams=Bk, precision=precision)
+    out_b, hb = ggru_scan_pallas(p_b, zi2[1], h2r[1], reverse=True,
+                                 n_valid=nvalid, interpret=interpret,
+                                 n_streams=Bk, precision=precision)
+    H = out_f.shape[-1]
+    y = jnp.concatenate((out_f, out_b), axis=-1)      # [T, Bk·N, 2H]
+    y = y.reshape(T, Bk, N, 2 * H).swapaxes(0, 1)[:B]
+    return y, jnp.stack((hf, hb)).reshape(2, Bk, N, H)[:, :B]
 
 
 # ---------------------------------------------------------------------------

@@ -363,3 +363,49 @@ def test_many_streams_net_dispatch(nira):
     y_p, _ = NN.graph_net_apply(params, net_p, x)
     y_x, _ = NN.graph_net_apply(params, net_x, x)
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=1e-5)
+
+
+def test_ggru_many_streams_match_xla(nira):
+    """G-GRU multi-stream folding (B=11 pads to 16, 2 chunks) with
+    per-stream lengths equals the XLA scan stream-for-stream."""
+    from a3gc_tpu.ops.pallas_gcn_lstm import bi_ggru_pallas
+    H, B, T = 16, 11, 17
+    lengths = np.array([17, 12, 6, 17, 1, 8, 15, 4, 11, 17, 2], np.int32)
+    params2 = L.stack_directions(
+        C.init_ggru_cell(jax.random.PRNGKey(21), 12, H, nira),
+        C.init_ggru_cell(jax.random.PRNGKey(22), 12, H, nira))
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(B, T, 15, 12)).astype(np.float32))
+    state2 = jnp.asarray(rng.normal(size=(2, B, 15, H)).astype(np.float32))
+    mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+
+    def step(p, xt, st, rng=None):
+        return C.ggru_step(p, xt, st)
+    ref_y, ref_s = L.bi_rnn(step, params2, x, state2, frame_mask=mask)
+    y, s = bi_ggru_pallas(params2, x, state2, n_valid=jnp.asarray(lengths),
+                          interpret=True)
+    assert y.shape == (B, T, 15, 2 * H)
+    for b in range(B):
+        n = lengths[b]
+        np.testing.assert_allclose(np.asarray(y[b, :n]),
+                                   np.asarray(ref_y[b, :n]), atol=1e-5,
+                                   err_msg=f"stream {b}")
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), atol=1e-5)
+
+
+def test_ggru_multi_stream_net_dispatch(nira):
+    """graph_net_apply routes ggru B=4 through the Pallas path when
+    backend='pallas' and matches the XLA backend."""
+    import dataclasses as dc
+    from a3gc_tpu.models import nets as NN
+
+    net_p = NN.GraphNetConfig(cell="ggru", units_in=12, units_out=3,
+                              units_hidden=8, backend="pallas")
+    net_x = dc.replace(net_p, backend="xla")
+    params = NN.init_graph_net(jax.random.PRNGKey(4), net_p, nira)
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.normal(size=(4, 9, 15, 12)).astype(np.float32))
+
+    y_p, _ = NN.graph_net_apply(params, net_p, x)
+    y_x, _ = NN.graph_net_apply(params, net_x, x)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=1e-5)
