@@ -409,3 +409,20 @@ def test_ggru_multi_stream_net_dispatch(nira):
     y_p, _ = NN.graph_net_apply(params, net_p, x)
     y_x, _ = NN.graph_net_apply(params, net_x, x)
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=1e-5)
+
+
+def test_dispatch_falls_back_past_row_cap(nira):
+    """B=40 (600 rows > the 512-row Pallas cap) silently takes the XLA
+    path even with backend='pallas' and still matches backend='xla'."""
+    import dataclasses as dc
+    from a3gc_tpu.models import nets as NN
+
+    net_p = NN.GraphNetConfig(cell="a3gc", units_in=12, units_out=3,
+                              units_hidden=8, backend="pallas")
+    net_x = dc.replace(net_p, backend="xla")
+    params = NN.init_graph_net(jax.random.PRNGKey(6), net_p, nira)
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(40, 5, 15, 12)).astype(np.float32))
+    y_p, _ = NN.graph_net_apply(params, net_p, x)
+    y_x, _ = NN.graph_net_apply(params, net_x, x)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=1e-6)
