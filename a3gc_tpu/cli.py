@@ -328,7 +328,14 @@ def cmd_evaluate(args):
         elif args.batch_streams > 1:
             from a3gc_tpu.eval import CascadeEvaluator
             from a3gc_tpu.utils import write_eval_report
-            ev = CascadeEvaluator(params3, cascade, model, stats, args.norm)
+            mesh = None
+            if args.mesh:
+                from a3gc_tpu.parallel import make_mesh
+                mesh = make_mesh()   # all devices on the data axis
+                assert args.batch_streams % jax.device_count() == 0, (
+                    "--batch_streams must divide the device count")
+            ev = CascadeEvaluator(params3, cascade, model, stats, args.norm,
+                                  mesh=mesh)
             mean, seconds, frames = ev.evaluate_batched(
                 sequences, streams=args.batch_streams)
             write_eval_report(
@@ -665,6 +672,10 @@ def build_parser():
     e.add_argument("--batch_streams", type=int, default=1,
                    help="evaluate N sequences per kernel pass (multi-stream "
                         "path; 1 = the reference's per-sequence protocol)")
+    e.add_argument("--mesh", action="store_true",
+                   help="with --batch_streams: shard the streams over all "
+                        "devices' data axis (shard_map; each device runs "
+                        "its own kernels on its local streams)")
     e.set_defaults(fn=cmd_evaluate)
 
     st = sub.add_parser("stream", help="online streaming inference "

@@ -74,13 +74,17 @@ class CascadeEvaluator:
     def __init__(self, params3: Tuple, cfg: CascadeConfig,
                  model: ParametricModel,
                  stats: Optional[Dict[str, np.ndarray]] = None,
-                 normalize: bool = False, fps: int = 60):
+                 normalize: bool = False, fps: int = 60, mesh=None):
         self.params3 = params3
         self.cfg = cfg
         self.model = model
         self.stats = ({k: jnp.asarray(v) for k, v in stats.items()}
                       if (normalize and stats is not None) else None)
         self.fps = fps
+        # optional device mesh: evaluate_batched shards the stream axis
+        # over 'data' via shard_map (parallel/serving.py) so every device
+        # runs its own Pallas kernels on its local streams
+        self.mesh = mesh
 
         @partial(jax.jit, static_argnames=())
         def _run(params3, ori, acc, pose_t_full, n_valid):
@@ -130,8 +134,16 @@ class CascadeEvaluator:
                 L = imu.shape[1]
                 mask = (jnp.arange(L)[None, :]
                         < n_valid[:, None]).astype(imu.dtype)
-                pose_p = cascade_apply(self.params3, self.cfg, self.model,
-                                       imu, frame_mask=mask)
+                if self.mesh is not None:
+                    from a3gc_tpu.parallel.serving import (
+                        cascade_apply_sharded)
+                    pose_p = cascade_apply_sharded(
+                        self.params3, self.cfg, self.model, imu,
+                        self.mesh, frame_mask=mask)
+                else:
+                    pose_p = cascade_apply(self.params3, self.cfg,
+                                           self.model, imu,
+                                           frame_mask=mask)
                 pose_p = pose_p.reshape(S, L, 24, 3, 3)
                 eye = jnp.eye(3, dtype=pose_p.dtype)
                 ign = jnp.asarray(JS.ignored)

@@ -202,3 +202,19 @@ class TestBatchedEvaluator:
         m_bat, _, f_bat = ev.evaluate_batched(seqs, streams=16)
         assert f_seq == f_bat
         np.testing.assert_allclose(m_bat, m_seq, rtol=1e-4, atol=1e-3)
+
+    def test_mesh_sharded_equals_local(self, setup):
+        """evaluate_batched with the stream axis sharded over an 8-device
+        mesh (shard_map serving path) == the single-device batched path."""
+        from a3gc_tpu.config import MeshConfig
+        from a3gc_tpu.parallel import make_mesh
+
+        _, params3, cfg, model, _ = setup
+        mesh = make_mesh(MeshConfig(data=8, model=1))
+        seqs = synth_sequences([70, 45], seed=12)
+        ev_local = CascadeEvaluator(params3, cfg, model)
+        ev_mesh = CascadeEvaluator(params3, cfg, model, mesh=mesh)
+        m_l, _, f_l = ev_local.evaluate_batched(seqs, streams=8)
+        m_m, _, f_m = ev_mesh.evaluate_batched(seqs, streams=8)
+        assert f_l == f_m
+        np.testing.assert_allclose(m_m, m_l, rtol=1e-5, atol=1e-5)
