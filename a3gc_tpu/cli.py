@@ -333,7 +333,7 @@ def cmd_evaluate(args):
                 from a3gc_tpu.parallel import make_mesh
                 mesh = make_mesh()   # all devices on the data axis
                 assert args.batch_streams % jax.device_count() == 0, (
-                    "--batch_streams must divide the device count")
+                    "the device count must divide --batch_streams")
             ev = CascadeEvaluator(params3, cascade, model, stats, args.norm,
                                   mesh=mesh)
             mean, seconds, frames = ev.evaluate_batched(
@@ -522,6 +522,12 @@ def _stream_multi(args, params3, cascade, model, stats, sequences):
         total_frames += active * W
         ticks += 1
 
+    if ticks == 0:
+        print(_json.dumps({
+            "streams": S, "window": W, "windows": 0,
+            "error": f"no sequence reaches the {W}-frame window; "
+                     f"use a smaller --window"}))
+        return
     lat = np.asarray(latencies) * 1e3
     print(_json.dumps({
         "streams": S,

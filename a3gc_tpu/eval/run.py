@@ -138,10 +138,10 @@ class CascadeEvaluator:
                     from a3gc_tpu.parallel.serving import (
                         cascade_apply_sharded)
                     pose_p = cascade_apply_sharded(
-                        self.params3, self.cfg, self.model, imu,
+                        params3, self.cfg, self.model, imu,
                         self.mesh, frame_mask=mask)
                 else:
-                    pose_p = cascade_apply(self.params3, self.cfg,
+                    pose_p = cascade_apply(params3, self.cfg,
                                            self.model, imu,
                                            frame_mask=mask)
                 pose_p = pose_p.reshape(S, L, 24, 3, 3)

@@ -199,33 +199,27 @@ def _rnn_stack_pallas_impl(cfg: GraphNetConfig, rnn1, rnn2, x, state,
     return x, state
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
+@partial(jax.custom_jvp, nondiff_argnums=(0,))
 def _rnn_stack_pallas(cfg, rnn1, rnn2, x, state, frame_mask):
-    r"""Pallas forward with an XLA-scan backward: the kernels are
-    forward-only (no JVP rule), so the VJP recomputes the forward on the
-    numerically-equivalent hoisted XLA path and differentiates that —
-    gradients through ``backend='pallas'`` equal the XLA gradients
-    exactly."""
+    r"""Pallas forward with an XLA-scan derivative rule: the kernels are
+    forward-only (no AD rules), so the custom JVP recomputes on the
+    numerically-equivalent hoisted XLA path and differentiates that.
+    ``custom_jvp`` (not ``custom_vjp``) so BOTH forward-mode (jvp/
+    hessian) and reverse-mode work — jax derives the VJP by transposing
+    the rule, making gradients through ``backend='pallas'`` equal the XLA
+    gradients exactly. The frame mask is data, not a differentiable
+    input; its tangent is ignored."""
     return _rnn_stack_pallas_impl(cfg, rnn1, rnn2, x, state, frame_mask)
 
 
-def _rnn_stack_pallas_fwd(cfg, rnn1, rnn2, x, state, frame_mask):
-    out = _rnn_stack_pallas_impl(cfg, rnn1, rnn2, x, state, frame_mask)
-    return out, (rnn1, rnn2, x, state, frame_mask)
-
-
-def _rnn_stack_pallas_bwd(cfg, res, cts):
-    rnn1, rnn2, x, state, frame_mask = res
-    _, vjp = jax.vjp(
+@_rnn_stack_pallas.defjvp
+def _rnn_stack_pallas_jvp(cfg, primals, tangents):
+    rnn1, rnn2, x, state, frame_mask = primals
+    t_rnn1, t_rnn2, t_x, t_state, _ = tangents
+    return jax.jvp(
         lambda r1, r2, xx, st: _rnn_stack_xla(cfg, r1, r2, xx, st,
                                               frame_mask),
-        rnn1, rnn2, x, state)
-    g_r1, g_r2, g_x, g_state = vjp(cts)
-    g_mask = None if frame_mask is None else jnp.zeros_like(frame_mask)
-    return g_r1, g_r2, g_x, g_state, g_mask
-
-
-_rnn_stack_pallas.defvjp(_rnn_stack_pallas_fwd, _rnn_stack_pallas_bwd)
+        (rnn1, rnn2, x, state), (t_rnn1, t_rnn2, t_x, t_state))
 
 
 def graph_net_zero_state(cfg: GraphNetConfig, batch: int, dtype=jnp.float32):
@@ -482,30 +476,21 @@ def _dip_stack_pallas_impl(cfg: DIPConfig, lstm, x, state, frame_mask):
     return x, tuple(new_states)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
+@partial(jax.custom_jvp, nondiff_argnums=(0,))
 def _dip_stack_pallas(cfg, lstm, x, state, frame_mask):
-    r"""Pallas forward with an XLA-scan backward (same contract as
-    _rnn_stack_pallas: the kernels are forward-only, the VJP recomputes on
-    the hoisted XLA path)."""
+    r"""Pallas forward with an XLA-scan derivative rule (same contract as
+    _rnn_stack_pallas: the kernels are forward-only; the custom JVP
+    recomputes on the hoisted XLA path, supporting both AD modes)."""
     return _dip_stack_pallas_impl(cfg, lstm, x, state, frame_mask)
 
 
-def _dip_stack_pallas_fwd(cfg, lstm, x, state, frame_mask):
-    out = _dip_stack_pallas_impl(cfg, lstm, x, state, frame_mask)
-    return out, (lstm, x, state, frame_mask)
-
-
-def _dip_stack_pallas_bwd(cfg, res, cts):
-    lstm, x, state, frame_mask = res
-    _, vjp = jax.vjp(
+@_dip_stack_pallas.defjvp
+def _dip_stack_pallas_jvp(cfg, primals, tangents):
+    lstm, x, state, frame_mask = primals
+    t_lstm, t_x, t_state, _ = tangents
+    return jax.jvp(
         lambda lp, xx, st: _dip_stack_xla(cfg, lp, xx, st, frame_mask),
-        lstm, x, state)
-    g_lstm, g_x, g_state = vjp(cts)
-    g_mask = None if frame_mask is None else jnp.zeros_like(frame_mask)
-    return g_lstm, g_x, g_state, g_mask
-
-
-_dip_stack_pallas.defvjp(_dip_stack_pallas_fwd, _dip_stack_pallas_bwd)
+        (lstm, x, state), (t_lstm, t_x, t_state))
 
 
 def dip_apply(params: DIPParams, cfg: DIPConfig, x: jnp.ndarray,

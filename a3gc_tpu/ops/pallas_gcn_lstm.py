@@ -38,6 +38,43 @@ __all__ = ["gcn_lstm_scan_pallas", "bi_gcn_lstm_pallas",
            "ggru_scan_pallas", "bi_ggru_pallas", "bi_gcn_lstm_pallas_dirfused"]
 
 
+# --- shared multi-stream helpers (LSTM + G-GRU kernels) --------------------
+
+def _streams_per_chunk(n_streams: int, n_nodes: int) -> int:
+    """Largest divisor of n_streams whose rows fit one MXU row tile."""
+    return max(k for k in range(1, n_streams + 1)
+               if n_streams % k == 0 and k * n_nodes <= 128)
+
+
+def _chunk_block_diag(adj: jnp.ndarray, spc: int, dtype) -> jnp.ndarray:
+    """Block-diagonal expansion of the last two axes over spc streams
+    (identity when spc == 1). ONE chunk-sized block-diag multiplies every
+    chunk, so the MXU never touches cross-stream zeros."""
+    if spc == 1:
+        return adj
+    eyec = jnp.eye(spc, dtype=dtype)
+    lead, (n, m) = adj.shape[:-2], adj.shape[-2:]
+    out = jnp.einsum("bc,...nm->...bncm", eyec, adj)
+    return out.reshape(*lead, spc * n, spc * m)
+
+
+def _padded_stream_count(B: int, n_nodes: int) -> int:
+    """Pad past one MXU row tile to a multiple of 8 streams (the dummy
+    streams get n_valid = 0, so their state never updates)."""
+    return B if B * n_nodes <= 128 else -(-B // 8) * 8
+
+
+def _pad_streams(Bk: int, B: int, x, states, nvalid):
+    """Pad the stream axis (x axis 0, each state's axis 1) with zero
+    dummy streams; nvalid gets zeros (no valid frames)."""
+    if Bk == B:
+        return x, states, nvalid
+    x = jnp.pad(x, [(0, Bk - B)] + [(0, 0)] * (x.ndim - 1))
+    states = [jnp.pad(s, [(0, 0), (0, Bk - B)] + [(0, 0)] * (s.ndim - 2))
+              for s in states]
+    return x, states, jnp.pad(nvalid, (0, Bk - B))
+
+
 def _kernel(nvalid_ref,                       # scalar prefetch [B]
             u_ref,                            # [U, R, 4H] per-block input proj
             wh_ref,                           # [H, 4H]
@@ -208,17 +245,9 @@ def gcn_lstm_scan_pallas(p: GCNLSTMCellParams, u: jnp.ndarray,
         nvalid = jnp.broadcast_to(
             jnp.asarray(n_valid, jnp.int32).reshape(-1), (n_streams,))
     nvf = nvalid.astype(jnp.float32).reshape(n_streams, 1)
-    # streams per chunk: largest divisor of B whose rows fit one MXU tile
-    spc = max(k for k in range(1, n_streams + 1)
-              if n_streams % k == 0 and k * N <= 128)
+    spc = _streams_per_chunk(n_streams, N)
     n_chunks = n_streams // spc
-    # chunk block-diagonal adjacency (identity when spc == 1)
-    if spc == 1:
-        adj = p.adj
-    else:
-        eyec = jnp.eye(spc, dtype=u.dtype)
-        adj = jnp.einsum("bc,knm->kbncm", eyec, p.adj).reshape(
-            4, spc * N, spc * N)
+    adj = _chunk_block_diag(p.adj, spc, u.dtype)
     # stream-membership matrices for the attention segment sums and the
     # per-stream validity broadcast
     eyeb = jnp.eye(n_streams, dtype=u.dtype)
@@ -327,17 +356,12 @@ def bi_gcn_lstm_pallas(params2, x: jnp.ndarray, state2, *,
     h2, c2 = state2
 
     # pad streams so each adjacency chunk fills (at most) one MXU row tile
-    Bk = B if B * N <= 128 else -(-B // 8) * 8
+    Bk = _padded_stream_count(B, N)
     if n_valid is None:
         n_valid = jnp.full((B,), T, jnp.int32)
     nvalid = jnp.broadcast_to(
         jnp.asarray(n_valid, jnp.int32).reshape(-1), (B,))
-    if Bk != B:
-        x = jnp.pad(x, [(0, Bk - B)] + [(0, 0)] * 3)
-        pad_s = [(0, 0), (0, Bk - B), (0, 0), (0, 0)]   # [2, B, N, H]
-        h2 = jnp.pad(h2, pad_s)
-        c2 = jnp.pad(c2, pad_s)
-        nvalid = jnp.pad(nvalid, (0, Bk - B))   # dummy streams: 0 frames
+    x, (h2, c2), nvalid = _pad_streams(Bk, B, x, [h2, c2], nvalid)
 
     # hoisted input projection for both directions: one big MXU matmul
     # [Bk,T,N,F] → [2,T,Bk·N,4H]
@@ -453,15 +477,9 @@ def ggru_scan_pallas(p: GGRUCellParams, zi: jnp.ndarray, h0: jnp.ndarray, *,
         nvalid = jnp.broadcast_to(
             jnp.asarray(n_valid, jnp.int32).reshape(-1), (n_streams,))
     nvf = nvalid.astype(jnp.float32).reshape(n_streams, 1)
-    spc = max(k for k in range(1, n_streams + 1)
-              if n_streams % k == 0 and k * N <= 128)
+    spc = _streams_per_chunk(n_streams, N)
     n_chunks = n_streams // spc
-    if spc == 1:
-        adj = p.adj
-    else:
-        eyec = jnp.eye(spc, dtype=zi.dtype)
-        adj = jnp.einsum("bc,nm->bncm", eyec, p.adj).reshape(
-            spc * N, spc * N)
+    adj = _chunk_block_diag(p.adj, spc, zi.dtype)
     segT = jnp.repeat(jnp.eye(n_streams, dtype=zi.dtype), N, axis=1).T
 
     if reverse:
@@ -511,15 +529,12 @@ def bi_ggru_pallas(params2, x: jnp.ndarray, state2, *,
     B, T, N, F = x.shape
     h2 = state2
 
-    Bk = B if B * N <= 128 else -(-B // 8) * 8
+    Bk = _padded_stream_count(B, N)
     if n_valid is None:
         n_valid = jnp.full((B,), T, jnp.int32)
     nvalid = jnp.broadcast_to(
         jnp.asarray(n_valid, jnp.int32).reshape(-1), (B,))
-    if Bk != B:
-        x = jnp.pad(x, [(0, Bk - B)] + [(0, 0)] * 3)
-        h2 = jnp.pad(h2, [(0, 0), (0, Bk - B), (0, 0), (0, 0)])
-        nvalid = jnp.pad(nvalid, (0, Bk - B))
+    x, (h2,), nvalid = _pad_streams(Bk, B, x, [h2], nvalid)
 
     zi2 = (jnp.einsum("btnf,dfg->dtbng", x, params2.w_in,
                       precision=precision)

@@ -27,10 +27,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # moved to jax.sharding in newer jax
+try:
     from jax.experimental.shard_map import shard_map
-except ImportError:  # pragma: no cover
-    from jax.sharding import shard_map
+except ImportError:  # pragma: no cover — deprecated path removed upstream
+    from jax import shard_map
 
 from a3gc_tpu.models.pipeline import CascadeConfig, cascade_apply
 
@@ -50,7 +50,7 @@ def cascade_apply_sharded(params3: Tuple, cfg: CascadeConfig, model,
     n_data = mesh.shape["data"]
     B = imu.shape[0]
     assert B % n_data == 0, (
-        f"{B} streams must divide the data axis ({n_data})")
+        f"the data axis ({n_data} devices) must divide the {B} streams")
 
     if frame_mask is None:
         def local(p3, x):

@@ -92,6 +92,49 @@ def run_throughput(args):
     }))
 
 
+def run_train_bench(args):
+    """Stage-1 training-step throughput (full jitted step: on-device batch
+    assembly + fwd + bwd + Adam; ref loop: train_a3gc_tp.py:216-241)."""
+    import jax
+
+    from a3gc_tpu.config import TrainConfig
+    from a3gc_tpu.data import load_adjacency_template
+    from a3gc_tpu.data import pipeline as DPipe
+    from a3gc_tpu.data.synthetic import synthetic_packed_dataset
+    from a3gc_tpu.models import nets as N
+    from a3gc_tpu.models.pipeline import PoseNetConfig, init_pose_net
+    from a3gc_tpu.train import StageRunner
+
+    assert args.model in ("a3gc", "aagc", "agc", "ggru"), (
+        "--train benches the graph stage-1 net")
+    B, T = args.batch_size, 300
+    steps = max(args.iters // 4, 4)
+    cfg = PoseNetConfig(net=N.GraphNetConfig(
+        cell=args.model, units_in=12, units_out=3, units_hidden=256),
+        rotsize=3)
+    nira = load_adjacency_template()
+    params = init_pose_net(jax.random.PRNGKey(0), cfg, nira)
+    tc = TrainConfig(batch_size=B, dtype=args.dtype)
+    runner = StageRunner(1, cfg, params, tc, steps_per_epoch=steps)
+    data = synthetic_packed_dataset(n_seqs=B * steps, seq_len=T, seed=0)
+
+    rng = jax.random.PRNGKey(0)
+    # warmup epoch: compile + settle
+    runner.train_epoch(DPipe.Sampler(data, B, seed=0), rng)
+    t0 = time.perf_counter()
+    runner.train_epoch(DPipe.Sampler(data, B, seed=1), rng)
+    dt = time.perf_counter() - t0
+
+    frames_per_sec = B * T * steps / dt
+    print(json.dumps({
+        "metric": (f"{args.model}_stage1_train_frames_per_sec_per_chip"
+                   f"_b{B}_{args.dtype}"),
+        "value": round(frames_per_sec, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(frames_per_sec / BASELINE_FPS, 3),
+    }))
+
+
 def _trained_graph_params(ckpt, cell):
     from a3gc_tpu.compat.torch_import import (
         graph_net_params_from_state_dict, load_torch_checkpoint)
@@ -210,12 +253,21 @@ def main():
     ap.add_argument("--check", action="store_true",
                     help="on-chip Pallas-vs-XLA numerics check instead of "
                          "the throughput benchmark")
+    ap.add_argument("--train", action="store_true",
+                    help="bench the stage-1 TRAINING step instead of "
+                         "inference")
+    ap.add_argument("--batch_size", type=int, default=128,
+                    help="training batch size (--train)")
+    ap.add_argument("--dtype", choices=("float32", "bfloat16"),
+                    default="float32", help="training dtype (--train)")
     ap.add_argument("--check_out", default="KERNEL_CHECK.json")
     ap.add_argument("--precisions", default="default,highest",
                     help="comma list for --check")
     args = ap.parse_args()
     if args.check:
         run_check(args)
+    elif args.train:
+        run_train_bench(args)
     else:
         run_throughput(args)
 

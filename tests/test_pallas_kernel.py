@@ -426,3 +426,60 @@ def test_dispatch_falls_back_past_row_cap(nira):
     y_p, _ = NN.graph_net_apply(params, net_p, x)
     y_x, _ = NN.graph_net_apply(params, net_x, x)
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=1e-6)
+
+
+@pytest.mark.parametrize("cell", ["a3gc", "ggru"])
+def test_jvp_through_pallas_matches_xla(nira, cell):
+    """Forward-mode AD (jvp) through backend='pallas' works (the custom
+    JVP routes to the XLA path) and equals the XLA backend's jvp."""
+    import dataclasses as dc
+    from a3gc_tpu.models import nets as NN
+    from a3gc_tpu.models.pipeline import pose_net_forward, \
+        PoseNetConfig, init_pose_net
+
+    net = NN.GraphNetConfig(cell=cell, units_in=12, units_out=3,
+                            units_hidden=8, backend="pallas")
+    cfg_p = PoseNetConfig(net=net, rotsize=3)
+    cfg_x = PoseNetConfig(net=dc.replace(net, backend="xla"), rotsize=3)
+    params = init_pose_net(jax.random.PRNGKey(3), cfg_p, nira)
+
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.normal(size=(1, 6, 15, 12)).astype(np.float32))
+    tangent = jax.tree_util.tree_map(jnp.ones_like, params)
+
+    def f(cfg):
+        return lambda p: pose_net_forward(p, cfg, x)[0]
+
+    yp, tp_ = jax.jvp(f(cfg_p), (params,), (tangent,))
+    yx, tx = jax.jvp(f(cfg_x), (params,), (tangent,))
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yx), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tp_), np.asarray(tx), atol=1e-5)
+
+
+def test_dip_pallas_ad_matches_xla():
+    """Both AD modes through the DIP Pallas stack equal the XLA backend."""
+    import dataclasses as dc
+    from a3gc_tpu.models import nets as NN
+
+    net_p = NN.DIPConfig(n_input=10, n_output=6, n_hidden=8,
+                         backend="pallas")
+    net_x = dc.replace(net_p, backend="xla")
+    params = NN.init_dip(jax.random.PRNGKey(5), net_p)
+    rng = np.random.default_rng(15)
+    x = jnp.asarray(rng.normal(size=(1, 7, 10)).astype(np.float32))
+
+    def loss(p, net):
+        y, _ = NN.dip_apply(p, net, x)
+        return jnp.sum(y ** 2)
+
+    lp, gp = jax.value_and_grad(lambda p: loss(p, net_p))(params)
+    lx, gx = jax.value_and_grad(lambda p: loss(p, net_x))(params)
+    assert abs(float(lp) - float(lx)) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    t = jax.tree_util.tree_map(jnp.ones_like, params)
+    _, tp_ = jax.jvp(lambda p: loss(p, net_p), (params,), (t,))
+    _, tx = jax.jvp(lambda p: loss(p, net_x), (params,), (t,))
+    np.testing.assert_allclose(float(tp_), float(tx), rtol=1e-5)
