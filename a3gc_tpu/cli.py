@@ -116,7 +116,15 @@ def _load_stats(args):
     p = paths.resolve(rel)
     if os.path.isfile(p):
         return load_stats(p)
-    # fall back to the reference's stats assets when available
+    # shipped copies of the reference's stats assets (converted .pt → npz,
+    # ref: config.py all*_train_stats.pt) so --norm works standalone
+    name = ("all_sym_train_stats.npz" if args.cda
+            else "all_train_stats.npz")
+    shipped = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", "stats", name)
+    if os.path.isfile(shipped):
+        return load_stats(shipped)
+    # and the raw reference assets when mounted
     ref = ("/root/reference/data/all_sym_train_stats.pt" if args.cda
            else "/root/reference/data/all_train_stats.pt")
     if os.path.isfile(ref):

@@ -139,3 +139,24 @@ class TestStats:
         assert stats["acc_mean_channel"].shape == (18,)
         assert stats["ori_std_channel"].shape == (54,)
         assert stats["full_pos_mean_channel"].shape == (24, 3)
+
+
+def test_shipped_stats_assets_match_reference():
+    """The shipped assets/stats npz files equal a fresh conversion of the
+    reference's .pt stats (they are committed so --norm works standalone)."""
+    import os
+    import numpy as np
+    from a3gc_tpu.data.stats import convert_torch_stats, load_stats
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name in ("all_train_stats", "all_sym_train_stats"):
+        shipped = load_stats(os.path.join(root, "assets", "stats",
+                                          f"{name}.npz"))
+        src = f"/root/reference/data/{name}.pt"
+        if not os.path.isfile(src):
+            continue
+        fresh = load_stats(convert_torch_stats(
+            src, f"/tmp/_stats_check_{name}.npz"))
+        assert set(shipped) == set(fresh)
+        for k in shipped:
+            np.testing.assert_array_equal(shipped[k], fresh[k], err_msg=k)
