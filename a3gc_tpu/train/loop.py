@@ -216,20 +216,27 @@ class StageRunner:
         return raw
 
     def train_epoch(self, sampler: DP.Sampler, rng: jax.Array) -> float:
-        total, n = 0.0, 0
+        # losses stay on device until the epoch ends: a per-step float()
+        # would block the host on every step, serializing the next batch's
+        # host->device transfer behind the current step's execution (jax
+        # dispatch and transfers are async). Deferring the fetch lets the
+        # feed pipeline overlap compute — on a relay-attached TPU the
+        # difference is the whole transfer time per step.
+        losses = []
         for i, raw in enumerate(sampler):
             self.state, loss = self.train_step(
                 self.state, self._put(raw), jax.random.fold_in(rng, i))
-            total += float(loss)
-            n += 1
-        return total / max(n, 1)
+            losses.append(loss)
+        if not losses:
+            return 0.0
+        return float(jnp.mean(jnp.stack(losses)))
 
     def eval_epoch(self, sampler: DP.Sampler) -> float:
-        total, n = 0.0, 0
-        for raw in sampler:
-            total += float(self.eval_step(self.state.params, self._put(raw)))
-            n += 1
-        return total / max(n, 1)
+        losses = [self.eval_step(self.state.params, self._put(raw))
+                  for raw in sampler]
+        if not losses:
+            return 0.0
+        return float(jnp.mean(jnp.stack(losses)))
 
     def eval_full_sequences(self, sequences) -> float:
         r"""Full-sequence validation (the reference's ``--fse`` flag,
