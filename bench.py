@@ -46,7 +46,8 @@ def run_throughput(args):
     B = args.batch_streams
     cfg, params3, model, _ = _flagship(
         hidden=(256, 64, 128), seq_len=seq_len, batch=B,
-        model_name=args.model, precision=args.precision)
+        model_name=args.model, precision=args.precision,
+        backend=args.backend)
 
     rng = np.random.default_rng(0)
     if cfg.is_graph:
@@ -83,7 +84,8 @@ def run_throughput(args):
         metric = "a3gc_tp_streaming_pose_frames_per_sec_per_chip"
     else:
         metric = (f"{args.model}_cascade_frames_per_sec_per_chip"
-                  + (f"_b{B}" if B > 1 else ""))
+                  + (f"_b{B}" if B > 1 else "")
+                  + (f"_{args.backend}" if args.backend != "auto" else ""))
     print(json.dumps({
         "metric": metric,
         "value": round(frames_per_sec, 1),
@@ -263,6 +265,9 @@ def main():
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--precision", choices=("default", "highest"),
                     default="default")
+    ap.add_argument("--backend", choices=("auto", "xla", "pallas"),
+                    default="auto",
+                    help="force the recurrent-scan backend (graph models)")
     ap.add_argument("--check", action="store_true",
                     help="on-chip Pallas-vs-XLA numerics check instead of "
                          "the throughput benchmark")
