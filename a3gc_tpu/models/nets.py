@@ -131,9 +131,15 @@ def _layer_hoisted_lstm(cfg: GraphNetConfig, cell2, x, st, rng_layer,
             mask = jax.random.bernoulli(rx, keep, x.shape)
             x = jnp.where(mask, x / keep, 0.0)
     F = x.shape[-1]
-    u2 = jnp.einsum("btnf,dfg->dtbng", x, cell2.kernel[:, :F, :],
-                    precision=prec)                     # [2,T,B,N,4H]
-    u2 = jnp.stack((u2[0], u2[1][::-1]))
+    # per-direction projections, the BACKWARD one from time-flipped input:
+    # flipping x (F wide) instead of the [.., 4H] projection lets XLA write
+    # each einsum straight into its slice of the stacked scan operand —
+    # halving peak HBM vs projecting once and flipping the wide output
+    u_f = jnp.einsum("btnf,fg->tbng", x, cell2.kernel[0, :F, :],
+                     precision=prec)                    # [T,B,N,4H]
+    u_b = jnp.einsum("btnf,fg->tbng", x[:, ::-1], cell2.kernel[1, :F, :],
+                     precision=prec)
+    u2 = jnp.stack((u_f, u_b))
 
     def step(p, ut, s, rng=None):
         return C.gcn_lstm_step_hoisted(
@@ -148,9 +154,11 @@ def _layer_hoisted_lstm(cfg: GraphNetConfig, cell2, x, st, rng_layer,
 
 def _layer_hoisted_ggru(cfg: GraphNetConfig, cell2, x, st, frame_mask):
     prec = cfg.matmul_precision
-    u2 = jnp.einsum("btnf,dfg->dtbng", x, cell2.w_in,
-                    precision=prec) + cell2.b_in[:, None, None, None, :]
-    u2 = jnp.stack((u2[0], u2[1][::-1]))
+    u_f = jnp.einsum("btnf,fg->tbng", x, cell2.w_in[0],
+                     precision=prec) + cell2.b_in[0]
+    u_b = jnp.einsum("btnf,fg->tbng", x[:, ::-1], cell2.w_in[1],
+                     precision=prec) + cell2.b_in[1]
+    u2 = jnp.stack((u_f, u_b))
 
     def step(p, ut, s, rng=None):
         return C.ggru_step_hoisted(p, ut, s, precision=prec)
@@ -444,9 +452,11 @@ def _dip_stack_xla(cfg: DIPConfig, lstm, x, state, frame_mask):
             return h_new[:, None, :], (h_new, c_new)
 
         if cfg.bidirectional:
-            u2 = jnp.einsum("btf,dfg->dtbg", x, layer_params.w_ih,
-                            precision=prec) + layer_params.b_ih[:, None, None]
-            u2 = jnp.stack((u2[0], u2[1][::-1]))[:, :, :, None, :]
+            u_f = jnp.einsum("btf,fg->tbg", x, layer_params.w_ih[0],
+                             precision=prec) + layer_params.b_ih[0]
+            u_b = jnp.einsum("btf,fg->tbg", x[:, ::-1], layer_params.w_ih[1],
+                             precision=prec) + layer_params.b_ih[1]
+            u2 = jnp.stack((u_f, u_b))[:, :, :, None, :]
             y, fin = L.bi_rnn_precomputed(step, layer_params, u2,
                                           layer_state,
                                           frame_mask=frame_mask)
