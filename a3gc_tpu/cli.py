@@ -525,10 +525,17 @@ def _stream_multi(args, params3, cascade, model, stats, sequences):
         if active == 0:
             break
         t = _time.perf_counter()
-        sess.step(ori, acc)
+        if args.pipelined:
+            # submit-side latency; device execution overlaps the next
+            # window's host work (see StreamingCascade.step_async)
+            sess.step_async(ori, acc)
+        else:
+            sess.step(ori, acc)
         latencies.append(_time.perf_counter() - t)
         total_frames += active * W
         ticks += 1
+    if args.pipelined:
+        sess.flush()
 
     if ticks == 0:
         print(_json.dumps({

@@ -321,6 +321,61 @@ class TestStreamingCascade:
         # seq0 (40f) + seq2 (17f->10f) on slot 0, seq1 (25f->20f) on slot 1
         assert stats["frames_per_sec"] > 0
 
+
+    def test_cli_stream_multi_short_sequences(self, model, tmp_path):
+        """All sequences shorter than the window → a graceful JSON error,
+        not an IndexError on the empty latency array."""
+        import io, json, contextlib
+        from a3gc_tpu import cli as CLI
+
+        rng = np.random.default_rng(17)
+        seqs = {}
+        for i, T in enumerate((5, 7)):
+            seqs[f"seq{i}_ori"] = Rotation.random(T * 6, random_state=i
+                ).as_matrix().reshape(T, 54).astype(np.float32)
+            seqs[f"seq{i}_acc"] = rng.normal(size=(T, 18)).astype(np.float32)
+            seqs[f"seq{i}_pose"] = np.tile(
+                np.eye(3, dtype=np.float32).reshape(1, 1, 3, 3),
+                (T, 15, 1, 1)).reshape(T, 135)
+        inp = tmp_path / "short.npz"
+        np.savez(inp, **seqs)
+        smpl = tmp_path / "s.pkl"
+        write_synthetic_smpl_pickle(str(smpl), n_vertices=120)
+        args = CLI.build_parser().parse_args([
+            "stream", "--input", str(inp), "--window", "10",
+            "--streams", "2", "--model", "a3gc",
+            "--hu1", "8", "--hu2", "8", "--hu3", "8", "--smpl", str(smpl)])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            args.fn(args)
+        stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert stats["windows"] == 0 and "error" in stats
+
+    def test_multi_stream_soak_state_stability(self, model):
+        """Many windows with interleaved per-slot resets: outputs stay
+        finite and per-slot state matches an independent session."""
+        SC, cfg, params3 = self._build(model)
+        W, S = 6, 2
+        multi = SC(params3, cfg, model, window=W, streams=S)
+        single = SC(params3, cfg, model, window=W)
+
+        rng = np.random.default_rng(19)
+        n_windows = 12
+        ori = Rotation.random(n_windows * W * S * 6, random_state=21
+            ).as_matrix().reshape(S, n_windows * W, 54).astype(np.float32)
+        acc = rng.normal(scale=0.5, size=(S, n_windows * W, 18)
+                         ).astype(np.float32)
+        for w in range(n_windows):
+            sl = slice(w * W, (w + 1) * W)
+            if w in (4, 9):            # slot 0 restarts; slot 1 carries on
+                multi.reset(stream=0)
+                single.reset()
+            m = multi.step(ori[:, sl], acc[:, sl])
+            s0 = single.step(ori[0, sl], acc[0, sl])
+            assert np.isfinite(m).all()
+            np.testing.assert_allclose(m[0], s0, atol=3e-5,
+                                       err_msg=f"window {w}")
+
 class TestWorstFramesContract:
     def test_reference_18_pickle_layout(self, model, tmp_path):
         """compare_models writes the reference's exact artifact set
