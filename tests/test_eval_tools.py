@@ -321,6 +321,18 @@ class TestStreamingCascade:
         # seq0 (40f) + seq2 (17f->10f) on slot 0, seq1 (25f->20f) on slot 1
         assert stats["frames_per_sec"] > 0
 
+        # and the pipelined (submit-side latency) variant
+        args = CLI.build_parser().parse_args([
+            "stream", "--input", str(inp), "--window", "10",
+            "--streams", "2", "--pipelined", "--model", "a3gc",
+            "--hu1", "8", "--hu2", "8", "--hu3", "8",
+            "--smpl", str(smpl)])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            args.fn(args)
+        stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert stats["streams"] == 2 and stats["windows"] > 0
+
 
     def test_cli_stream_multi_short_sequences(self, model, tmp_path):
         """All sequences shorter than the window → a graceful JSON error,
