@@ -619,6 +619,9 @@ def cmd_convert(args):
         dip_params_from_state_dict, graph_net_params_from_state_dict,
         load_torch_checkpoint)
 
+    if args.to_torch:
+        return _convert_to_torch(args)
+    assert args.torch, "give --torch (import) or --to_torch (export)"
     sd = load_torch_checkpoint(args.torch)
     if args.model in ("tp", "dip"):
         params = dip_params_from_state_dict(sd)
@@ -629,6 +632,37 @@ def cmd_convert(args):
     ckptr.wait_until_finished()
     n = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"converted {args.torch} ({n:,} params) -> {args.output}")
+
+
+def _convert_to_torch(args):
+    r"""Reverse conversion: one of OUR orbax checkpoints → a reference
+    ``.tar`` the torch tooling can consume (inverse layouts, see
+    compat/torch_export.py)."""
+    import jax
+    from a3gc_tpu.compat import (dip_state_dict, graph_net_state_dict,
+                                 save_torch_checkpoint)
+    from a3gc_tpu.data import load_adjacency_template
+    from a3gc_tpu.models import nets as N
+    from a3gc_tpu.models.pipeline import PoseNetConfig, init_pose_net
+    from a3gc_tpu.utils import restore_params
+
+    nira = load_adjacency_template()
+    if args.model in ("tp", "dip"):
+        cfg = PoseNetConfig(net=N.DIPConfig(
+            n_input=args.n_input, n_output=args.n_output,
+            n_hidden=args.hu1))
+        template = init_pose_net(jax.random.PRNGKey(0), cfg)
+        params = restore_params(args.to_torch, template)
+        sd = dip_state_dict(params)
+    else:
+        cfg = PoseNetConfig(net=N.GraphNetConfig(
+            cell=args.model, units_in=args.n_input,
+            units_out=args.n_output, units_hidden=args.hu1))
+        template = init_pose_net(jax.random.PRNGKey(0), cfg, nira)
+        params = restore_params(args.to_torch, template)
+        sd = graph_net_state_dict(params, args.model)
+    save_torch_checkpoint(args.output, sd, epoch=args.epoch)
+    print(f"exported {args.to_torch} ({len(sd)} tensors) -> {args.output}")
 
 
 def build_parser():
@@ -751,10 +785,21 @@ def build_parser():
     w.set_defaults(fn=cmd_worst_frames)
 
     c = sub.add_parser("convert-checkpoint",
-                       help="torch .tar -> orbax checkpoint")
-    c.add_argument("--torch", type=str, required=True)
+                       help="torch .tar <-> orbax checkpoint (both ways)")
+    c.add_argument("--torch", type=str, default="",
+                   help="reference .tar to IMPORT (-> --output orbax dir)")
+    c.add_argument("--to_torch", type=str, default="",
+                   help="one of OUR orbax checkpoints to EXPORT as a "
+                        "reference .tar (-> --output; set --n_input/"
+                        "--n_output/--hu1 to the net's sizes)")
     c.add_argument("--model", choices=MODEL_CHOICES, required=True)
     c.add_argument("--output", type=str, required=True)
+    c.add_argument("--n_input", type=int, default=15)
+    c.add_argument("--n_output", type=int, default=9)
+    c.add_argument("--hu1", type=int, default=128,
+                   help="hidden units of the exported net")
+    c.add_argument("--epoch", type=int, default=0,
+                   help="epoch number recorded in the exported .tar")
     c.set_defaults(fn=cmd_convert)
 
     return p

@@ -246,6 +246,50 @@ def run_check(args):
     graph_case("aagc_random_b1_highest", "aagc", (15, 9, 128),
                None, 1, args.seq_len, "highest")
 
+    # end-to-end cascade divergence IN DEGREES: the user-facing unit.
+    # Full a3gc cascade (trained stage-2/3 checkpoints where available),
+    # Pallas vs XLA backends, geodesic angle between the output poses.
+    def cascade_angle_case(precision):
+        from __graft_entry__ import _body_model, _cascade
+        from a3gc_tpu.models.pipeline import cascade_apply
+        from a3gc_tpu.ops.rotations import angle_between
+
+        cfg_p, params3 = _cascade("a3gc", precision=precision,
+                                  backend="pallas")
+        cfg_x, _ = _cascade("a3gc", precision=precision, backend="xla")
+        if have_ckpts:
+            params3 = (params3[0],
+                       _trained_graph_params(
+                           "A3GC/checkpoint_model2_finetuning_9.tar",
+                           "a3gc"),
+                       _trained_graph_params(
+                           "A3GC/checkpoint_model3_finetuning_8.tar",
+                           "a3gc"))
+        body = _body_model()
+        T = args.seq_len
+        imu = jnp.asarray(rng.normal(
+            size=(1, T, 15, 12)).astype(np.float32) * 0.5)
+        pose_p = np.asarray(jax.jit(
+            lambda p, x: cascade_apply(p, cfg_p, body, x))(params3, imu))
+        pose_x = np.asarray(jax.jit(
+            lambda p, x: cascade_apply(p, cfg_x, body, x))(params3, imu))
+        ang = np.degrees(np.asarray(angle_between(
+            jnp.asarray(pose_p.reshape(-1, 3, 3)),
+            jnp.asarray(pose_x.reshape(-1, 3, 3)))))
+        results["cases"].append({
+            "case": f"a3gc_cascade_pose_angle_deg_{precision}",
+            "cell": "a3gc", "batch_streams": 1, "frames": T,
+            "precision": precision, "trained": have_ckpts,
+            "angle_deg_mean": float(ang.mean()),
+            "angle_deg_max": float(ang.max()),
+            "max_abs_delta": float(np.abs(pose_p - pose_x).max()),
+            "out_max_abs": float(np.abs(pose_x).max())})
+        print(f"  cascade angle ({precision}):  mean {ang.mean():.2e} deg"
+              f"  max {ang.max():.2e} deg")
+
+    for prec in args.precisions.split(","):
+        cascade_angle_case(prec)
+
     with open(args.check_out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({"metric": "pallas_vs_xla_max_abs_delta",
