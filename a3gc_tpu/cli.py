@@ -556,6 +556,33 @@ def _stream_multi(args, params3, cascade, model, stats, sequences):
     }))
 
 
+def cmd_serve(args):
+    r"""Dynamic-batching HTTP pose serving (see a3gc_tpu/serve.py): up to
+    --streams concurrent clients share ONE compiled multi-stream program;
+    requests arriving within --max_wait_ms coalesce into one device step."""
+    import json as _json
+
+    from a3gc_tpu.data import load_adjacency_template
+    from a3gc_tpu.serve import PoseServer
+
+    model = _load_body_model(args)
+    nira = load_adjacency_template()
+    cascade, is_graph = _stage_configs(
+        args, precision=args.precision or "default")
+    params3 = _load_cascade_params(args, cascade, is_graph, nira)
+    stats = _load_stats(args) if args.norm else None
+
+    srv = PoseServer(params3, cascade, model, window=args.window,
+                     streams=args.streams, stats=stats, normalize=args.norm,
+                     host=args.host, port=args.port,
+                     max_wait_ms=args.max_wait_ms)
+    host, port = srv.address[:2]
+    print(_json.dumps({"serving": f"http://{host}:{port}",
+                       "streams": args.streams, "window": args.window}),
+          flush=True)
+    srv.serve_forever()
+
+
 def cmd_worst_frames(args):
     r"""Best/worst-frame comparison of two models' prediction dumps
     (ref: get_worst_frames.py)."""
@@ -783,6 +810,26 @@ def build_parser():
     w.add_argument("--min_separation", type=int, default=300)
     w.add_argument("--output", type=str, default="best_worst")
     w.set_defaults(fn=cmd_worst_frames)
+
+    sv = sub.add_parser("serve", help="dynamic-batching HTTP pose serving "
+                        "(multi-stream, per-client state)")
+    _add_common_model_flags(sv)
+    sv.add_argument("--window", type=int, default=60)
+    sv.add_argument("--streams", type=int, default=8,
+                    help="max concurrent client sessions (one kernel row "
+                         "block per 8)")
+    sv.add_argument("--host", type=str, default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8765)
+    sv.add_argument("--max_wait_ms", type=float, default=5.0,
+                    help="request-coalescing window per device step")
+    sv.add_argument("--path", type=str, default="")
+    sv.add_argument("--torch_checkpoints", nargs="+", default=None)
+    sv.add_argument("--type", choices=("pretrain", "finetuning"),
+                    default="finetuning")
+    sv.add_argument("--mid1", type=int, default=-1)
+    sv.add_argument("--mid2", type=int, default=-1)
+    sv.add_argument("--mid3", type=int, default=-1)
+    sv.set_defaults(fn=cmd_serve)
 
     c = sub.add_parser("convert-checkpoint",
                        help="torch .tar <-> orbax checkpoint (both ways)")

@@ -121,27 +121,35 @@ class StreamingCascade:
         self._pending = None
 
         @jax.jit
-        def _step(params3, ori, acc, s1, s2, s3):
-            # ori [1, T_w, 54], acc [1, T_w, 18]
+        def _step(params3, ori, acc, s1, s2, s3, active):
+            # ori [S, T_w, 54], acc [S, T_w, 18], active [S] 0/1 — idle
+            # slots' recurrent state carries through unchanged (their
+            # whole window is masked like padding), enabling dynamic
+            # batching: a tick may serve any subset of clients
             o, a = DPipe.normalize_imu(ori, acc, self.stats)
             if cfg.is_graph:
-                imu = DPipe.scatter_graph_inputs(o, a)      # [1,T_w,15,12]
+                imu = DPipe.scatter_graph_inputs(o, a)      # [S,T_w,15,12]
             else:
-                imu = jnp.concatenate((a, o), axis=-1)      # [1,T_w,72]
+                imu = jnp.concatenate((a, o), axis=-1)      # [S,T_w,72]
             B, T = imu.shape[0], imu.shape[1]
+            mask = jnp.broadcast_to(active[:, None], (B, T)).astype(
+                imu.dtype)
             p1, p2, p3 = params3
 
-            leaf, s1 = pose_net_forward(p1, cfg.stage1, imu, s1)
+            leaf, s1 = pose_net_forward(p1, cfg.stage1, imu, s1,
+                                        frame_mask=mask)
             if cfg.is_graph:
                 leaf = leaf.reshape(B, T, JS.n_reduced, 3)
             x2 = jnp.concatenate((imu, leaf), axis=-1)
 
-            full, s2 = pose_net_forward(p2, cfg.stage2, x2, s2)
+            full, s2 = pose_net_forward(p2, cfg.stage2, x2, s2,
+                                        frame_mask=mask)
             if cfg.is_graph:
                 full = full.reshape(B, T, JS.n_reduced, 3)
             x3 = jnp.concatenate((imu, full), axis=-1)
 
-            out, s3 = pose_net_forward(p3, cfg.stage3, x3, s3)
+            out, s3 = pose_net_forward(p3, cfg.stage3, x3, s3,
+                                       frame_mask=mask)
             rotsize = cfg.stage3.rotsize
             rep = (3, 3) if rotsize == 9 else (rotsize,)
             pose = reduced_global_to_full_local(
@@ -165,24 +173,28 @@ class StreamingCascade:
                 lambda s: s.at[:, stream].set(0.0), self._states)
         self._pending = None
 
-    def _dispatch(self, ori_window, acc_window):
+    def _dispatch(self, ori_window, acc_window, active=None):
         S = self.streams
         ori = jnp.asarray(ori_window).reshape(S, -1, 54)
         acc = jnp.asarray(acc_window).reshape(S, -1, 18)
         assert ori.shape[1] == self.window, (
             f"window size {ori.shape[1]} != configured {self.window}")
+        act = (jnp.ones((S,), jnp.float32) if active is None
+               else jnp.asarray(active, jnp.float32).reshape(S))
         s1, s2, s3 = self._states
-        pose, s1, s2, s3 = self._fn(self.params3, ori, acc, s1, s2, s3)
+        pose, s1, s2, s3 = self._fn(self.params3, ori, acc, s1, s2, s3, act)
         self._states = (s1, s2, s3)
         if S > 1:
             pose = pose.reshape((S, -1) + pose.shape[1:])
         return pose
 
-    def step(self, ori_window: np.ndarray,
-             acc_window: np.ndarray) -> np.ndarray:
+    def step(self, ori_window: np.ndarray, acc_window: np.ndarray,
+             active=None) -> np.ndarray:
         r"""Process one window; returns full local pose [T_w, 24, 3, 3]
-        (streams=1) or [S, T_w, 24, 3, 3]."""
-        return np.asarray(self._dispatch(ori_window, acc_window))
+        (streams=1) or [S, T_w, 24, 3, 3]. ``active`` [S] 0/1 marks which
+        clients submitted this tick — idle slots' state is untouched and
+        their output slice is garbage (dynamic batching)."""
+        return np.asarray(self._dispatch(ori_window, acc_window, active))
 
     def step_async(self, ori_window: np.ndarray,
                    acc_window: np.ndarray) -> Optional[np.ndarray]:

@@ -1,0 +1,194 @@
+r"""Dynamic-batching pose-serving demo over HTTP (stdlib only).
+
+The production pattern on top of :class:`~a3gc_tpu.eval.streaming.
+StreamingCascade`: up to ``streams`` concurrent clients each hold a slot
+with carried recurrent state; a dispatcher thread coalesces whatever
+requests arrived within ``max_wait_ms`` into ONE multi-stream device step
+(idle slots are masked, so their state is untouched — see
+``StreamingCascade.step(active=...)``), then fans the poses back out.
+One compiled program serves every tick regardless of which subset of
+clients submitted.
+
+The reference has no serving story (its online mode is a per-process,
+single-stream ``forward(imu, rnn_state)`` loop, ref: net_aagc.py:802-812);
+this is the TPU-native scale-up of that capability.
+
+Protocol (JSON over HTTP):
+  POST /v1/session                  → {"slot": i, "window": W}   (acquire)
+  POST /v1/step {"slot", "ori" [W,54], "acc" [W,18]}
+                                    → {"pose": [W,24,3,3]}
+  DELETE /v1/session/<slot>         → {}                  (reset + release)
+
+Run: ``python -m a3gc_tpu.cli serve --port 8765 --streams 8 ...``
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["PoseServer"]
+
+
+class _Batcher:
+    """Coalesce per-slot requests into multi-stream steps."""
+
+    def __init__(self, session, streams: int, window: int,
+                 max_wait_ms: float = 5.0):
+        self.sess = session
+        self.S = streams
+        self.W = window
+        self.max_wait = max_wait_ms / 1e3
+        self.lock = threading.Lock()
+        self.cond = threading.Condition(self.lock)
+        self.free = set(range(streams))
+        self.pending = {}           # slot -> (ori, acc)
+        self.results = {}           # slot -> pose
+        self.stop = False
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def acquire(self) -> Optional[int]:
+        with self.lock:
+            if not self.free:
+                return None
+            slot = self.free.pop()
+            # a release can race an in-flight tick; drop any orphan result
+            self.results.pop(slot, None)
+            return slot
+
+    def release(self, slot: int):
+        with self.lock:
+            self.sess.reset(stream=slot)
+            self.pending.pop(slot, None)
+            self.results.pop(slot, None)
+            self.free.add(slot)
+
+    def step(self, slot: int, ori: np.ndarray, acc: np.ndarray):
+        with self.cond:
+            self.pending[slot] = (ori, acc)
+            self.cond.notify_all()
+            while slot not in self.results:
+                self.cond.wait(timeout=0.1)
+                if self.stop:
+                    raise RuntimeError("server shutting down")
+            return self.results.pop(slot)
+
+    def shutdown(self):
+        with self.cond:
+            self.stop = True
+            self.cond.notify_all()
+        self.thread.join(timeout=2)
+
+    def _run(self):
+        zero_o = np.zeros((self.W, 54), np.float32)
+        zero_a = np.zeros((self.W, 18), np.float32)
+        while True:
+            with self.cond:
+                while not self.pending and not self.stop:
+                    self.cond.wait(timeout=0.1)
+                if self.stop:
+                    return
+                # brief coalescing window: let concurrent clients join
+                # this tick (bounded, so a lone client keeps low latency)
+                n_busy = self.S - len(self.free)
+                if len(self.pending) < n_busy:
+                    self.cond.wait(timeout=self.max_wait)
+                batch, self.pending = self.pending, {}
+            ori = np.stack([batch.get(i, (zero_o, zero_a))[0]
+                            for i in range(self.S)])
+            acc = np.stack([batch.get(i, (zero_o, zero_a))[1]
+                            for i in range(self.S)])
+            active = np.asarray([1.0 if i in batch else 0.0
+                                 for i in range(self.S)], np.float32)
+            poses = self.sess.step(ori, acc, active=active)
+            with self.cond:
+                for i in batch:
+                    self.results[i] = poses[i] if self.S > 1 else poses
+                self.cond.notify_all()
+
+
+class PoseServer:
+    r"""HTTP wrapper around a multiplexed streaming cascade session."""
+
+    def __init__(self, params3, cfg, model, window: int = 60,
+                 streams: int = 8, stats=None, normalize: bool = False,
+                 host: str = "127.0.0.1", port: int = 8765,
+                 max_wait_ms: float = 5.0):
+        from a3gc_tpu.eval.streaming import StreamingCascade
+
+        sess = StreamingCascade(params3, cfg, model, window=window,
+                                stats=stats, normalize=normalize,
+                                streams=streams)
+        # compile outside the serving path
+        sess.step(np.zeros((streams, window, 54), np.float32),
+                  np.zeros((streams, window, 18), np.float32))
+        sess.reset()
+        self.batcher = _Batcher(sess, streams, window, max_wait_ms)
+        self.window = window
+        batcher, W = self.batcher, window
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):          # quiet
+                pass
+
+            def _json(self, code: int, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                if self.path == "/v1/session":
+                    slot = batcher.acquire()
+                    if slot is None:
+                        return self._json(503, {"error": "no free slots"})
+                    return self._json(200, {"slot": slot, "window": W})
+                if self.path == "/v1/step":
+                    n = int(self.headers.get("Content-Length", 0))
+                    try:
+                        req = json.loads(self.rfile.read(n))
+                        slot = int(req["slot"])
+                        ori = np.asarray(req["ori"], np.float32)
+                        acc = np.asarray(req["acc"], np.float32)
+                        if ori.shape != (W, 54) or acc.shape != (W, 18):
+                            raise ValueError(
+                                f"need ori [{W},54] and acc [{W},18]")
+                        pose = batcher.step(slot, ori, acc)
+                    except (KeyError, ValueError, TypeError) as e:
+                        return self._json(400, {"error": str(e)})
+                    return self._json(200, {"pose": pose.tolist()})
+                return self._json(404, {"error": "unknown endpoint"})
+
+            def do_DELETE(self):
+                if self.path.startswith("/v1/session/"):
+                    try:
+                        slot = int(self.path.rsplit("/", 1)[1])
+                    except ValueError:
+                        return self._json(400, {"error": "bad slot"})
+                    batcher.release(slot)
+                    return self._json(200, {})
+                return self._json(404, {"error": "unknown endpoint"})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+
+    @property
+    def address(self):
+        return self.httpd.server_address
+
+    def serve_forever(self):
+        try:
+            self.httpd.serve_forever()
+        finally:
+            self.batcher.shutdown()
+
+    def shutdown(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.batcher.shutdown()

@@ -1,0 +1,161 @@
+"""Dynamic-batching HTTP serving: concurrent clients through one
+multi-stream program == independent single-stream sessions, regardless of
+how requests coalesce into ticks (per-slot masking keeps idle state
+untouched)."""
+
+import http.client
+import json
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pytest
+
+import jax
+
+from a3gc_tpu.data import load_adjacency_template
+from a3gc_tpu.models import nets as N
+from a3gc_tpu.models.pipeline import (CascadeConfig, PoseNetConfig,
+                                      init_pose_net)
+from a3gc_tpu.smpl import load_parametric_model, write_synthetic_smpl_pickle
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    p = tmp_path_factory.mktemp("smpl") / "s.pkl"
+    return load_parametric_model(write_synthetic_smpl_pickle(
+        str(p), n_vertices=120))
+
+
+@pytest.fixture(scope="module")
+def setup(model):
+    nira = load_adjacency_template()
+
+    def g(ui, uo, h, rot):
+        return PoseNetConfig(net=N.GraphNetConfig(
+            cell="a3gc", units_in=ui, units_out=uo, units_hidden=h),
+            rotsize=rot)
+
+    cfg = CascadeConfig(stage1=g(12, 3, 8, 3), stage2=g(15, 3, 8, 3),
+                        stage3=g(15, 9, 8, 9))
+    params3 = tuple(init_pose_net(jax.random.PRNGKey(i), c, nira)
+                    for i, c in enumerate((cfg.stage1, cfg.stage2,
+                                           cfg.stage3)))
+    return cfg, params3
+
+
+def _request(addr, method, path, body=None):
+    conn = http.client.HTTPConnection(*addr, timeout=30)
+    conn.request(method, path,
+                 body=None if body is None else json.dumps(body),
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    out = json.loads(resp.read())
+    conn.close()
+    return resp.status, out
+
+
+class TestPoseServer:
+    def test_concurrent_clients_match_single_sessions(self, setup, model):
+        from a3gc_tpu.eval.streaming import StreamingCascade
+        from a3gc_tpu.serve import PoseServer
+        from scipy.spatial.transform import Rotation
+
+        cfg, params3 = setup
+        W, n_clients, n_windows = 6, 3, 3
+        srv = PoseServer(params3, cfg, model, window=W, streams=4, port=0,
+                         max_wait_ms=20.0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        addr = srv.address
+        try:
+            rng = np.random.default_rng(3)
+            ori = Rotation.random(n_clients * n_windows * W * 6,
+                                  random_state=4).as_matrix().reshape(
+                n_clients, n_windows * W, 54).astype(np.float32)
+            acc = rng.normal(scale=0.5,
+                             size=(n_clients, n_windows * W, 18)
+                             ).astype(np.float32)
+
+            def client(ci):
+                st, sess = _request(addr, "POST", "/v1/session")
+                assert st == 200, sess
+                slot = sess["slot"]
+                poses = []
+                for w in range(n_windows):
+                    sl = slice(w * W, (w + 1) * W)
+                    st, out = _request(addr, "POST", "/v1/step", {
+                        "slot": slot,
+                        "ori": ori[ci, sl].tolist(),
+                        "acc": acc[ci, sl].tolist()})
+                    assert st == 200, out
+                    poses.append(np.asarray(out["pose"], np.float32))
+                st, _ = _request(addr, "DELETE", f"/v1/session/{slot}")
+                assert st == 200
+                return np.concatenate(poses)
+
+            with ThreadPoolExecutor(n_clients) as ex:
+                served = list(ex.map(client, range(n_clients)))
+
+            # oracle: independent single-stream sessions
+            for ci in range(n_clients):
+                ref = StreamingCascade(params3, cfg, model, window=W)
+                expect = []
+                for w in range(n_windows):
+                    sl = slice(w * W, (w + 1) * W)
+                    expect.append(ref.step(ori[ci, sl], acc[ci, sl]))
+                np.testing.assert_allclose(
+                    served[ci], np.concatenate(expect), atol=3e-5,
+                    err_msg=f"client {ci}")
+        finally:
+            srv.shutdown()
+
+    def test_capacity_and_reset(self, setup, model):
+        from a3gc_tpu.serve import PoseServer
+
+        cfg, params3 = setup
+        W = 4
+        srv = PoseServer(params3, cfg, model, window=W, streams=1, port=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        addr = srv.address
+        try:
+            st, s0 = _request(addr, "POST", "/v1/session")
+            assert st == 200
+            st, err = _request(addr, "POST", "/v1/session")
+            assert st == 503 and "error" in err      # full
+
+            from scipy.spatial.transform import Rotation
+            rng = np.random.default_rng(8)
+            ori = Rotation.random(W * 6, random_state=9).as_matrix(
+            ).reshape(W, 54).astype(np.float32).tolist()
+            acc = rng.normal(scale=0.5, size=(W, 18)).astype(
+                np.float32).tolist()
+            st, out1 = _request(addr, "POST", "/v1/step",
+                                {"slot": s0["slot"], "ori": ori,
+                                 "acc": acc})
+            assert st == 200
+            st, out2 = _request(addr, "POST", "/v1/step",
+                                {"slot": s0["slot"], "ori": ori,
+                                 "acc": acc})
+            # carried state: second window differs from the first
+            assert np.abs(np.asarray(out1["pose"])
+                          - np.asarray(out2["pose"])).max() > 1e-7
+
+            st, _ = _request(addr, "DELETE", f"/v1/session/{s0['slot']}")
+            assert st == 200
+            st, s1 = _request(addr, "POST", "/v1/session")
+            assert st == 200                          # slot recycled
+            st, out3 = _request(addr, "POST", "/v1/step",
+                                {"slot": s1["slot"], "ori": ori,
+                                 "acc": acc})
+            # reset on release: fresh state reproduces window 1 exactly
+            np.testing.assert_allclose(np.asarray(out3["pose"]),
+                                       np.asarray(out1["pose"]), atol=1e-6)
+
+            st, err = _request(addr, "POST", "/v1/step",
+                               {"slot": s1["slot"], "ori": [[1.0]],
+                                "acc": acc})
+            assert st == 400 and "error" in err       # shape validation
+        finally:
+            srv.shutdown()
