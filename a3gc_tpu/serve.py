@@ -19,6 +19,12 @@ Protocol (JSON over HTTP):
                                     → {"pose": [W,24,3,3]}
   DELETE /v1/session/<slot>         → {}                  (reset + release)
 
+Binary mode (Content-Type: application/octet-stream on /v1/step): body is
+``uint32 slot ‖ float32 ori[W,54] ‖ float32 acc[W,18]`` little-endian;
+the response is raw ``float32 pose[W,24,3,3]`` bytes. JSON-encoding a
+60-frame pose is megabytes and dominates the round-trip (measured ~7×
+slower than binary); production clients should use binary.
+
 Run: ``python -m a3gc_tpu.cli serve --port 8765 --streams 8 ...``
 """
 
@@ -152,17 +158,41 @@ class PoseServer:
                     return self._json(200, {"slot": slot, "window": W})
                 if self.path == "/v1/step":
                     n = int(self.headers.get("Content-Length", 0))
+                    binary = (self.headers.get("Content-Type", "")
+                              == "application/octet-stream")
                     try:
-                        req = json.loads(self.rfile.read(n))
-                        slot = int(req["slot"])
-                        ori = np.asarray(req["ori"], np.float32)
-                        acc = np.asarray(req["acc"], np.float32)
+                        raw = self.rfile.read(n)
+                        if binary:
+                            need = 4 + 4 * W * (54 + 18)
+                            if len(raw) != need:
+                                raise ValueError(
+                                    f"need {need} bytes: uint32 slot + "
+                                    f"f32 ori[{W},54] + f32 acc[{W},18]")
+                            slot = int(np.frombuffer(raw, "<u4", 1)[0])
+                            flat = np.frombuffer(raw, "<f4", offset=4)
+                            ori = flat[:W * 54].reshape(W, 54)
+                            acc = flat[W * 54:].reshape(W, 18)
+                        else:
+                            req = json.loads(raw)
+                            slot = int(req["slot"])
+                            ori = np.asarray(req["ori"], np.float32)
+                            acc = np.asarray(req["acc"], np.float32)
                         if ori.shape != (W, 54) or acc.shape != (W, 18):
                             raise ValueError(
                                 f"need ori [{W},54] and acc [{W},18]")
                         pose = batcher.step(slot, ori, acc)
                     except (KeyError, ValueError, TypeError) as e:
                         return self._json(400, {"error": str(e)})
+                    if binary:
+                        body = np.ascontiguousarray(
+                            pose, dtype="<f4").tobytes()
+                        self.send_response(200)
+                        self.send_header("Content-Type",
+                                         "application/octet-stream")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
                     return self._json(200, {"pose": pose.tolist()})
                 return self._json(404, {"error": "unknown endpoint"})
 

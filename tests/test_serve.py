@@ -159,3 +159,56 @@ class TestPoseServer:
             assert st == 400 and "error" in err       # shape validation
         finally:
             srv.shutdown()
+
+
+class TestBinaryProtocol:
+    def test_binary_step_matches_json(self, setup, model):
+        from a3gc_tpu.serve import PoseServer
+        from scipy.spatial.transform import Rotation
+
+        cfg, params3 = setup
+        W = 5
+        srv = PoseServer(params3, cfg, model, window=W, streams=2, port=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        addr = srv.address
+        try:
+            rng = np.random.default_rng(23)
+            ori = Rotation.random(W * 6, random_state=24).as_matrix(
+            ).reshape(W, 54).astype(np.float32)
+            acc = rng.normal(scale=0.5, size=(W, 18)).astype(np.float32)
+
+            _, s0 = _request(addr, "POST", "/v1/session")
+            _, s1 = _request(addr, "POST", "/v1/session")
+
+            # JSON on slot 0
+            st, out_j = _request(addr, "POST", "/v1/step", {
+                "slot": s0["slot"], "ori": ori.tolist(),
+                "acc": acc.tolist()})
+            assert st == 200
+
+            # binary on slot 1 (identical input → identical pose: fresh
+            # state on both slots)
+            body = (np.asarray([s1["slot"]], "<u4").tobytes()
+                    + ori.astype("<f4").tobytes()
+                    + acc.astype("<f4").tobytes())
+            conn = http.client.HTTPConnection(*addr, timeout=30)
+            conn.request("POST", "/v1/step", body=body,
+                         headers={"Content-Type":
+                                  "application/octet-stream"})
+            resp = conn.getresponse()
+            assert resp.status == 200
+            pose_b = np.frombuffer(resp.read(), "<f4").reshape(W, 24, 3, 3)
+            conn.close()
+            np.testing.assert_allclose(
+                pose_b, np.asarray(out_j["pose"], np.float32), atol=1e-6)
+
+            # malformed binary → 400
+            conn = http.client.HTTPConnection(*addr, timeout=30)
+            conn.request("POST", "/v1/step", body=b"\x00\x01",
+                         headers={"Content-Type":
+                                  "application/octet-stream"})
+            assert conn.getresponse().status == 400
+            conn.close()
+        finally:
+            srv.shutdown()
