@@ -534,8 +534,12 @@ def _stream_multi(args, params3, cascade, model, stats, sequences):
         latencies.append(_time.perf_counter() - t)
         total_frames += active * W
         ticks += 1
-    if args.pipelined:
+    if args.pipelined and ticks:
+        # drain the last in-flight window INSIDE the timing so
+        # frames_per_sec counts only executed-and-fetched work
+        t = _time.perf_counter()
         sess.flush()
+        latencies.append(_time.perf_counter() - t)
 
     if ticks == 0:
         print(_json.dumps({
@@ -547,6 +551,7 @@ def _stream_multi(args, params3, cascade, model, stats, sequences):
     print(_json.dumps({
         "streams": S,
         "window": W,
+        "pipelined": bool(args.pipelined),   # latency = submit-side then
         "windows": ticks,
         "latency_ms_mean": round(float(lat.mean()), 3),
         "latency_ms_p50": round(float(np.percentile(lat, 50)), 3),
@@ -565,6 +570,9 @@ def cmd_serve(args):
     from a3gc_tpu.data import load_adjacency_template
     from a3gc_tpu.serve import PoseServer
 
+    assert args.model != "dip", (
+        "serve drives the 3-stage cascade; the single-stage dip net has "
+        "no serving mode (use evaluate --model dip)")
     model = _load_body_model(args)
     nira = load_adjacency_template()
     cascade, is_graph = _stage_configs(

@@ -53,7 +53,8 @@ class _Batcher:
         self.cond = threading.Condition(self.lock)
         self.free = set(range(streams))
         self.pending = {}           # slot -> (ori, acc)
-        self.results = {}           # slot -> pose
+        self.results = {}           # slot -> pose | ("error", msg)
+        self.releasing = set()      # slots whose reset the dispatcher owes
         self.stop = False
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
@@ -63,26 +64,38 @@ class _Batcher:
             if not self.free:
                 return None
             slot = self.free.pop()
-            # a release can race an in-flight tick; drop any orphan result
-            self.results.pop(slot, None)
+            self.results.pop(slot, None)   # drop any orphan of a dead waiter
             return slot
 
-    def release(self, slot: int):
-        with self.lock:
-            self.sess.reset(stream=slot)
-            self.pending.pop(slot, None)
-            self.results.pop(slot, None)
-            self.free.add(slot)
+    def release(self, slot: int) -> bool:
+        r"""Schedule reset+release. The actual state reset runs ON the
+        dispatcher thread (serialized with device steps, so an in-flight
+        tick can neither lose the reset nor leak a stale result), and the
+        slot only returns to the free pool afterwards."""
+        with self.cond:
+            if not (0 <= slot < self.S) or slot in self.free:
+                return False
+            self.releasing.add(slot)
+            self.cond.notify_all()
+            while slot not in self.free and not self.stop:
+                self.cond.wait(timeout=0.1)
+            return True
 
     def step(self, slot: int, ori: np.ndarray, acc: np.ndarray):
         with self.cond:
+            if not (0 <= slot < self.S) or slot in self.free \
+                    or slot in self.releasing:
+                raise ValueError(f"slot {slot} is not an active session")
             self.pending[slot] = (ori, acc)
             self.cond.notify_all()
             while slot not in self.results:
                 self.cond.wait(timeout=0.1)
                 if self.stop:
                     raise RuntimeError("server shutting down")
-            return self.results.pop(slot)
+            out = self.results.pop(slot)
+            if isinstance(out, tuple) and out[0] == "error":
+                raise RuntimeError(out[1])
+            return out
 
     def shutdown(self):
         with self.cond:
@@ -91,14 +104,31 @@ class _Batcher:
         self.thread.join(timeout=2)
 
     def _run(self):
+        import sys
+
         zero_o = np.zeros((self.W, 54), np.float32)
         zero_a = np.zeros((self.W, 18), np.float32)
         while True:
             with self.cond:
-                while not self.pending and not self.stop:
+                while (not self.pending and not self.releasing
+                       and not self.stop):
                     self.cond.wait(timeout=0.1)
                 if self.stop:
                     return
+                # process owed releases first: reset happens here, on the
+                # same thread as device steps — no state/result races
+                for slot in sorted(self.releasing):
+                    self.sess.reset(stream=slot)
+                    had_pending = self.pending.pop(slot, None) is not None
+                    self.results.pop(slot, None)
+                    if had_pending:   # un-hang a step racing the release
+                        self.results[slot] = ("error", "session released")
+                    self.free.add(slot)
+                if self.releasing:
+                    self.releasing.clear()
+                    self.cond.notify_all()
+                if not self.pending:
+                    continue
                 # brief coalescing window: let concurrent clients join
                 # this tick (bounded, so a lone client keeps low latency)
                 n_busy = self.S - len(self.free)
@@ -111,10 +141,16 @@ class _Batcher:
                             for i in range(self.S)])
             active = np.asarray([1.0 if i in batch else 0.0
                                  for i in range(self.S)], np.float32)
-            poses = self.sess.step(ori, acc, active=active)
+            try:
+                poses = self.sess.step(ori, acc, active=active)
+                err = None
+            except Exception as e:          # transient device/relay errors
+                err = f"device step failed: {e!r}"
+                print(f"[a3gc_tpu.serve] {err}", file=sys.stderr)
             with self.cond:
                 for i in batch:
-                    self.results[i] = poses[i] if self.S > 1 else poses
+                    self.results[i] = (("error", err) if err else
+                                       (poses[i] if self.S > 1 else poses))
                 self.cond.notify_all()
 
 
@@ -183,6 +219,8 @@ class PoseServer:
                         pose = batcher.step(slot, ori, acc)
                     except (KeyError, ValueError, TypeError) as e:
                         return self._json(400, {"error": str(e)})
+                    except RuntimeError as e:
+                        return self._json(500, {"error": str(e)})
                     if binary:
                         body = np.ascontiguousarray(
                             pose, dtype="<f4").tobytes()
@@ -202,7 +240,10 @@ class PoseServer:
                         slot = int(self.path.rsplit("/", 1)[1])
                     except ValueError:
                         return self._json(400, {"error": "bad slot"})
-                    batcher.release(slot)
+                    if not batcher.release(slot):
+                        return self._json(404,
+                                          {"error": f"slot {slot} is not "
+                                           "an active session"})
                     return self._json(200, {})
                 return self._json(404, {"error": "unknown endpoint"})
 

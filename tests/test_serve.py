@@ -212,3 +212,42 @@ class TestBinaryProtocol:
             conn.close()
         finally:
             srv.shutdown()
+
+
+class TestRobustness:
+    def test_invalid_slots_rejected_server_survives(self, setup, model):
+        """Unacquired/out-of-range slots -> 4xx, and the dispatcher keeps
+        serving valid clients afterwards (no one-request DoS)."""
+        from a3gc_tpu.serve import PoseServer
+
+        cfg, params3 = setup
+        W = 4
+        srv = PoseServer(params3, cfg, model, window=W, streams=2, port=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        addr = srv.address
+        try:
+            ori = np.zeros((W, 54), np.float32).tolist()
+            acc = np.zeros((W, 18), np.float32).tolist()
+            # step on never-acquired, out-of-range, negative slots
+            for bad in (0, 999, -2):
+                st, err = _request(addr, "POST", "/v1/step",
+                                   {"slot": bad, "ori": ori, "acc": acc})
+                assert st == 400 and "error" in err, (bad, st, err)
+            # delete of invalid slots
+            for bad in (1, 999, -2):
+                st, err = _request(addr, "DELETE", f"/v1/session/{bad}")
+                assert st in (400, 404), (bad, st)
+
+            # server still fully functional
+            st, s0 = _request(addr, "POST", "/v1/session")
+            assert st == 200
+            st, out = _request(addr, "POST", "/v1/step",
+                               {"slot": s0["slot"], "ori": ori,
+                                "acc": acc})
+            assert st == 200 and np.isfinite(
+                np.asarray(out["pose"])).all()
+            st, _ = _request(addr, "DELETE", f"/v1/session/{s0['slot']}")
+            assert st == 200
+        finally:
+            srv.shutdown()
