@@ -561,6 +561,40 @@ def _stream_multi(args, params3, cascade, model, stats, sequences):
     }))
 
 
+def cmd_export(args):
+    r"""AOT deployment export: serialize the windowed streaming-cascade
+    program (normalize → scatter → 3 stages → IK, carried state, per-slot
+    masking) to a portable StableHLO artifact directory via jax.export.
+    Parameters, stats, and the SMPL body are baked in as constants — the
+    artifact runs from bare jax with no model code or checkpoint files
+    (the deployment story the reference lacks: serving it needs torch +
+    net_aagc.py + the .tar files, ref: evaluate_a3gc_tp.py:125-145)."""
+    from a3gc_tpu.data import load_adjacency_template
+    from a3gc_tpu.export import export_streaming_cascade, save_exported
+
+    model = _load_body_model(args)
+    nira = load_adjacency_template()
+    cascade, is_graph = _stage_configs(
+        args, precision=args.precision or "default")
+    assert cascade is not None, "--model dip is a single net; export the tp " \
+        "cascade or use convert-checkpoint for single nets"
+    params3 = _load_cascade_params(args, cascade, is_graph, nira)
+    stats = _load_stats(args) if args.norm else None
+
+    exp_step, exp_init, manifest = export_streaming_cascade(
+        params3, cascade, model, window=args.window, streams=args.streams,
+        stats=stats, normalize=args.norm, backend=args.backend,
+        platforms=args.platforms)
+    save_exported(args.output, exp_step, exp_init, manifest)
+    sizes = {f: os.path.getsize(os.path.join(args.output, f))
+             for f in os.listdir(args.output)}
+    print(f"exported {manifest['family']} cascade "
+          f"(window={manifest['window']}, streams={manifest['streams']}, "
+          f"backend={manifest['backend']}, "
+          f"platforms={','.join(manifest['platforms'])}) -> {args.output} "
+          f"({sum(sizes.values()):,} bytes)")
+
+
 def cmd_serve(args):
     r"""Dynamic-batching HTTP pose serving (see a3gc_tpu/serve.py): up to
     --streams concurrent clients share ONE compiled multi-stream program;
@@ -792,6 +826,31 @@ def build_parser():
     st.add_argument("--mid2", type=int, default=-1)
     st.add_argument("--mid3", type=int, default=-1)
     st.set_defaults(fn=cmd_stream)
+
+    ex = sub.add_parser("export", help="AOT deployment export: serialize "
+                        "the streaming cascade to a StableHLO artifact "
+                        "(params/stats/body baked in; runs from bare jax)")
+    _add_common_model_flags(ex)
+    ex.add_argument("--output", type=str, required=True,
+                    help="artifact directory to write")
+    ex.add_argument("--window", type=int, default=60)
+    ex.add_argument("--streams", type=int, default=1,
+                    help="serving slots compiled into the program")
+    ex.add_argument("--backend", choices=("xla", "pallas"), default="xla",
+                    help="xla = portable (cpu+tpu) under jax.export's "
+                         "compatibility guarantees; pallas = bake the "
+                         "Mosaic whole-scan kernels (tpu-only artifact)")
+    ex.add_argument("--platforms", nargs="+", default=None,
+                    help="override lowering platforms (default: cpu tpu, "
+                         "or tpu for --backend pallas)")
+    ex.add_argument("--path", type=str, default="")
+    ex.add_argument("--torch_checkpoints", nargs="+", default=None)
+    ex.add_argument("--type", choices=("pretrain", "finetuning"),
+                    default="finetuning")
+    ex.add_argument("--mid1", type=int, default=-1)
+    ex.add_argument("--mid2", type=int, default=-1)
+    ex.add_argument("--mid3", type=int, default=-1)
+    ex.set_defaults(fn=cmd_export)
 
     pp = sub.add_parser("preprocess", help="offline data factory")
     _add_common_model_flags(pp)

@@ -29,7 +29,58 @@ from a3gc_tpu.models.pipeline import (
     reduced_global_to_full_local,
 )
 
-__all__ = ["StreamingSession", "StreamingCascade"]
+__all__ = ["StreamingSession", "StreamingCascade", "make_window_step"]
+
+
+def make_window_step(cfg: CascadeConfig, model, stats=None):
+    r"""Build the pure windowed-cascade step function.
+
+    Returns ``step(params3, ori, acc, s1, s2, s3, active) -> (pose, s1,
+    s2, s3)``: one fixed-size window of raw IMU frames (ori [S, T_w, 54],
+    acc [S, T_w, 18]) through normalize → scatter → the three stages → IK
+    (ref: evaluate_a3gc_tp.py:164-171 run incrementally, net_aagc.py:809-812),
+    with each stage's recurrent state threading across windows. ``active``
+    [S] 0/1 masks idle serving slots: their state carries through unchanged
+    (their whole window is treated like padding), enabling dynamic batching.
+
+    This is the single compiled program behind :class:`StreamingCascade`,
+    ``cli serve``, and the AOT deployment export (``a3gc_tpu.export``).
+    ``stats`` must already hold ``jnp`` arrays (or be None for no
+    normalization)."""
+    from a3gc_tpu.data import pipeline as DPipe
+
+    def _step(params3, ori, acc, s1, s2, s3, active):
+        o, a = DPipe.normalize_imu(ori, acc, stats)
+        if cfg.is_graph:
+            imu = DPipe.scatter_graph_inputs(o, a)      # [S,T_w,15,12]
+        else:
+            imu = jnp.concatenate((a, o), axis=-1)      # [S,T_w,72]
+        B, T = imu.shape[0], imu.shape[1]
+        mask = jnp.broadcast_to(active[:, None], (B, T)).astype(imu.dtype)
+        p1, p2, p3 = params3
+
+        leaf, s1 = pose_net_forward(p1, cfg.stage1, imu, s1,
+                                    frame_mask=mask)
+        if cfg.is_graph:
+            leaf = leaf.reshape(B, T, JS.n_reduced, 3)
+        x2 = jnp.concatenate((imu, leaf), axis=-1)
+
+        full, s2 = pose_net_forward(p2, cfg.stage2, x2, s2,
+                                    frame_mask=mask)
+        if cfg.is_graph:
+            full = full.reshape(B, T, JS.n_reduced, 3)
+        x3 = jnp.concatenate((imu, full), axis=-1)
+
+        out, s3 = pose_net_forward(p3, cfg.stage3, x3, s3,
+                                   frame_mask=mask)
+        rotsize = cfg.stage3.rotsize
+        rep = (3, 3) if rotsize == 9 else (rotsize,)
+        pose = reduced_global_to_full_local(
+            out.reshape((-1, JS.n_reduced) + rep), model,
+            rotsize=rotsize)
+        return pose, s1, s2, s3
+
+    return _step
 
 
 class StreamingSession:
@@ -101,8 +152,6 @@ class StreamingCascade:
                  window: int = 60,
                  stats: Optional[Dict[str, np.ndarray]] = None,
                  normalize: bool = False, streams: int = 1):
-        from a3gc_tpu.data import pipeline as DPipe
-
         self.params3 = params3
         self.cfg = cfg
         self.window = window
@@ -119,45 +168,7 @@ class StreamingCascade:
             for c in (cfg.stage1, cfg.stage2, cfg.stage3))
         self._states = self._zero_states
         self._pending = None
-
-        @jax.jit
-        def _step(params3, ori, acc, s1, s2, s3, active):
-            # ori [S, T_w, 54], acc [S, T_w, 18], active [S] 0/1 — idle
-            # slots' recurrent state carries through unchanged (their
-            # whole window is masked like padding), enabling dynamic
-            # batching: a tick may serve any subset of clients
-            o, a = DPipe.normalize_imu(ori, acc, self.stats)
-            if cfg.is_graph:
-                imu = DPipe.scatter_graph_inputs(o, a)      # [S,T_w,15,12]
-            else:
-                imu = jnp.concatenate((a, o), axis=-1)      # [S,T_w,72]
-            B, T = imu.shape[0], imu.shape[1]
-            mask = jnp.broadcast_to(active[:, None], (B, T)).astype(
-                imu.dtype)
-            p1, p2, p3 = params3
-
-            leaf, s1 = pose_net_forward(p1, cfg.stage1, imu, s1,
-                                        frame_mask=mask)
-            if cfg.is_graph:
-                leaf = leaf.reshape(B, T, JS.n_reduced, 3)
-            x2 = jnp.concatenate((imu, leaf), axis=-1)
-
-            full, s2 = pose_net_forward(p2, cfg.stage2, x2, s2,
-                                        frame_mask=mask)
-            if cfg.is_graph:
-                full = full.reshape(B, T, JS.n_reduced, 3)
-            x3 = jnp.concatenate((imu, full), axis=-1)
-
-            out, s3 = pose_net_forward(p3, cfg.stage3, x3, s3,
-                                       frame_mask=mask)
-            rotsize = cfg.stage3.rotsize
-            rep = (3, 3) if rotsize == 9 else (rotsize,)
-            pose = reduced_global_to_full_local(
-                out.reshape((-1, JS.n_reduced) + rep), model,
-                rotsize=rotsize)
-            return pose, s1, s2, s3
-
-        self._fn = _step
+        self._fn = jax.jit(make_window_step(cfg, model, self.stats))
 
     def reset(self, stream: Optional[int] = None):
         r"""Clear carried stage states (ref: evaluate_a3gc_tp.py:165).

@@ -1,0 +1,185 @@
+r"""Ahead-of-time deployment export of the streaming cascade.
+
+The reference has no deployment story: serving it requires the full
+``net_aagc.py`` model code, the torch runtime, and the ``.tar`` checkpoints
+(ref: evaluate_a3gc_tp.py:125-145). Here the whole windowed inference
+program — normalize → graph scatter → 3-stage cascade → IK, with carried
+recurrent state and per-slot activity masking — is exported through
+``jax.export`` to a serialized StableHLO artifact with the trained
+parameters, normalization statistics, and SMPL body model baked in as
+constants. Any JAX process (CPU or TPU, no a3gc_tpu installation, no
+checkpoint files) can deserialize and serve it:
+
+    >>> art = load_exported("exported/a3gc")          # or raw jax.export:
+    >>> states = art.zero_states()                    #   deserialize+call
+    >>> pose, states = art.step(ori, acc, states)     # [S,W,24,3,3]
+
+The artifact is a directory:
+
+    manifest.json     shapes/dtypes, window/stream geometry, provenance
+    step.jaxexport    serialized Exported: (ori, acc, states, active)
+                      -> (pose, states)
+    init.jaxexport    serialized Exported: () -> zero states
+
+Portability: the default ``backend="xla"`` export lowers the pure-XLA scan
+path and targets both CPU and TPU under jax.export's compatibility
+guarantees. ``backend="pallas"`` bakes the Mosaic whole-scan kernels in —
+TPU-only, and carried as a ``tpu_custom_call`` whose forward compatibility
+window is narrower than plain StableHLO (jax.export disallows it unless
+explicitly waived, which this module does on request).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from a3gc_tpu.eval.streaming import make_window_step
+from a3gc_tpu.models.pipeline import CascadeConfig
+
+__all__ = ["export_streaming_cascade", "save_exported", "load_exported",
+           "ExportedCascade"]
+
+_MANIFEST = "manifest.json"
+_STEP = "step.jaxexport"
+_INIT = "init.jaxexport"
+_FORMAT_VERSION = 1
+
+
+def _override_backend(cfg: CascadeConfig, backend: str) -> CascadeConfig:
+    r"""Pin the scan backend of every stage net (GraphNetConfig.backend /
+    DIPConfig.backend) so the exported lowering is deterministic instead of
+    depending on the platform of the exporting process."""
+    stages = {
+        name: stage.replace(net=stage.net.replace(backend=backend))
+        for name, stage in (("stage1", cfg.stage1), ("stage2", cfg.stage2),
+                            ("stage3", cfg.stage3))
+    }
+    return cfg.replace(**stages)
+
+
+def _zero_states(cfg: CascadeConfig, streams: int):
+    from a3gc_tpu.models import nets as N
+    zero = N.graph_net_zero_state if cfg.is_graph else N.dip_zero_state
+    return tuple(zero(c.net, streams)
+                 for c in (cfg.stage1, cfg.stage2, cfg.stage3))
+
+
+def export_streaming_cascade(
+        params3: Tuple, cfg: CascadeConfig, model, window: int = 60,
+        streams: int = 1, stats: Optional[Dict[str, np.ndarray]] = None,
+        normalize: bool = False, backend: str = "xla",
+        platforms: Optional[Sequence[str]] = None):
+    r"""Export the windowed cascade step + zero-state initializer.
+
+    Returns ``(exported_step, exported_init, manifest_dict)`` where the
+    exported objects are ``jax.export.Exported`` (call ``.serialize()`` or
+    use :func:`save_exported`). Parameters, stats, and the body model are
+    closed over — they become constants of the StableHLO module."""
+    assert backend in ("xla", "pallas"), backend
+    if platforms is None:
+        platforms = ["tpu"] if backend == "pallas" else ["cpu", "tpu"]
+    if backend == "pallas":
+        assert list(platforms) == ["tpu"], (
+            "the Pallas kernels are Mosaic TPU programs; use "
+            "backend='xla' for a portable artifact")
+
+    cfg = _override_backend(cfg, backend)
+    stats_j = ({k: jnp.asarray(v) for k, v in stats.items()}
+               if (normalize and stats is not None) else None)
+    step = make_window_step(cfg, model, stats_j)
+    zero = _zero_states(cfg, streams)
+
+    def _step(ori, acc, states, active):
+        s1, s2, s3 = states
+        pose, s1, s2, s3 = step(params3, ori, acc, s1, s2, s3, active)
+        pose = pose.reshape((streams, window) + pose.shape[1:])
+        return pose, (s1, s2, s3)
+
+    aval = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
+    in_avals = (aval((streams, window, 54)), aval((streams, window, 18)),
+                jax.tree_util.tree_map(
+                    lambda z: jax.ShapeDtypeStruct(z.shape, z.dtype), zero),
+                aval((streams,)))
+    kwargs = {}
+    if backend == "pallas":
+        kwargs["disabled_checks"] = [
+            jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+    exp_step = jax_export.export(jax.jit(_step), platforms=list(platforms),
+                                 **kwargs)(*in_avals)
+    exp_init = jax_export.export(jax.jit(lambda: zero),
+                                 platforms=list(platforms))()
+
+    rotsize = cfg.stage3.rotsize
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "family": (cfg.stage1.net.cell if cfg.is_graph else "tp"),
+        "window": window,
+        "streams": streams,
+        "rotsize": rotsize,
+        "backend": backend,
+        "platforms": list(platforms),
+        "normalized": bool(stats_j is not None),
+        "inputs": {
+            "ori": [streams, window, 54], "acc": [streams, window, 18],
+            "active": [streams],
+        },
+        "outputs": {"pose": [streams, window, 24, 3, 3]},
+        "jax_version": jax.__version__,
+    }
+    return exp_step, exp_init, manifest
+
+
+def save_exported(directory: str, exp_step, exp_init, manifest: dict):
+    r"""Write the three-file artifact directory."""
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, _STEP), "wb") as f:
+        f.write(exp_step.serialize())
+    with open(os.path.join(directory, _INIT), "wb") as f:
+        f.write(exp_init.serialize())
+    with open(os.path.join(directory, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return directory
+
+
+class ExportedCascade:
+    r"""Runtime wrapper over a deserialized artifact directory.
+
+    Needs only jax + numpy — no model code, checkpoints, stats files, or
+    SMPL assets (all baked into the module). Thread the returned states
+    back in; pass ``active`` [S] 0/1 to mask idle serving slots (their
+    state is untouched, their output slice is garbage)."""
+
+    def __init__(self, directory: str):
+        with open(os.path.join(directory, _MANIFEST)) as f:
+            self.manifest = json.load(f)
+        assert self.manifest["format_version"] == _FORMAT_VERSION, (
+            f"unsupported artifact format {self.manifest['format_version']}")
+        with open(os.path.join(directory, _STEP), "rb") as f:
+            self._step = jax_export.deserialize(bytearray(f.read()))
+        with open(os.path.join(directory, _INIT), "rb") as f:
+            self._init = jax_export.deserialize(bytearray(f.read()))
+        self.window = self.manifest["window"]
+        self.streams = self.manifest["streams"]
+
+    def zero_states(self):
+        return self._init.call()
+
+    def step(self, ori, acc, states, active=None):
+        r"""ori [S,W,54], acc [S,W,18] -> (pose [S,W,24,3,3], states)."""
+        S = self.streams
+        ori = jnp.asarray(ori, jnp.float32).reshape(S, self.window, 54)
+        acc = jnp.asarray(acc, jnp.float32).reshape(S, self.window, 18)
+        act = (jnp.ones((S,), jnp.float32) if active is None
+               else jnp.asarray(active, jnp.float32).reshape(S))
+        return self._step.call(ori, acc, states, act)
+
+
+def load_exported(directory: str) -> ExportedCascade:
+    return ExportedCascade(directory)

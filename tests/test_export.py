@@ -1,0 +1,153 @@
+"""AOT deployment export (a3gc_tpu.export): the serialized StableHLO
+artifacts must reproduce the live StreamingCascade exactly — state
+threading, idle-slot masking, and baked-in normalization included — after a
+full serialize → deserialize round trip through files on disk."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from a3gc_tpu.data import load_adjacency_template
+from a3gc_tpu.models import nets as N
+from a3gc_tpu.models.pipeline import (CascadeConfig, PoseNetConfig,
+                                      init_pose_net)
+from a3gc_tpu.smpl import load_parametric_model, write_synthetic_smpl_pickle
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    p = tmp_path_factory.mktemp("smpl") / "s.pkl"
+    return load_parametric_model(write_synthetic_smpl_pickle(
+        str(p), n_vertices=120))
+
+
+def _graph_setup(cell="a3gc"):
+    nira = load_adjacency_template()
+
+    def g(ui, uo, h, rot):
+        return PoseNetConfig(net=N.GraphNetConfig(
+            cell=cell, units_in=ui, units_out=uo, units_hidden=h),
+            rotsize=rot)
+
+    cfg = CascadeConfig(stage1=g(12, 3, 8, 3), stage2=g(15, 3, 8, 3),
+                        stage3=g(15, 9, 8, 9))
+    params3 = tuple(init_pose_net(jax.random.PRNGKey(i), c, nira)
+                    for i, c in enumerate((cfg.stage1, cfg.stage2,
+                                           cfg.stage3)))
+    return cfg, params3
+
+
+def _flat_setup():
+    def d(ni, no, h, rot):
+        return PoseNetConfig(net=N.DIPConfig(
+            n_input=ni, n_output=no, n_hidden=h), rotsize=rot)
+
+    cfg = CascadeConfig(stage1=d(72, 15, 16, 3), stage2=d(87, 69, 16, 3),
+                        stage3=d(141, 135, 16, 9))
+    params3 = tuple(init_pose_net(jax.random.PRNGKey(i), c)
+                    for i, c in enumerate((cfg.stage1, cfg.stage2,
+                                           cfg.stage3)))
+    return cfg, params3
+
+
+def _roundtrip(tmp_path, params3, cfg, model, window, streams, **kw):
+    from a3gc_tpu.export import (export_streaming_cascade, load_exported,
+                                 save_exported)
+    exp_step, exp_init, manifest = export_streaming_cascade(
+        params3, cfg, model, window=window, streams=streams, **kw)
+    d = save_exported(str(tmp_path / "artifact"), exp_step, exp_init,
+                      manifest)
+    return load_exported(d)
+
+
+class TestExportedCascade:
+    def test_graph_artifact_matches_live_session(self, model, tmp_path):
+        from a3gc_tpu.eval.streaming import StreamingCascade
+        cfg, params3 = _graph_setup()
+        W, S = 8, 2
+        art = _roundtrip(tmp_path, params3, cfg, model, W, S)
+        sess = StreamingCascade(params3, cfg, model, window=W, streams=S)
+
+        rng = np.random.RandomState(0)
+        states = art.zero_states()
+        for _ in range(3):           # state must thread across windows
+            ori = rng.randn(S, W, 54).astype(np.float32)
+            acc = rng.randn(S, W, 18).astype(np.float32)
+            want = sess.step(ori, acc)
+            pose, states = art.step(ori, acc, states)
+            np.testing.assert_allclose(np.asarray(pose), want, atol=2e-5)
+
+        m = json.load(open(tmp_path / "artifact" / "manifest.json"))
+        assert m["family"] == "a3gc"
+        assert m["window"] == W and m["streams"] == S
+        assert m["backend"] == "xla" and "cpu" in m["platforms"]
+        assert os.path.getsize(tmp_path / "artifact" / "step.jaxexport") > 0
+
+    def test_flat_tp_artifact_matches_live_session(self, model, tmp_path):
+        from a3gc_tpu.eval.streaming import StreamingCascade
+        cfg, params3 = _flat_setup()
+        W = 8
+        art = _roundtrip(tmp_path, params3, cfg, model, W, 1)
+        sess = StreamingCascade(params3, cfg, model, window=W)
+        rng = np.random.RandomState(1)
+        states = art.zero_states()
+        for _ in range(2):
+            ori = rng.randn(1, W, 54).astype(np.float32)
+            acc = rng.randn(1, W, 18).astype(np.float32)
+            want = sess.step(ori[0], acc[0])
+            pose, states = art.step(ori, acc, states)
+            np.testing.assert_allclose(np.asarray(pose)[0], want, atol=2e-5)
+        assert art.manifest["family"] == "tp"
+
+    def test_idle_slot_state_untouched(self, model, tmp_path):
+        cfg, params3 = _graph_setup()
+        W, S = 6, 2
+        art = _roundtrip(tmp_path, params3, cfg, model, W, S)
+        rng = np.random.RandomState(2)
+        states = art.zero_states()
+        ori = rng.randn(S, W, 54).astype(np.float32)
+        acc = rng.randn(S, W, 18).astype(np.float32)
+        _, states = art.step(ori, acc, states)
+        before = jax.tree_util.tree_map(np.asarray, states)
+        _, after = art.step(ori, acc, states, active=[1.0, 0.0])
+        # slot 1 was idle: every state leaf's slice 1 is bit-unchanged
+        for b, a in zip(jax.tree_util.tree_leaves(before),
+                        jax.tree_util.tree_leaves(after)):
+            np.testing.assert_array_equal(np.asarray(a)[:, 1], b[:, 1])
+            assert not np.allclose(np.asarray(a)[:, 0], b[:, 0])
+
+    def test_baked_in_normalization(self, model, tmp_path):
+        from a3gc_tpu.eval.streaming import StreamingCascade
+        cfg, params3 = _graph_setup()
+        W = 5
+        rng = np.random.RandomState(3)
+        stats = {
+            "ori_mean_channel": rng.randn(54).astype(np.float32) * 0.1,
+            "ori_std_channel": 1.0 + rng.rand(54).astype(np.float32),
+            "acc_mean_channel": rng.randn(18).astype(np.float32) * 0.1,
+            "acc_std_channel": 1.0 + rng.rand(18).astype(np.float32),
+        }
+        art = _roundtrip(tmp_path, params3, cfg, model, W, 1,
+                         stats=stats, normalize=True)
+        assert art.manifest["normalized"]
+        sess = StreamingCascade(params3, cfg, model, window=W, stats=stats,
+                                normalize=True)
+        ori = rng.randn(1, W, 54).astype(np.float32)
+        acc = rng.randn(1, W, 18).astype(np.float32)
+        want = sess.step(ori[0], acc[0])
+        pose, _ = art.step(ori, acc, art.zero_states())
+        np.testing.assert_allclose(np.asarray(pose)[0], want, atol=2e-5)
+
+    def test_cli_export_writes_artifact(self, tmp_path, monkeypatch):
+        from a3gc_tpu.cli import main
+        out = tmp_path / "cli_art"
+        monkeypatch.chdir(tmp_path)
+        main(["export", "--model", "a3gc", "--hu1", "8", "--hu2", "8",
+              "--hu3", "8", "--window", "4", "--output", str(out)])
+        assert (out / "manifest.json").exists()
+        assert (out / "step.jaxexport").exists()
+        assert (out / "init.jaxexport").exists()
