@@ -604,23 +604,33 @@ def cmd_serve(args):
     from a3gc_tpu.data import load_adjacency_template
     from a3gc_tpu.serve import PoseServer
 
-    assert args.model != "dip", (
-        "serve drives the 3-stage cascade; the single-stage dip net has "
-        "no serving mode (use evaluate --model dip)")
-    model = _load_body_model(args)
-    nira = load_adjacency_template()
-    cascade, is_graph = _stage_configs(
-        args, precision=args.precision or "default")
-    params3 = _load_cascade_params(args, cascade, is_graph, nira)
-    stats = _load_stats(args) if args.norm else None
+    if args.artifact:
+        # serve straight from a deployment artifact: no checkpoints, stats
+        # files, SMPL assets, or model code needed (geometry from manifest)
+        from a3gc_tpu.export import ArtifactSession, load_exported
+        session = ArtifactSession(load_exported(args.artifact))
+        srv = PoseServer(None, None, None, host=args.host, port=args.port,
+                         max_wait_ms=args.max_wait_ms, session=session)
+        streams, window = session.streams, session.window
+    else:
+        assert args.model != "dip", (
+            "serve drives the 3-stage cascade; the single-stage dip net "
+            "has no serving mode (use evaluate --model dip)")
+        model = _load_body_model(args)
+        nira = load_adjacency_template()
+        cascade, is_graph = _stage_configs(
+            args, precision=args.precision or "default")
+        params3 = _load_cascade_params(args, cascade, is_graph, nira)
+        stats = _load_stats(args) if args.norm else None
 
-    srv = PoseServer(params3, cascade, model, window=args.window,
-                     streams=args.streams, stats=stats, normalize=args.norm,
-                     host=args.host, port=args.port,
-                     max_wait_ms=args.max_wait_ms)
+        srv = PoseServer(params3, cascade, model, window=args.window,
+                         streams=args.streams, stats=stats,
+                         normalize=args.norm, host=args.host,
+                         port=args.port, max_wait_ms=args.max_wait_ms)
+        streams, window = args.streams, args.window
     host, port = srv.address[:2]
     print(_json.dumps({"serving": f"http://{host}:{port}",
-                       "streams": args.streams, "window": args.window}),
+                       "streams": streams, "window": window}),
           flush=True)
     srv.serve_forever()
 
@@ -889,6 +899,10 @@ def build_parser():
     sv.add_argument("--port", type=int, default=8765)
     sv.add_argument("--max_wait_ms", type=float, default=5.0,
                     help="request-coalescing window per device step")
+    sv.add_argument("--artifact", type=str, default="",
+                    help="serve from a `cli export` deployment artifact "
+                         "directory (geometry from its manifest; ignores "
+                         "checkpoint/stats/model flags)")
     sv.add_argument("--path", type=str, default="")
     sv.add_argument("--torch_checkpoints", nargs="+", default=None)
     sv.add_argument("--type", choices=("pretrain", "finetuning"),

@@ -183,3 +183,31 @@ class ExportedCascade:
 
 def load_exported(directory: str) -> ExportedCascade:
     return ExportedCascade(directory)
+
+
+class ArtifactSession:
+    r"""Drop-in :class:`~a3gc_tpu.eval.streaming.StreamingCascade`
+    interface (``step``/``reset``) over an exported artifact — carries the
+    state pytree internally so the dynamic-batching HTTP server
+    (``cli serve --artifact DIR``) can serve straight from a deployment
+    artifact with no checkpoints, stats files, or SMPL assets."""
+
+    def __init__(self, artifact: ExportedCascade):
+        self.art = artifact
+        self.window = artifact.window
+        self.streams = artifact.streams
+        self._states = artifact.zero_states()
+
+    def reset(self, stream: Optional[int] = None):
+        if stream is None:
+            self._states = self.art.zero_states()
+        else:
+            # slot axis is 1 in both state layouts: graph [2, S, N, H],
+            # dense [2, S, H] (same convention as StreamingCascade.reset)
+            self._states = jax.tree_util.tree_map(
+                lambda s: s.at[:, stream].set(0.0), self._states)
+
+    def step(self, ori, acc, active=None) -> np.ndarray:
+        pose, self._states = self.art.step(ori, acc, self._states, active)
+        pose = np.asarray(pose)
+        return pose if self.streams > 1 else pose[0]

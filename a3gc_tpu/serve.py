@@ -160,12 +160,17 @@ class PoseServer:
     def __init__(self, params3, cfg, model, window: int = 60,
                  streams: int = 8, stats=None, normalize: bool = False,
                  host: str = "127.0.0.1", port: int = 8765,
-                 max_wait_ms: float = 5.0):
-        from a3gc_tpu.eval.streaming import StreamingCascade
+                 max_wait_ms: float = 5.0, session=None):
+        if session is None:
+            from a3gc_tpu.eval.streaming import StreamingCascade
 
-        sess = StreamingCascade(params3, cfg, model, window=window,
-                                stats=stats, normalize=normalize,
-                                streams=streams)
+            session = StreamingCascade(params3, cfg, model, window=window,
+                                       stats=stats, normalize=normalize,
+                                       streams=streams)
+        else:
+            # e.g. an export.ArtifactSession serving a deployment artifact
+            window, streams = session.window, session.streams
+        sess = session
         # compile outside the serving path
         sess.step(np.zeros((streams, window, 54), np.float32),
                   np.zeros((streams, window, 18), np.float32))

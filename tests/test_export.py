@@ -3,8 +3,10 @@ artifacts must reproduce the live StreamingCascade exactly — state
 threading, idle-slot masking, and baked-in normalization included — after a
 full serialize → deserialize round trip through files on disk."""
 
+import http.client
 import json
 import os
+import threading
 
 import numpy as np
 import pytest
@@ -141,6 +143,70 @@ class TestExportedCascade:
         want = sess.step(ori[0], acc[0])
         pose, _ = art.step(ori, acc, art.zero_states())
         np.testing.assert_allclose(np.asarray(pose)[0], want, atol=2e-5)
+
+    def test_pallas_backend_exports_tpu_only_artifact(self, model, tmp_path):
+        # Mosaic lowering is cross-platform: a CPU process can BUILD the
+        # tpu-only artifact (executing it needs a TPU). The round trip
+        # must preserve the platform restriction.
+        cfg, params3 = _graph_setup()
+        art = _roundtrip(tmp_path, params3, cfg, model, 4, 1,
+                         backend="pallas")
+        assert art.manifest["backend"] == "pallas"
+        assert art.manifest["platforms"] == ["tpu"]
+        assert os.path.getsize(tmp_path / "artifact" / "step.jaxexport") > 0
+        with pytest.raises(Exception):    # cpu execution must be refused
+            art.step(np.zeros((1, 4, 54), np.float32),
+                     np.zeros((1, 4, 18), np.float32), art.zero_states())
+
+    def test_http_server_serves_from_artifact(self, model, tmp_path):
+        # cli serve --artifact: the dynamic-batching server runs straight
+        # off the deployment artifact, matching a live session exactly
+        from a3gc_tpu.eval.streaming import StreamingCascade
+        from a3gc_tpu.export import ArtifactSession
+        from a3gc_tpu.serve import PoseServer
+
+        cfg, params3 = _graph_setup()
+        W, S = 6, 2
+        art = _roundtrip(tmp_path, params3, cfg, model, W, S)
+        srv = PoseServer(None, None, None, port=0,
+                         session=ArtifactSession(art))
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        addr = srv.address
+        try:
+            rng = np.random.RandomState(7)
+            ori = rng.randn(2, W, 54).astype(np.float32)
+            acc = rng.randn(2, W, 18).astype(np.float32)
+
+            def req(method, path, body=None):
+                conn = http.client.HTTPConnection(*addr, timeout=30)
+                conn.request(method, path,
+                             body=None if body is None else json.dumps(body),
+                             headers={"Content-Type": "application/json"})
+                resp = conn.getresponse()
+                out = json.loads(resp.read())
+                conn.close()
+                return resp.status, out
+
+            st, sess = req("POST", "/v1/session")
+            assert st == 200, sess
+            slot = sess["slot"]
+            assert sess["window"] == W
+            poses = []
+            for w in range(2):
+                st, out = req("POST", "/v1/step", {
+                    "slot": slot, "ori": ori[w].tolist(),
+                    "acc": acc[w].tolist()})
+                assert st == 200, out
+                poses.append(np.asarray(out["pose"], np.float32))
+            st, _ = req("DELETE", f"/v1/session/{slot}")
+            assert st == 200
+
+            ref = StreamingCascade(params3, cfg, model, window=W)
+            expect = [ref.step(ori[w], acc[w]) for w in range(2)]
+            np.testing.assert_allclose(np.concatenate(poses),
+                                       np.concatenate(expect), atol=3e-5)
+        finally:
+            srv.shutdown()
 
     def test_cli_export_writes_artifact(self, tmp_path, monkeypatch):
         from a3gc_tpu.cli import main
