@@ -198,8 +198,8 @@ def cmd_train(args):
 
     run_cascade_training(
         runners,
-        lambda: DPipe.Sampler(train, tc.batch_size, shuffle=True,
-                              seed=tc.seed),
+        lambda salt: DPipe.Sampler(train, tc.batch_size, shuffle=True,
+                                   seed=(tc.seed, salt)),
         lambda: DPipe.Sampler(valid, tc.batch_size, shuffle=False),
         tc,
         save_fn=lambda st, ep, p: save_params(
@@ -232,7 +232,8 @@ def _train_dip(args, tc, train, valid, steps):
     best, tol = float("inf"), 0
     for epoch in range(tc.start_epoch, tc.max_epochs):
         train_loss = runner.train_epoch(
-            DPipe.Sampler(train, tc.batch_size, shuffle=True, seed=tc.seed),
+            DPipe.Sampler(train, tc.batch_size, shuffle=True,
+                          seed=(tc.seed, epoch)),
             jax.random.fold_in(jax.random.PRNGKey(tc.seed), epoch))
         valid_loss = runner.eval_epoch(
             DPipe.Sampler(valid, tc.batch_size, shuffle=False))

@@ -186,7 +186,11 @@ class Sampler:
 
     def __init__(self, data: Dict[str, np.ndarray], batch_size: int,
                  shuffle: bool = True, drop_remainder: bool = True,
-                 seed: int = 0):
+                 seed=0):
+        # ``seed`` is anything np.random.default_rng accepts; the training
+        # driver passes (base_seed, epoch_salt) so each epoch reshuffles
+        # like the reference's DataLoader(shuffle=True) while staying
+        # deterministic for resume (ref: train_a3gc_tp.py:209-210)
         self.data = data
         self.batch_size = batch_size
         self.shuffle = shuffle

@@ -26,6 +26,7 @@ Validation feeds *clean* positions.
 from __future__ import annotations
 
 import dataclasses
+import inspect
 import time
 from functools import partial
 from typing import Callable, Dict, Optional, Tuple
@@ -318,7 +319,7 @@ class DIPRunner:
 
 def run_cascade_training(
         runners: Dict[int, StageRunner],
-        train_sampler_fn: Callable[[], DP.Sampler],
+        train_sampler_fn: Callable[..., DP.Sampler],
         valid_sampler_fn: Callable[[], DP.Sampler],
         cfg: TrainConfig,
         save_fn: Optional[Callable[[int, int, object], None]] = None,
@@ -328,8 +329,24 @@ def run_cascade_training(
     (ref: train_a3gc_tp.py:241-312): stages run in order from
     ``cfg.start_stage``; a stage stops after ``cfg.patience`` epochs without
     validation improvement; the best params are kept (checkpoints are written
-    on every improvement, like ref: train_a3gc_tp.py:254-258)."""
+    on every improvement, like ref: train_a3gc_tp.py:254-258).
+
+    ``train_sampler_fn`` is called with a per-(stage, epoch) salt so every
+    epoch gets a FRESH shuffle order (the reference's
+    ``DataLoader(shuffle=True)`` reshuffles per epoch,
+    ref: train_a3gc_tp.py:209-210) while staying deterministic given
+    ``cfg.seed`` — resume reproduces the exact epoch order. Zero-argument
+    sampler factories are still accepted."""
     rng = jax.random.PRNGKey(cfg.seed)
+
+    try:
+        _takes_salt = len(inspect.signature(train_sampler_fn).parameters) > 0
+    except (TypeError, ValueError):
+        _takes_salt = False
+
+    def _train_sampler(salt):
+        return train_sampler_fn(salt) if _takes_salt else train_sampler_fn()
+
     for stage in sorted(runners):
         if stage < cfg.start_stage:
             continue
@@ -337,8 +354,9 @@ def run_cascade_training(
         best, tol = float("inf"), 0
         for epoch in range(cfg.start_epoch, cfg.max_epochs):
             t0 = time.time()
+            salt = stage * 10000 + epoch
             train_loss = runner.train_epoch(
-                train_sampler_fn(), jax.random.fold_in(rng, stage * 10000 + epoch))
+                _train_sampler(salt), jax.random.fold_in(rng, salt))
             # valid_fn overrides chunked validation (e.g. --fse full-sequence
             # validation, ref: train_a3gc_tp.py:18,212-216)
             if valid_fn is not None:

@@ -112,6 +112,28 @@ class TestCascadeDriver:
         assert jax.tree_util.tree_structure(restored) == \
             jax.tree_util.tree_structure(params)
 
+    def test_driver_reshuffles_every_epoch(self, nira, packed):
+        # the reference's DataLoader(shuffle=True) draws a fresh order per
+        # epoch (ref: train_a3gc_tp.py:209-210); the driver salts the
+        # sampler factory per (stage, epoch) — deterministically, so a
+        # resumed run replays the identical epoch orders
+        tc = TrainConfig(batch_size=4, max_epochs=2, patience=5)
+        salts = []
+        cfg, params = make_stage(1, nira, hidden=8)
+        runners = {1: StageRunner(1, cfg, params, tc, steps_per_epoch=2)}
+
+        def sampler_fn(salt):
+            salts.append(salt)
+            return DP.Sampler(packed, 4, seed=(0, salt))
+
+        run_cascade_training(
+            runners, sampler_fn,
+            lambda: DP.Sampler(packed, 4, shuffle=False), tc)
+        assert salts == [10000, 10001]          # distinct per epoch
+        orders = [list(np.random.default_rng((0, s)).permutation(8))
+                  for s in salts]
+        assert orders[0] != orders[1]           # epochs actually reshuffle
+
     def test_discover_prefers_pretrain(self, nira, tmp_path):
         cfg, params = make_stage(1, nira, hidden=8)
         save_params(params, str(tmp_path), 1, 3, finetuning=False)
