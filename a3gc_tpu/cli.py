@@ -120,8 +120,8 @@ def _load_stats(args):
     # ref: config.py all*_train_stats.pt) so --norm works standalone
     name = ("all_sym_train_stats.npz" if args.cda
             else "all_train_stats.npz")
-    shipped = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "assets", "stats", name)
+    shipped = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "assets", "stats", name)
     if os.path.isfile(shipped):
         return load_stats(shipped)
     # and the raw reference assets when mounted

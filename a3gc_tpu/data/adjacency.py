@@ -16,7 +16,7 @@ import numpy as np
 __all__ = ["load_adjacency_template"]
 
 _ASSET = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "assets", "nira_template_15_norm.npy")
 
 

@@ -150,8 +150,8 @@ def test_shipped_stats_assets_match_reference():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for name in ("all_train_stats", "all_sym_train_stats"):
-        shipped = load_stats(os.path.join(root, "assets", "stats",
-                                          f"{name}.npz"))
+        shipped = load_stats(os.path.join(root, "a3gc_tpu", "assets",
+                                          "stats", f"{name}.npz"))
         src = f"/root/reference/data/{name}.pt"
         if not os.path.isfile(src):
             continue
