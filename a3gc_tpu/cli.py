@@ -412,19 +412,34 @@ def cmd_stream(args):
     from a3gc_tpu.data.factory.dipimu import load_test_sequences
     from a3gc_tpu.eval.streaming import StreamingCascade
 
-    model = _load_body_model(args)
-    nira = load_adjacency_template()
-    cascade, is_graph = _stage_configs(
-        args, precision=args.precision or "default")
-    params3 = _load_cascade_params(args, cascade, is_graph, nira)
-    stats = _load_stats(args) if args.norm else None
-
     sequences = load_test_sequences(args.input)
-    W = args.window
-    if args.streams > 1:
-        return _stream_multi(args, params3, cascade, model, stats, sequences)
-    sess = StreamingCascade(params3, cascade, model, window=args.window,
-                            stats=stats, normalize=args.norm)
+    if args.artifact:
+        # stream through a `cli export` deployment artifact: geometry from
+        # its manifest; no checkpoints/stats/model assets needed
+        from a3gc_tpu.export import ArtifactSession, load_exported
+        session = ArtifactSession(load_exported(args.artifact))
+        args.window, args.streams = session.window, session.streams
+        assert not args.pipelined, (
+            "--pipelined drives the live session; artifacts use step()")
+        if session.streams > 1:
+            return _stream_multi(args, None, None, None, None, sequences,
+                                 session=session)
+        W = args.window
+        sess = session
+    else:
+        model = _load_body_model(args)
+        nira = load_adjacency_template()
+        cascade, is_graph = _stage_configs(
+            args, precision=args.precision or "default")
+        params3 = _load_cascade_params(args, cascade, is_graph, nira)
+        stats = _load_stats(args) if args.norm else None
+
+        W = args.window
+        if args.streams > 1:
+            return _stream_multi(args, params3, cascade, model, stats,
+                                 sequences)
+        sess = StreamingCascade(params3, cascade, model, window=args.window,
+                                stats=stats, normalize=args.norm)
 
     # warm up (compile) outside the timed region
     sess.step(sequences[0]["ori"][:W], sequences[0]["acc"][:W])
@@ -469,7 +484,8 @@ def cmd_stream(args):
     }))
 
 
-def _stream_multi(args, params3, cascade, model, stats, sequences):
+def _stream_multi(args, params3, cascade, model, stats, sequences,
+                  session=None):
     r"""Multiplexed online serving: S independent clients share ONE
     compiled multi-stream program per window (the online counterpart of
     ``evaluate --batch_streams``; the reference serves one stream per
@@ -485,8 +501,9 @@ def _stream_multi(args, params3, cascade, model, stats, sequences):
     from a3gc_tpu.eval.streaming import StreamingCascade
 
     S, W = args.streams, args.window
-    sess = StreamingCascade(params3, cascade, model, window=W,
-                            stats=stats, normalize=args.norm, streams=S)
+    sess = session if session is not None else StreamingCascade(
+        params3, cascade, model, window=W, stats=stats,
+        normalize=args.norm, streams=S)
 
     def slot_feed(playlist):
         for seq in playlist:
@@ -829,6 +846,10 @@ def build_parser():
                     help="multiplex N independent clients through one "
                          "compiled multi-stream program (per-client state, "
                          "per-client reset); aggregate stats printed")
+    st.add_argument("--artifact", type=str, default="",
+                    help="stream through a `cli export` deployment artifact "
+                         "(geometry from its manifest; ignores checkpoint/"
+                         "stats/model flags)")
     st.add_argument("--path", type=str, default="")
     st.add_argument("--torch_checkpoints", nargs="+", default=None)
     st.add_argument("--type", choices=("pretrain", "finetuning"),

@@ -208,6 +208,36 @@ class TestExportedCascade:
         finally:
             srv.shutdown()
 
+    def test_cli_stream_from_artifact(self, model, tmp_path, monkeypatch):
+        # cli stream --artifact: same outputs as streaming with the live
+        # checkpoint-loaded session
+        from scipy.spatial.transform import Rotation
+        from a3gc_tpu.cli import main
+        from a3gc_tpu.eval.streaming import StreamingCascade
+
+        cfg, params3 = _graph_setup()
+        W = 10
+        _roundtrip(tmp_path, params3, cfg, model, W, 1)
+
+        rng = np.random.RandomState(5)
+        T = 20
+        ori = Rotation.random(T * 6, random_state=5).as_matrix().reshape(
+            T, 54).astype(np.float32)
+        acc = rng.normal(scale=0.5, size=(T, 18)).astype(np.float32)
+        np.savez(tmp_path / "test.npz", seq0_ori=ori, seq0_acc=acc,
+                 seq0_pose=np.tile(np.eye(3, dtype=np.float32),
+                                   (T, 15, 1, 1)).reshape(T, 135))
+        monkeypatch.chdir(tmp_path)
+        main(["stream", "--input", str(tmp_path / "test.npz"),
+              "--artifact", str(tmp_path / "artifact"),
+              "--output", str(tmp_path / "poses.npz")])
+
+        live = StreamingCascade(params3, cfg, model, window=W)
+        expect = np.concatenate([live.step(ori[t:t + W], acc[t:t + W])
+                                 for t in range(0, T, W)])
+        with np.load(tmp_path / "poses.npz") as z:
+            np.testing.assert_allclose(z["pose_000"], expect, atol=3e-5)
+
     def test_cli_export_writes_artifact(self, tmp_path, monkeypatch):
         from a3gc_tpu.cli import main
         out = tmp_path / "cli_art"
