@@ -67,9 +67,13 @@ def _roundtrip(tmp_path, params3, cfg, model, window, streams, **kw):
 
 
 class TestExportedCascade:
-    def test_graph_artifact_matches_live_session(self, model, tmp_path):
+    @pytest.mark.parametrize("cell", ["a3gc", "ggru"])
+    def test_graph_artifact_matches_live_session(self, model, tmp_path,
+                                                 cell):
+        # ggru exercises the single-array (GRU) state pytree; a3gc the
+        # (h, c) tuple layout
         from a3gc_tpu.eval.streaming import StreamingCascade
-        cfg, params3 = _graph_setup()
+        cfg, params3 = _graph_setup(cell)
         W, S = 8, 2
         art = _roundtrip(tmp_path, params3, cfg, model, W, S)
         sess = StreamingCascade(params3, cfg, model, window=W, streams=S)
@@ -84,7 +88,7 @@ class TestExportedCascade:
             np.testing.assert_allclose(np.asarray(pose), want, atol=2e-5)
 
         m = json.load(open(tmp_path / "artifact" / "manifest.json"))
-        assert m["family"] == "a3gc"
+        assert m["family"] == cell
         assert m["window"] == W and m["streams"] == S
         assert m["backend"] == "xla" and "cpu" in m["platforms"]
         assert os.path.getsize(tmp_path / "artifact" / "step.jaxexport") > 0
