@@ -161,6 +161,9 @@ class StageRunner:
         self.mesh = mesh
         self.optimizer = make_optimizer(train_cfg, steps_per_epoch, params,
                                         stage_cfg)
+        # private copy: train_step donates the state, which would otherwise
+        # delete the caller's aliased param buffers after the first step
+        params = jax.tree_util.tree_map(lambda x: jnp.array(x), params)
         opt_state = self.optimizer.init(params)
         if mesh is not None:
             # DP: batch over 'data' (see _put); TP: wide gate/feature
@@ -192,7 +195,10 @@ class StageRunner:
             return pose_loss(
                 pred.reshape(target.shape).astype(jnp.float32), target)
 
-        @jax.jit
+        # the old TrainState is dead after every step (train_epoch
+        # rebinds), so donate it: params + Adam moments update in place
+        # instead of double-buffering — lower peak HBM at large batch
+        @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, raw, rng):
             loss, grads = jax.value_and_grad(loss_fn)(state.params, raw, rng)
             updates, opt_state = self.optimizer.update(
@@ -282,6 +288,8 @@ class DIPRunner:
         self.cfg = train_cfg
         self.mesh = mesh
         self.optimizer = make_optimizer(train_cfg, steps_per_epoch)
+        # private copy — train_step donates the state (see StageRunner)
+        params = jax.tree_util.tree_map(lambda x: jnp.array(x), params)
         self.state = TrainState(params=params,
                                 opt_state=self.optimizer.init(params),
                                 step=jnp.zeros((), jnp.int32))
@@ -295,7 +303,7 @@ class DIPRunner:
             return pose_loss(
                 pred.reshape(target.shape).astype(jnp.float32), target)
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0,))   # see StageRunner
         def train_step(state: TrainState, raw, rng):
             loss, grads = jax.value_and_grad(loss_fn)(state.params, raw, rng)
             updates, opt_state = self.optimizer.update(
