@@ -49,6 +49,11 @@ def make_window_step(cfg: CascadeConfig, model, stats=None):
     normalization)."""
     from a3gc_tpu.data import pipeline as DPipe
 
+    assert cfg.stage3.rotsize in (6, 9), (
+        "streaming emits full local poses via IK; a rotsize-3 stage 3 "
+        "outputs raw positions with no rotation to stream (ref: "
+        "net_aagc.py:828-829) — train stage 3 with --rotsize 9 or 6")
+
     def _step(params3, ori, acc, s1, s2, s3, active):
         o, a = DPipe.normalize_imu(ori, acc, stats)
         if cfg.is_graph:

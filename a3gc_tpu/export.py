@@ -196,11 +196,14 @@ class ArtifactSession:
         self.art = artifact
         self.window = artifact.window
         self.streams = artifact.streams
-        self._states = artifact.zero_states()
+        # jax arrays are immutable, so the cached zero pytree can be
+        # re-bound on every full reset without re-running the init program
+        self._zero_states = artifact.zero_states()
+        self._states = self._zero_states
 
     def reset(self, stream: Optional[int] = None):
         if stream is None:
-            self._states = self.art.zero_states()
+            self._states = self._zero_states
         else:
             # slot axis is 1 in both state layouts: graph [2, S, N, H],
             # dense [2, S, H] (same convention as StreamingCascade.reset)

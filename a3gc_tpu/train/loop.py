@@ -56,6 +56,13 @@ class TrainState:
     step: jnp.ndarray
 
 
+def _donate_state():
+    r"""Donation spec for the train step's TrainState argument. Empty when
+    jax_debug_nans is active: the flag's eager NaN-locating re-run reads
+    the original inputs, which donation would already have deleted."""
+    return () if jax.config.jax_debug_nans else (0,)
+
+
 def _make_caster(train_cfg: TrainConfig):
     r"""Mixed precision (the reference's --half flag, ref:
     train_a3gc_tp.py:24-25 — except bf16 and with fp32 master params, which
@@ -197,8 +204,10 @@ class StageRunner:
 
         # the old TrainState is dead after every step (train_epoch
         # rebinds), so donate it: params + Adam moments update in place
-        # instead of double-buffering — lower peak HBM at large batch
-        @partial(jax.jit, donate_argnums=(0,))
+        # instead of double-buffering — lower peak HBM at large batch.
+        # Not under jax_debug_nans: its eager NaN-locating re-run would
+        # read the already-deleted donated buffers.
+        @partial(jax.jit, donate_argnums=_donate_state())
         def train_step(state: TrainState, raw, rng):
             loss, grads = jax.value_and_grad(loss_fn)(state.params, raw, rng)
             updates, opt_state = self.optimizer.update(
@@ -303,7 +312,7 @@ class DIPRunner:
             return pose_loss(
                 pred.reshape(target.shape).astype(jnp.float32), target)
 
-        @partial(jax.jit, donate_argnums=(0,))   # see StageRunner
+        @partial(jax.jit, donate_argnums=_donate_state())  # see StageRunner
         def train_step(state: TrainState, raw, rng):
             loss, grads = jax.value_and_grad(loss_fn)(state.params, raw, rng)
             updates, opt_state = self.optimizer.update(
