@@ -21,6 +21,6 @@ Layering (bottom → top):
     compat/     PyTorch checkpoint importers              (for parity testing)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from a3gc_tpu import ops  # noqa: F401

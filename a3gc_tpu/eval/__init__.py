@@ -5,7 +5,11 @@ from a3gc_tpu.eval.run import (  # noqa: F401
     evaluate_sequences,
     prepare_graph_inputs,
 )
-from a3gc_tpu.eval.streaming import StreamingSession  # noqa: F401
+from a3gc_tpu.eval.streaming import (  # noqa: F401
+    StreamingCascade,
+    StreamingSession,
+    make_window_step,
+)
 from a3gc_tpu.eval.worst_frames import (  # noqa: F401
     compare_models,
     per_frame_errors,

@@ -6,3 +6,4 @@ from a3gc_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     shard_params,
 )
+from a3gc_tpu.parallel.serving import cascade_apply_sharded  # noqa: F401
