@@ -284,6 +284,41 @@ class TestR6DTargets:
             eye, np.tile(np.eye(3), (12, 24, 1, 1)), atol=1e-5)
 
 
+class TestStateDonation:
+    def test_train_step_donates_state(self, nira, packed):
+        """The old TrainState's buffers are deleted after a step (params +
+        Adam moments update in place), and the runner's ctor copy keeps
+        the CALLER's param arrays alive."""
+        cfg, params = make_stage(1, nira, hidden=8)
+        runner = StageRunner(1, cfg, params, TrainConfig(batch_size=4),
+                             steps_per_epoch=1)
+        old = runner.state
+        raw = {k: v[:4] for k, v in packed.items()}
+        runner.state, _ = runner.train_step(old, raw, jax.random.PRNGKey(0))
+        leaf = jax.tree_util.tree_leaves(old.params)[0]
+        with pytest.raises(Exception):     # donated -> deleted
+            np.asarray(leaf)
+        # the ctor params the test passed in are NOT the donated buffers
+        np.asarray(jax.tree_util.tree_leaves(params)[0])
+
+    def test_debug_nans_disables_donation(self, nira, packed):
+        """jax_debug_nans' eager NaN-locating re-run reads the original
+        inputs, so donation must be off under the flag."""
+        jax.config.update("jax_debug_nans", True)
+        try:
+            cfg, params = make_stage(1, nira, hidden=8)
+            runner = StageRunner(1, cfg, params, TrainConfig(batch_size=4),
+                                 steps_per_epoch=1)
+            old = runner.state
+            raw = {k: v[:4] for k, v in packed.items()}
+            runner.state, _ = runner.train_step(old, raw,
+                                                jax.random.PRNGKey(0))
+            # old state must still be readable: not donated
+            np.asarray(jax.tree_util.tree_leaves(old.params)[0])
+        finally:
+            jax.config.update("jax_debug_nans", False)
+
+
 class TestFullSequenceValidation:
     def test_padded_full_sequence_loss_matches_exact(self, nira, packed):
         """--fse equivalent: masked full-sequence loss == unpadded loss."""
