@@ -242,6 +242,22 @@ class TestExportedCascade:
         with np.load(tmp_path / "poses.npz") as z:
             np.testing.assert_allclose(z["pose_000"], expect, atol=3e-5)
 
+    def test_rotsize3_rejected_with_clear_error(self, model):
+        # positions have no IK path; the builder must say so instead of
+        # failing with a trace-time scatter shape mismatch
+        from a3gc_tpu.eval.streaming import make_window_step
+        nira = load_adjacency_template()
+
+        def g(ui, uo, h, rot):
+            return PoseNetConfig(net=N.GraphNetConfig(
+                cell="a3gc", units_in=ui, units_out=uo, units_hidden=h),
+                rotsize=rot)
+
+        cfg = CascadeConfig(stage1=g(12, 3, 8, 3), stage2=g(15, 3, 8, 3),
+                            stage3=g(15, 3, 8, 3))
+        with pytest.raises(AssertionError, match="rotsize"):
+            make_window_step(cfg, model)
+
     def test_cli_export_writes_artifact(self, tmp_path, monkeypatch):
         from a3gc_tpu.cli import main
         out = tmp_path / "cli_art"
