@@ -31,6 +31,13 @@ def _add_common_model_flags(p):
                    help="capture a jax.profiler trace into DIR")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaNs)")
+    p.add_argument("--compilation_cache", type=str, default=None,
+                   metavar="DIR",
+                   help="persist compiled executables in DIR so repeat "
+                        "runs skip the multi-minute XLA/Mosaic compiles "
+                        "(jax persistent compilation cache). Recommended "
+                        "on directly-attached TPU hosts; known to STALL "
+                        "through remote-compile PJRT relays")
     p.add_argument("--hu1", type=int, default=256,
                    help="stage-1 hidden units (ref: train_a3gc_tp.py:28)")
     p.add_argument("--hu2", type=int, default=64)
@@ -962,6 +969,12 @@ def main(argv=None):
     if getattr(args, "debug_nans", False):
         import jax
         jax.config.update("jax_debug_nans", True)
+    if getattr(args, "compilation_cache", None):
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          args.compilation_cache)
+        # cache every compile, not just the slow ones
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     if getattr(args, "profile", None):
         import jax
         with jax.profiler.trace(args.profile):
