@@ -25,12 +25,7 @@ import numpy as np
 MODEL_CHOICES = ("a3gc", "aagc", "agc", "ggru", "tp", "dip")
 
 
-def _add_common_model_flags(p):
-    p.add_argument("--model", choices=MODEL_CHOICES, default="a3gc")
-    p.add_argument("--profile", type=str, default=None, metavar="DIR",
-                   help="capture a jax.profiler trace into DIR")
-    p.add_argument("--debug_nans", action="store_true",
-                   help="enable jax_debug_nans (fail fast on NaNs)")
+def _add_cache_flag(p):
     p.add_argument("--compilation_cache", type=str, default=None,
                    metavar="DIR",
                    help="persist compiled executables in DIR so repeat "
@@ -38,6 +33,15 @@ def _add_common_model_flags(p):
                         "(jax persistent compilation cache). Recommended "
                         "on directly-attached TPU hosts; known to STALL "
                         "through remote-compile PJRT relays")
+
+
+def _add_common_model_flags(p):
+    p.add_argument("--model", choices=MODEL_CHOICES, default="a3gc")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace into DIR")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaNs)")
+    _add_cache_flag(p)
     p.add_argument("--hu1", type=int, default=256,
                    help="stage-1 hidden units (ref: train_a3gc_tp.py:28)")
     p.add_argument("--hu2", type=int, default=64)
@@ -903,6 +907,7 @@ def build_parser():
     s = sub.add_parser("stats", help="normalization statistics")
     s.add_argument("--inputs", nargs="+", required=True)
     s.add_argument("--output", type=str, required=True)
+    _add_cache_flag(s)
     s.set_defaults(fn=cmd_stats)
 
     w = sub.add_parser("worst-frames",
@@ -957,6 +962,7 @@ def build_parser():
                    help="hidden units of the exported net")
     c.add_argument("--epoch", type=int, default=0,
                    help="epoch number recorded in the exported .tar")
+    _add_cache_flag(c)
     c.set_defaults(fn=cmd_convert)
 
     return p

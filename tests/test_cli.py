@@ -132,3 +132,39 @@ class TestPrecisionFlag:
             ["train", "--model", "a3gc", "-b", "2", "--precision", "default",
              "--train_data", "t.npz", "--valid_data", "v.npz"])
         assert args.precision == "default"
+
+
+class TestCompilationCacheFlag:
+    def test_every_subcommand_accepts_it(self):
+        from a3gc_tpu.cli import build_parser
+        base = {
+            "train": ["-b", "2", "--train_data", "t", "--valid_data", "v"],
+            "evaluate": ["--datasets", "x.npz"],
+            "stream": ["--input", "x.npz"],
+            "export": ["--output", "d"],
+            "serve": [],
+            "preprocess": ["--dataset", "dipimu", "--output", "o.npz"],
+            "stats": ["--inputs", "a.npz", "--output", "o.npz"],
+            "worst-frames": ["--gt", "g", "--pred_a", "a", "--pred_b", "b"],
+            "convert-checkpoint": ["--model", "a3gc", "--output", "o"],
+        }
+        for cmd, extra in base.items():
+            args = build_parser().parse_args(
+                [cmd] + extra + ["--compilation_cache", "/tmp/cc"])
+            assert args.compilation_cache == "/tmp/cc", cmd
+
+    def test_cache_dir_is_populated(self, datasets, tmp_path):
+        # the config keys are plain strings validated only at runtime;
+        # drive a real compile through main() and assert entries land
+        import jax
+        cache = tmp_path / "cc"
+        try:
+            main(["stats", "--inputs", str(datasets / "train.npz"),
+                  "--output", str(tmp_path / "s.npz"),
+                  "--compilation_cache", str(cache)])
+            # stats itself may not jit; force one tiny compile under the
+            # now-active cache config to prove the keys are valid
+            jax.jit(lambda x: x + 1)(jax.numpy.ones(8)).block_until_ready()
+            assert cache.is_dir() and len(list(cache.iterdir())) > 0
+        finally:
+            jax.config.update("jax_compilation_cache_dir", None)
