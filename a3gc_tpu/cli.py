@@ -683,7 +683,7 @@ def cmd_worst_frames(args):
     preds_b = load_dir(args.pred_b)
     result = compare_models(model, gts, preds_a, preds_b, k=args.k,
                             min_separation=args.min_separation,
-                            out_dir=args.output)
+                            out_dir=args.output, render=args.render)
     for name, frames in result.items():
         print(name, frames)
 
@@ -920,6 +920,10 @@ def build_parser():
     w.add_argument("--k", type=int, default=10)
     w.add_argument("--min_separation", type=int, default=300)
     w.add_argument("--output", type=str, default="best_worst")
+    w.add_argument("--render", action="store_true",
+                   help="also rasterize each selected frame as a PNG "
+                        "(gt | A | B skeletons, built-in headless "
+                        "renderer) next to the pickles")
     w.set_defaults(fn=cmd_worst_frames)
 
     sv = sub.add_parser("serve", help="dynamic-batching HTTP pose serving "

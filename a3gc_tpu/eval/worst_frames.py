@@ -69,11 +69,17 @@ def compare_models(model: ParametricModel,
                    preds_a: Sequence[np.ndarray],
                    preds_b: Sequence[np.ndarray],
                    k: int = 10, min_separation: int = 300,
-                   out_dir: Optional[str] = None) -> Dict[str, List[int]]:
+                   out_dir: Optional[str] = None,
+                   render: bool = False,
+                   render_size: int = 360) -> Dict[str, List[int]]:
     r"""Full comparison (ref: get_worst_frames.py:45-175): frames where model
     B most improves on / regresses from model A, plus each model's own
     best/worst frames. Optionally dumps the selected frames' poses as
-    pickles under ``out_dir`` (the reference's ``best_worst/`` artifacts)."""
+    pickles under ``out_dir`` (the reference's ``best_worst/`` artifacts).
+    ``render=True`` additionally rasterizes each selected frame as a PNG
+    (gt | model A | model B skeletons side by side, built-in headless
+    renderer) next to the pickles — the qualitative-inspection step the
+    reference leaves to a manual Open3D session (ref: model.py:276-362)."""
     err_a = per_frame_errors(model, gts, preds_a)
     err_b = per_frame_errors(model, gts, preds_b)
     assert err_a.shape == err_b.shape
@@ -132,4 +138,21 @@ def compare_models(model: ParametricModel,
                                ("our.p", b_all)):
                 with open(os.path.join(d, fname), "wb") as f:
                     pickle.dump(arr[frames], f)
+            if render:
+                from a3gc_tpu.smpl.viewer import (render_skeleton,
+                                                  save_animation)
+                parent = list(model.parent)
+                for rank, fidx in enumerate(frames):
+                    poses = jnp.asarray(np.stack(
+                        (gt_all[fidx], a_all[fidx], b_all[fidx])),
+                        jnp.float32)                         # [3,24,3,3]
+                    _, joints = model.forward_kinematics(poses)
+                    joints = np.asarray(joints)              # [3,24,3]
+                    subjects = [joints[i:i + 1]
+                                + np.array([[i * 0.9, 0.0, 0.0]])
+                                for i in range(3)]           # gt | A | B
+                    frame = render_skeleton(subjects, parent,
+                                            size=render_size)
+                    save_animation(frame, os.path.join(
+                        d, f"{rank:02d}_frame{fidx}.png"))
     return result

@@ -414,6 +414,24 @@ class TestWorstFramesContract:
         # its gt rows equal gt at those indices
         with open(out_dir / "b_improves_most.p", "rb") as f:
             payload = pickle.load(f)
-        comp_gt = pickle.load(open(out_dir / "respect_comp/worst/gt.p", "rb"))
+        comp_gt = pickle.load(open(out_dir / "respect_comp/worst/gt.p",
+                                   "rb"))
         np.testing.assert_allclose(comp_gt, payload["gt"], atol=0)
+
+    def test_render_writes_pngs(self, model, tmp_path):
+        """--render rasterizes each selected frame (gt | A | B) as a PNG
+        next to the pickles via the built-in headless renderer."""
+        gt = poses(400, seed=5)
+        pa = poses(400, seed=5, noise=0.2)
+        pb = poses(400, seed=5, noise=0.05)
+        out_dir = tmp_path / "bw"
+        compare_models(model, [gt], [pa], [pb], k=2, min_separation=50,
+                       out_dir=str(out_dir), render=True, render_size=96)
+        pngs = list(out_dir.glob("*/*/??_frame*.png"))
+        assert len(pngs) == 3 * 2 * 2          # criteria x kinds x k
+        from PIL import Image
+        im = Image.open(pngs[0])
+        assert im.size == (96, 96)
+        # not a blank canvas: the skeletons actually drew something
+        assert np.asarray(im).min() < 250
 
