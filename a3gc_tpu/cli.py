@@ -655,7 +655,12 @@ def cmd_serve(args):
         srv = PoseServer(params3, cascade, model, window=args.window,
                          streams=args.streams, stats=stats,
                          normalize=args.norm, host=args.host,
-                         port=args.port, max_wait_ms=args.max_wait_ms)
+                         port=args.port, max_wait_ms=args.max_wait_ms,
+                         # POST /v1/reload re-discovers the latest
+                         # checkpoints (training can keep writing to
+                         # --path) and hot-swaps them into live sessions
+                         reload_fn=lambda: _load_cascade_params(
+                             args, cascade, is_graph, nira))
         streams, window = args.streams, args.window
     host, port = srv.address[:2]
     print(_json.dumps({"serving": f"http://{host}:{port}",

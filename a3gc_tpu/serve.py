@@ -18,6 +18,12 @@ Protocol (JSON over HTTP):
   POST /v1/step {"slot", "ori" [W,54], "acc" [W,18]}
                                     → {"pose": [W,24,3,3]}
   DELETE /v1/session/<slot>         → {}                  (reset + release)
+  GET  /v1/stats                    → tick/request counters, tick latency
+  POST /v1/reload                   → re-discover + hot-swap checkpoints
+                                      without dropping sessions (carried
+                                      states persist; the swap runs on the
+                                      dispatcher thread, serialized with
+                                      device steps)
 
 Binary mode (Content-Type: application/octet-stream on /v1/step): body is
 ``uint32 slot ‖ float32 ori[W,54] ‖ float32 acc[W,18]`` little-endian;
@@ -30,8 +36,10 @@ Run: ``python -m a3gc_tpu.cli serve --port 8765 --streams 8 ...``
 
 from __future__ import annotations
 
+import collections
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -55,7 +63,13 @@ class _Batcher:
         self.pending = {}           # slot -> (ori, acc)
         self.results = {}           # slot -> pose | ("error", msg)
         self.releasing = set()      # slots whose reset the dispatcher owes
+        self.reload_pending = None  # new params3 the dispatcher owes a swap
         self.stop = False
+        # serving counters (read under self.lock)
+        self.n_ticks = 0
+        self.n_requests = 0
+        self.n_errors = 0
+        self.tick_latencies = collections.deque(maxlen=1024)   # (secs, size)
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
@@ -97,6 +111,37 @@ class _Batcher:
                 raise RuntimeError(out[1])
             return out
 
+    def swap_params(self, params3) -> None:
+        r"""Checkpoint hot-reload: hand the dispatcher new cascade params.
+        The swap is applied ON the dispatcher thread, serialized with
+        device steps, so no tick ever mixes old and new stages; carried
+        client states persist across the swap (same shapes). Blocks until
+        applied."""
+        with self.cond:
+            self.reload_pending = params3
+            self.cond.notify_all()
+            while self.reload_pending is not None and not self.stop:
+                self.cond.wait(timeout=0.1)
+
+    def stats(self) -> dict:
+        with self.lock:
+            lat = [d for d, _ in self.tick_latencies]
+            sizes = [s for _, s in self.tick_latencies]
+            return {
+                "streams": self.S,
+                "window": self.W,
+                "active_sessions": self.S - len(self.free),
+                "ticks": self.n_ticks,
+                "requests": self.n_requests,
+                "errors": self.n_errors,
+                "tick_ms_mean": (round(1e3 * sum(lat) / len(lat), 3)
+                                 if lat else None),
+                "tick_ms_p99": (round(1e3 * sorted(lat)[
+                    max(int(len(lat) * 0.99) - 1, 0)], 3) if lat else None),
+                "mean_coalesced": (round(sum(sizes) / len(sizes), 2)
+                                   if sizes else None),
+            }
+
     def shutdown(self):
         with self.cond:
             self.stop = True
@@ -111,10 +156,16 @@ class _Batcher:
         while True:
             with self.cond:
                 while (not self.pending and not self.releasing
-                       and not self.stop):
+                       and self.reload_pending is None and not self.stop):
                     self.cond.wait(timeout=0.1)
                 if self.stop:
                     return
+                # apply an owed checkpoint swap here, serialized with
+                # device steps (carried states survive: same shapes)
+                if self.reload_pending is not None:
+                    self.sess.params3 = self.reload_pending
+                    self.reload_pending = None
+                    self.cond.notify_all()
                 # process owed releases first: reset happens here, on the
                 # same thread as device steps — no state/result races
                 for slot in sorted(self.releasing):
@@ -141,13 +192,20 @@ class _Batcher:
                             for i in range(self.S)])
             active = np.asarray([1.0 if i in batch else 0.0
                                  for i in range(self.S)], np.float32)
+            t0 = time.perf_counter()
             try:
                 poses = self.sess.step(ori, acc, active=active)
                 err = None
             except Exception as e:          # transient device/relay errors
                 err = f"device step failed: {e!r}"
                 print(f"[a3gc_tpu.serve] {err}", file=sys.stderr)
+            dt = time.perf_counter() - t0
             with self.cond:
+                self.n_ticks += 1
+                self.n_requests += len(batch)
+                if err:
+                    self.n_errors += len(batch)
+                self.tick_latencies.append((dt, len(batch)))
                 for i in batch:
                     self.results[i] = (("error", err) if err else
                                        (poses[i] if self.S > 1 else poses))
@@ -160,7 +218,7 @@ class PoseServer:
     def __init__(self, params3, cfg, model, window: int = 60,
                  streams: int = 8, stats=None, normalize: bool = False,
                  host: str = "127.0.0.1", port: int = 8765,
-                 max_wait_ms: float = 5.0, session=None):
+                 max_wait_ms: float = 5.0, session=None, reload_fn=None):
         if session is None:
             from a3gc_tpu.eval.streaming import StreamingCascade
 
@@ -191,12 +249,33 @@ class PoseServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def do_GET(self):
+                if self.path == "/v1/stats":
+                    return self._json(200, batcher.stats())
+                return self._json(404, {"error": "unknown endpoint"})
+
             def do_POST(self):
                 if self.path == "/v1/session":
                     slot = batcher.acquire()
                     if slot is None:
                         return self._json(503, {"error": "no free slots"})
                     return self._json(200, {"slot": slot, "window": W})
+                if self.path == "/v1/reload":
+                    # checkpoint hot-reload: re-discover + swap the cascade
+                    # params without dropping sessions (their carried
+                    # recurrent state persists through the swap)
+                    if reload_fn is None:
+                        return self._json(501, {
+                            "error": "this server has no reload source "
+                                     "(artifact servers are immutable — "
+                                     "redeploy the artifact)"})
+                    try:
+                        new_params3 = reload_fn()
+                    except Exception as e:
+                        return self._json(500,
+                                          {"error": f"reload failed: {e!r}"})
+                    batcher.swap_params(new_params3)
+                    return self._json(200, {"reloaded": True})
                 if self.path == "/v1/step":
                     n = int(self.headers.get("Content-Length", 0))
                     binary = (self.headers.get("Content-Type", "")

@@ -251,3 +251,76 @@ class TestRobustness:
             assert st == 200
         finally:
             srv.shutdown()
+
+
+class TestServerOps:
+    def test_stats_and_hot_reload(self, setup, model):
+        """GET /v1/stats reports serving counters; POST /v1/reload swaps
+        checkpoints into live sessions (carried state persists, outputs
+        switch to the new params)."""
+        from a3gc_tpu.serve import PoseServer
+        from scipy.spatial.transform import Rotation
+
+        cfg, params3 = setup
+        params3_b = tuple(init_pose_net(jax.random.PRNGKey(100 + i), c, 
+                                        load_adjacency_template())
+                          for i, c in enumerate((cfg.stage1, cfg.stage2,
+                                                 cfg.stage3)))
+        W = 4
+        srv = PoseServer(params3, cfg, model, window=W, streams=2, port=0,
+                         reload_fn=lambda: params3_b)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        addr = srv.address
+        try:
+            ori = Rotation.random(W * 6, random_state=11).as_matrix(
+                ).reshape(W, 54).astype(np.float32).tolist()
+            acc = np.zeros((W, 18), np.float32).tolist()
+
+            st, sess = _request(addr, "POST", "/v1/session")
+            slot = sess["slot"]
+            st, out_a = _request(addr, "POST", "/v1/step",
+                                 {"slot": slot, "ori": ori, "acc": acc})
+            assert st == 200
+
+            st, stats = _request(addr, "GET", "/v1/stats")
+            assert st == 200
+            assert stats["ticks"] >= 1 and stats["requests"] >= 1
+            assert stats["active_sessions"] == 1
+            assert stats["errors"] == 0
+            assert stats["tick_ms_mean"] > 0
+
+            st, r = _request(addr, "POST", "/v1/reload")
+            assert st == 200 and r["reloaded"]
+
+            # session survives the swap; same input now flows through the
+            # NEW params (oracle: fresh single session with params B fed
+            # the same two windows)
+            st, out_b = _request(addr, "POST", "/v1/step",
+                                 {"slot": slot, "ori": ori, "acc": acc})
+            assert st == 200
+            from a3gc_tpu.eval.streaming import StreamingCascade
+            ref_a = StreamingCascade(params3, cfg, model, window=W)
+            ref_b = StreamingCascade(params3_b, cfg, model, window=W)
+            w1 = ref_a.step(np.asarray(ori, np.float32),
+                            np.asarray(acc, np.float32))
+            np.testing.assert_allclose(np.asarray(out_a["pose"]), w1,
+                                       atol=3e-5)
+            # oracle for window 2: params B with the state params A left
+            ref_b._states = ref_a._states
+            w2 = ref_b.step(np.asarray(ori, np.float32),
+                            np.asarray(acc, np.float32))
+            np.testing.assert_allclose(np.asarray(out_b["pose"]), w2,
+                                       atol=3e-5)
+        finally:
+            srv.shutdown()
+
+    def test_reload_without_source_is_501(self, setup, model):
+        from a3gc_tpu.serve import PoseServer
+        cfg, params3 = setup
+        srv = PoseServer(params3, cfg, model, window=4, streams=1, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            st, out = _request(srv.address, "POST", "/v1/reload")
+            assert st == 501 and "reload source" in out["error"]
+        finally:
+            srv.shutdown()
