@@ -430,8 +430,9 @@ def cmd_stream(args):
         from a3gc_tpu.export import ArtifactSession, load_exported
         session = ArtifactSession(load_exported(args.artifact))
         args.window, args.streams = session.window, session.streams
-        assert not args.pipelined, (
-            "--pipelined drives the live session; artifacts use step()")
+        assert not args.pipelined and not args.lookahead, (
+            "--pipelined/--lookahead drive the live session; artifacts "
+            "use plain step()")
         if session.streams > 1:
             return _stream_multi(args, None, None, None, None, sequences,
                                  session=session)
@@ -447,13 +448,21 @@ def cmd_stream(args):
 
         W = args.window
         if args.streams > 1:
+            assert not args.lookahead, (
+                "--lookahead is per-session; the multiplexed path resets "
+                "slots independently (use it with --streams 1)")
             return _stream_multi(args, params3, cascade, model, stats,
                                  sequences)
         sess = StreamingCascade(params3, cascade, model, window=args.window,
-                                stats=stats, normalize=args.norm)
+                                stats=stats, normalize=args.norm,
+                                lookahead=args.lookahead)
 
-    # warm up (compile) outside the timed region
+    # warm up (compile) outside the timed region; lookahead needs a second
+    # step to reach the 2W emission program (step 1 only buffers)
     sess.step(sequences[0]["ori"][:W], sequences[0]["acc"][:W])
+    if args.lookahead:
+        sess.step(sequences[0]["ori"][:W], sequences[0]["acc"][:W])
+        sess.flush()
     sess.reset()
 
     latencies = []
@@ -473,7 +482,7 @@ def cmd_stream(args):
             latencies.append(_time.perf_counter() - t)
             if pose is not None:
                 poses.append(pose)
-        if args.pipelined:
+        if args.pipelined or args.lookahead:
             tail = sess.flush()
             if tail is not None:
                 poses.append(tail)
@@ -487,6 +496,7 @@ def cmd_stream(args):
     print(_json.dumps({
         "window": W,
         "pipelined": bool(args.pipelined),
+        "lookahead": bool(args.lookahead),
         "windows": int(lat.size),
         "latency_ms_mean": round(float(lat.mean()), 3),
         "latency_ms_p50": round(float(np.percentile(lat, 50)), 3),
@@ -858,6 +868,12 @@ def build_parser():
     st.add_argument("--pipelined", action="store_true",
                     help="overlap device execution with the host round-trip "
                          "(results lag one window; hides per-call latency)")
+    st.add_argument("--lookahead", action="store_true",
+                    help="one-window lookahead: each emitted window's "
+                         "backward direction also sees the NEXT window "
+                         "(2x context), cutting streaming-vs-offline "
+                         "divergence; costs ~3x compute and one window "
+                         "of latency")
     st.add_argument("--streams", type=int, default=1,
                     help="multiplex N independent clients through one "
                          "compiled multi-stream program (per-client state, "

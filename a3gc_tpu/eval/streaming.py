@@ -156,11 +156,14 @@ class StreamingCascade:
     def __init__(self, params3: Tuple, cfg: CascadeConfig, model,
                  window: int = 60,
                  stats: Optional[Dict[str, np.ndarray]] = None,
-                 normalize: bool = False, streams: int = 1):
+                 normalize: bool = False, streams: int = 1,
+                 lookahead: bool = False):
         self.params3 = params3
         self.cfg = cfg
         self.window = window
         self.streams = streams
+        self.lookahead = lookahead
+        self._la_prev = None        # previous window awaiting emission
         self.stats = ({k: jnp.asarray(v) for k, v in stats.items()}
                       if (normalize and stats is not None) else None)
         # explicit zero states (not None) so the program compiles ONCE: the
@@ -185,9 +188,14 @@ class StreamingCascade:
         if stream is None:
             self._states = self._zero_states
         else:
+            assert not self.lookahead, (
+                "per-stream reset is incompatible with lookahead: the "
+                "buffered previous window still holds the old client's "
+                "frames; reset() the whole session instead")
             self._states = jax.tree_util.tree_map(
                 lambda s: s.at[:, stream].set(0.0), self._states)
         self._pending = None
+        self._la_prev = None
 
     def _dispatch(self, ori_window, acc_window, active=None):
         S = self.streams
@@ -209,8 +217,54 @@ class StreamingCascade:
         r"""Process one window; returns full local pose [T_w, 24, 3, 3]
         (streams=1) or [S, T_w, 24, 3, 3]. ``active`` [S] 0/1 marks which
         clients submitted this tick — idle slots' state is untouched and
-        their output slice is garbage (dynamic batching)."""
+        their output slice is garbage (dynamic batching).
+
+        With ``lookahead=True`` the emission lags ONE window: step(k)
+        returns window k-1's pose (None on the first call) computed with
+        window k as backward-direction context — see
+        :meth:`_step_lookahead`. Call :meth:`flush` after the last window.
+        """
+        if self.lookahead:
+            assert active is None, (
+                "lookahead buffers whole windows; per-tick activity "
+                "masking (dynamic batching) is not supported with it")
+            return self._step_lookahead(ori_window, acc_window)
         return np.asarray(self._dispatch(ori_window, acc_window, active))
+
+    def _step_lookahead(self, ori_window, acc_window):
+        r"""One-window-lookahead emission: window k-1's pose is computed
+        by running the cascade over frames [k-1, k+1) from the carried
+        state, keeping the first T_w outputs — the backward direction of
+        every bidirectional layer sees a full extra window of future
+        context (2·T_w total), cutting streaming-vs-offline divergence.
+        The carried state still advances through window k-1 alone (a
+        second, plain pass), so state threading is IDENTICAL to plain
+        windowing — lookahead changes emissions only. Cost: ~3× the
+        per-window compute; latency: +1 window. The reference's online
+        mode has no counterpart (its windows never see future frames,
+        ref: net_aagc.py:809-812)."""
+        S, W = self.streams, self.window
+        ori = jnp.asarray(ori_window).reshape(S, -1, 54)
+        acc = jnp.asarray(acc_window).reshape(S, -1, 18)
+        assert ori.shape[1] == W, (
+            f"window size {ori.shape[1]} != configured {W}")
+        if self._la_prev is None:
+            self._la_prev = (ori, acc)
+            return None
+        p_ori, p_acc = self._la_prev
+        act = jnp.ones((S,), jnp.float32)
+        s1, s2, s3 = self._states            # state at start of prev window
+        # emission pass over [prev ‖ cur] (2W — its own jit specialization)
+        pose, _, _, _ = self._fn(
+            self.params3, jnp.concatenate((p_ori, ori), axis=1),
+            jnp.concatenate((p_acc, acc), axis=1), s1, s2, s3, act)
+        # advance pass over prev alone: carried state for the next tick
+        _, s1, s2, s3 = self._fn(self.params3, p_ori, p_acc, s1, s2, s3,
+                                 act)
+        self._states = (s1, s2, s3)
+        self._la_prev = (ori, acc)
+        pose = pose.reshape((S, 2 * W) + pose.shape[1:])[:, :W]
+        return np.asarray(pose[0] if S == 1 else pose)
 
     def step_async(self, ori_window: np.ndarray,
                    acc_window: np.ndarray) -> Optional[np.ndarray]:
@@ -223,11 +277,23 @@ class StreamingCascade:
         in-flight execute and transfer RPCs contend on the tunnel); prefer
         synchronous :meth:`step` there. Call :meth:`flush` after the last
         window."""
+        assert not self.lookahead, (
+            "step_async (pipelined) and lookahead both lag one window; "
+            "use step() with lookahead=True")
         pose = self._dispatch(ori_window, acc_window)
         prev, self._pending = self._pending, pose
         return None if prev is None else np.asarray(prev)
 
     def flush(self) -> Optional[np.ndarray]:
-        r"""Return the last dispatched window's pose (pipelined mode)."""
+        r"""Return the final window's pose. Pipelined mode: the last
+        dispatched result. Lookahead mode: the buffered last window,
+        emitted without future context (the stream ended — identical to
+        what plain windowing produces for a final window)."""
+        if self.lookahead:
+            if self._la_prev is None:
+                return None
+            p_ori, p_acc = self._la_prev
+            self._la_prev = None
+            return np.asarray(self._dispatch(p_ori, p_acc))
         prev, self._pending = self._pending, None
         return None if prev is None else np.asarray(prev)

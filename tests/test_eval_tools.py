@@ -255,6 +255,73 @@ class TestStreamingCascade:
             np.testing.assert_allclose(a, b, atol=0)
 
 
+    def test_lookahead_exact_construction(self, model):
+        """Lookahead emission for window k == cascade run over [k, k+2W)
+        from the carried state, first W frames; carried state advances
+        exactly like plain windowing; flush emits the final window
+        without future context (== plain windowing's final window)."""
+        SC, cfg, params3 = self._build(model)
+        rng = np.random.default_rng(10)
+        T, W = 36, 12
+        ori = Rotation.random(T * 6, random_state=10).as_matrix().reshape(
+            T, 54).astype(np.float32)
+        acc = rng.normal(scale=0.5, size=(T, 18)).astype(np.float32)
+
+        la = SC(params3, cfg, model, window=W, lookahead=True)
+        emitted = []
+        for t in range(0, T, W):
+            p = la.step(ori[t:t + W], acc[t:t + W])
+            if p is not None:
+                emitted.append(p)
+        emitted.append(la.flush())
+        assert len(emitted) == T // W
+
+        # oracle: manual construction with TWO plain sessions
+        plain = SC(params3, cfg, model, window=W)      # state advance
+        wide = SC(params3, cfg, model, window=2 * W)   # emission
+        for k, t in enumerate(range(0, T, W)):
+            if t + 2 * W <= T:
+                wide._states = plain._states
+                want = wide.step(ori[t:t + 2 * W], acc[t:t + 2 * W])[:W]
+            else:
+                want = None                            # final window
+            got_plain = plain.step(ori[t:t + W], acc[t:t + W])
+            if want is None:
+                want = got_plain                       # flush semantics
+            np.testing.assert_allclose(emitted[k], want, atol=1e-6,
+                                       err_msg=f"window {k}")
+
+    def test_lookahead_reduces_offline_divergence(self, model):
+        """The point of the feature: with the SAME weights, lookahead
+        streaming is strictly closer to the offline (full-sequence)
+        output than plain windowed streaming, averaged over the
+        non-final windows."""
+        SC, cfg, params3 = self._build(model)
+        rng = np.random.default_rng(11)
+        T, W = 96, 12
+        ori = Rotation.random(T * 6, random_state=11).as_matrix().reshape(
+            T, 54).astype(np.float32)
+        acc = rng.normal(scale=0.5, size=(T, 18)).astype(np.float32)
+
+        offline = SC(params3, cfg, model, window=T).step(ori, acc)
+
+        def run(lookahead):
+            sess = SC(params3, cfg, model, window=W, lookahead=lookahead)
+            out = [p for t in range(0, T, W)
+                   if (p := sess.step(ori[t:t + W], acc[t:t + W]))
+                   is not None]
+            tail = sess.flush() if lookahead else None
+            if tail is not None:
+                out.append(tail)
+            return np.concatenate(out)
+
+        plain, la = run(False), run(True)
+        # compare on the non-final region (the tail has no lookahead)
+        n = T - W
+        d_plain = np.abs(plain[:n] - offline[:n]).mean()
+        d_la = np.abs(la[:n] - offline[:n]).mean()
+        assert d_la < d_plain, (d_la, d_plain)
+
     def test_multi_stream_equals_independent_sessions(self, model):
         """streams=S serving == S independent single-stream sessions,
         including a per-stream reset mid-run (client 1 ends its sequence
