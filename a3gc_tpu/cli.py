@@ -703,6 +703,21 @@ def cmd_worst_frames(args):
         print(name, frames)
 
 
+def cmd_convert_data(args):
+    r"""Reference packed ``.pt`` dataset → this framework's npz (layout
+    auto-detected: stacked train chunks or per-sequence test lists,
+    ref: postprocess_data.py:143-203)."""
+    from a3gc_tpu.compat import convert_torch_dataset
+
+    path = convert_torch_dataset(args.torch, args.output)
+    import numpy as np
+    with np.load(path) as z:
+        kind = "test (per-sequence)" if any(
+            k.startswith("seq") for k in z.files) else "train (packed)"
+        print(f"converted {args.torch} -> {path} [{kind}, "
+              f"{len(z.files)} arrays]")
+
+
 def cmd_preprocess(args):
     from a3gc_tpu.data.factory.amass import process_amass_split
     from a3gc_tpu.data.factory.dipimu import process_dipimu
@@ -989,6 +1004,15 @@ def build_parser():
                    help="epoch number recorded in the exported .tar")
     _add_cache_flag(c)
     c.set_defaults(fn=cmd_convert)
+
+    cd = sub.add_parser("convert-data",
+                        help="reference packed .pt dataset -> npz "
+                             "(train or test layout, auto-detected)")
+    cd.add_argument("--torch", type=str, required=True,
+                    help="reference transform_to_torch_data* output .pt")
+    cd.add_argument("--output", type=str, required=True)
+    _add_cache_flag(cd)
+    cd.set_defaults(fn=cmd_convert_data)
 
     return p
 

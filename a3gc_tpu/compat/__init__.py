@@ -8,3 +8,4 @@ from a3gc_tpu.compat.torch_export import (  # noqa: F401
     graph_net_state_dict,
     save_torch_checkpoint,
 )
+from a3gc_tpu.compat.torch_data import convert_torch_dataset  # noqa: F401

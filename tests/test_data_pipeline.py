@@ -160,3 +160,61 @@ def test_shipped_stats_assets_match_reference():
         assert set(shipped) == set(fresh)
         for k in shipped:
             np.testing.assert_array_equal(shipped[k], fresh[k], err_msg=k)
+
+
+class TestTorchDataConverter:
+    """Reference packed .pt datasets (transform_to_torch_data* layouts,
+    ref: postprocess_data.py:143-203) convert to this framework's npz
+    schemas and feed straight into the Sampler / test-sequence loader."""
+
+    def test_train_layout_roundtrip(self, tmp_path):
+        import torch
+        from a3gc_tpu.compat import convert_torch_dataset
+        from a3gc_tpu.data import pipeline as DP
+
+        N, T = 4, 12
+        rng = np.random.RandomState(0)
+        torch.save({
+            "ori": torch.from_numpy(rng.randn(N, T, 6, 9)),
+            "acc": torch.from_numpy(rng.randn(N, T, 6, 3)),
+            "pose": torch.from_numpy(rng.randn(N, T, 15, 3, 3)),
+            "leaf_pos": torch.from_numpy(rng.randn(N, T, 5, 3)),
+            "full_pos": torch.from_numpy(rng.randn(N, T, 24, 3)),
+        }, tmp_path / "train_pos.pt")
+        out = convert_torch_dataset(str(tmp_path / "train_pos.pt"),
+                                    str(tmp_path / "train.npz"))
+        packed = DP.load_packed(out)
+        assert packed["ori"].shape == (N, T, 54)
+        assert packed["acc"].shape == (N, T, 18)
+        assert packed["pose"].shape == (N, T, 135)
+        assert packed["full_pos"].shape == (N, T, 24, 3)
+        assert all(v.dtype == np.float32 for v in packed.values())
+        batches = list(DP.Sampler(packed, 2, seed=0))
+        assert len(batches) == 2
+        # values survive the conversion
+        src = torch.load(tmp_path / "train_pos.pt", weights_only=False)
+        np.testing.assert_allclose(
+            packed["ori"][0, 0],
+            src["ori"][0, 0].numpy().reshape(54).astype(np.float32))
+
+    def test_test_layout_roundtrip(self, tmp_path):
+        import torch
+        from a3gc_tpu.compat import convert_torch_dataset
+        from a3gc_tpu.data.factory.dipimu import load_test_sequences
+
+        rng = np.random.RandomState(1)
+        lengths = (20, 35)
+        torch.save({
+            "ori": [torch.from_numpy(rng.randn(t, 54)) for t in lengths],
+            "acc": [torch.from_numpy(rng.randn(t, 18)) for t in lengths],
+            "pose": [torch.from_numpy(rng.randn(t, 15, 3, 3))
+                     for t in lengths],
+        }, tmp_path / "test.pt")
+        out = convert_torch_dataset(str(tmp_path / "test.pt"),
+                                    str(tmp_path / "test.npz"))
+        seqs = load_test_sequences(out)
+        assert len(seqs) == 2
+        for seq, t in zip(seqs, lengths):
+            assert seq["ori"].shape == (t, 54)
+            assert seq["acc"].shape == (t, 18)
+            assert seq["pose"].shape == (t, 135)
