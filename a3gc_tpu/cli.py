@@ -479,11 +479,18 @@ def cmd_stream(args):
             else:
                 pose = sess.step(seq["ori"][t0:t0 + W],
                                  seq["acc"][t0:t0 + W])
-            latencies.append(_time.perf_counter() - t)
+            dt = _time.perf_counter() - t
+            # lagged modes: the first step per sequence only buffers
+            # (~0 ms, no device work) — counting it would deflate the
+            # published latency mean; only emissions are samples
+            if pose is not None or not (args.pipelined or args.lookahead):
+                latencies.append(dt)
             if pose is not None:
                 poses.append(pose)
         if args.pipelined or args.lookahead:
+            t = _time.perf_counter()
             tail = sess.flush()
+            latencies.append(_time.perf_counter() - t)
             if tail is not None:
                 poses.append(tail)
         if poses:

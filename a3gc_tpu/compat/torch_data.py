@@ -13,9 +13,10 @@ packed shapes convert directly:
   203) → the per-sequence ``seq{i}_{field}`` npz that
   ``data.factory.dipimu.load_test_sequences`` reads.
 
-``leaf_pos`` is dropped: this framework derives it on device from
-``full_pos`` (data/pipeline._scatter_leaf), matching the reference's own
-``__getitem__`` recomputation (ref: datasets.py:61-65).
+``leaf_pos`` converts too when present: the graph pipeline re-derives it
+on device from ``full_pos`` (data/pipeline._scatter_leaf, matching
+ref: datasets.py:61-65), but the flat TransPose pipeline consumes it
+directly (data/pipeline.flat_batch).
 """
 
 from __future__ import annotations
@@ -54,9 +55,10 @@ def convert_torch_dataset(pt_path: str, npz_path: str) -> str:
             out[field] = _np(data[field]).reshape(N, T, width).astype(
                 np.float32)
         out["pose"] = _np(data["pose"]).reshape(N, T, -1).astype(np.float32)
-        if "full_pos" in data:
-            out["full_pos"] = _np(data["full_pos"]).reshape(
-                N, T, -1, 3).astype(np.float32)
+        for pos in ("full_pos", "leaf_pos"):
+            if pos in data:
+                out[pos] = _np(data[pos]).reshape(
+                    N, T, -1, 3).astype(np.float32)
         np.savez(npz_path, **out)
         return npz_path
 

@@ -139,20 +139,16 @@ def compare_models(model: ParametricModel,
                 with open(os.path.join(d, fname), "wb") as f:
                     pickle.dump(arr[frames], f)
             if render:
-                from a3gc_tpu.smpl.viewer import (render_skeleton,
-                                                  save_animation)
-                parent = list(model.parent)
                 for rank, fidx in enumerate(frames):
                     poses = jnp.asarray(np.stack(
                         (gt_all[fidx], a_all[fidx], b_all[fidx])),
                         jnp.float32)                         # [3,24,3,3]
                     _, joints = model.forward_kinematics(poses)
                     joints = np.asarray(joints)              # [3,24,3]
-                    subjects = [joints[i:i + 1]
-                                + np.array([[i * 0.9, 0.0, 0.0]])
-                                for i in range(3)]           # gt | A | B
-                    frame = render_skeleton(subjects, parent,
-                                            size=render_size)
-                    save_animation(frame, os.path.join(
-                        d, f"{rank:02d}_frame{fidx}.png"))
+                    model.view_joint(                        # gt | A | B
+                        [joints[0:1], joints[1:2], joints[2:3]],
+                        distance_between_subjects=0.9,
+                        out_path=os.path.join(
+                            d, f"{rank:02d}_frame{fidx}.png"),
+                        size=render_size)
     return result

@@ -111,17 +111,19 @@ class _Batcher:
                 raise RuntimeError(out[1])
             return out
 
-    def swap_params(self, params3) -> None:
+    def swap_params(self, params3) -> bool:
         r"""Checkpoint hot-reload: hand the dispatcher new cascade params.
         The swap is applied ON the dispatcher thread, serialized with
         device steps, so no tick ever mixes old and new stages; carried
         client states persist across the swap (same shapes). Blocks until
-        applied."""
+        applied; returns False if the batcher stopped first (the swap did
+        NOT happen)."""
         with self.cond:
             self.reload_pending = params3
             self.cond.notify_all()
             while self.reload_pending is not None and not self.stop:
                 self.cond.wait(timeout=0.1)
+            return self.reload_pending is None
 
     def stats(self) -> dict:
         with self.lock:
@@ -136,8 +138,11 @@ class _Batcher:
                 "errors": self.n_errors,
                 "tick_ms_mean": (round(1e3 * sum(lat) / len(lat), 3)
                                  if lat else None),
+                # nearest-rank p99: ceil(0.99·n)−1 — the MAX for n ≤ 100,
+                # so low-traffic outliers stay visible
                 "tick_ms_p99": (round(1e3 * sorted(lat)[
-                    max(int(len(lat) * 0.99) - 1, 0)], 3) if lat else None),
+                    max(-(-len(lat) * 99 // 100) - 1, 0)], 3)
+                    if lat else None),
                 "mean_coalesced": (round(sum(sizes) / len(sizes), 2)
                                    if sizes else None),
             }
@@ -274,7 +279,10 @@ class PoseServer:
                     except Exception as e:
                         return self._json(500,
                                           {"error": f"reload failed: {e!r}"})
-                    batcher.swap_params(new_params3)
+                    if not batcher.swap_params(new_params3):
+                        return self._json(503, {
+                            "error": "server shutting down; reload not "
+                                     "applied"})
                     return self._json(200, {"reloaded": True})
                 if self.path == "/v1/step":
                     n = int(self.headers.get("Content-Length", 0))

@@ -188,9 +188,16 @@ class TestTorchDataConverter:
         assert packed["acc"].shape == (N, T, 18)
         assert packed["pose"].shape == (N, T, 135)
         assert packed["full_pos"].shape == (N, T, 24, 3)
+        assert packed["leaf_pos"].shape == (N, T, 5, 3)
         assert all(v.dtype == np.float32 for v in packed.values())
         batches = list(DP.Sampler(packed, 2, seed=0))
         assert len(batches) == 2
+        # BOTH training pipelines consume the converted file: graph
+        # derives leaf from full_pos, flat reads leaf_pos directly
+        raw = {k: jnp.asarray(v) for k, v in batches[0].items()}
+        DP.graph_batch(raw)
+        out_flat = DP.flat_batch(raw)
+        assert out_flat[1].shape == (2, T, 15)
         # values survive the conversion
         src = torch.load(tmp_path / "train_pos.pt", weights_only=False)
         np.testing.assert_allclose(
