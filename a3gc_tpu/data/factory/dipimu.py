@@ -18,7 +18,6 @@ synthetic sequences.
 
 from __future__ import annotations
 
-import glob
 import os
 import pickle
 from typing import Dict, Iterable, Iterator, List, Optional

@@ -21,7 +21,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from a3gc_tpu.config import joint_set as JS
 from a3gc_tpu.metrics import masked_global_angle_per_frame
 from a3gc_tpu.smpl.model import ParametricModel
 

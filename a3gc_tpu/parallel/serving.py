@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 

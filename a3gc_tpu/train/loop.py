@@ -29,7 +29,7 @@ import dataclasses
 import inspect
 import time
 from functools import partial
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +40,6 @@ from flax import struct
 from a3gc_tpu.config import TrainConfig
 from a3gc_tpu.data import pipeline as DP
 from a3gc_tpu.models import cells as C
-from a3gc_tpu.models import nets as N
 from a3gc_tpu.models.pipeline import PoseNetConfig, pose_loss, pose_net_forward
 
 __all__ = [
