@@ -324,3 +324,61 @@ class TestServerOps:
             assert st == 501 and "reload source" in out["error"]
         finally:
             srv.shutdown()
+
+    def test_reload_under_concurrent_load(self, setup, model):
+        """Hot-reloads racing client steps: every response is a valid pose
+        from EITHER params version (the swap is tick-atomic), never an
+        error or a mix."""
+        from a3gc_tpu.serve import PoseServer
+        cfg, params3 = setup
+        nira = load_adjacency_template()
+        params3_b = tuple(init_pose_net(jax.random.PRNGKey(50 + i), c, nira)
+                          for i, c in enumerate((cfg.stage1, cfg.stage2,
+                                                 cfg.stage3)))
+        W = 4
+        flip = {"v": 0}
+
+        def reload_fn():
+            flip["v"] ^= 1
+            return params3_b if flip["v"] else params3
+
+        srv = PoseServer(params3, cfg, model, window=W, streams=3, port=0,
+                         max_wait_ms=2.0, reload_fn=reload_fn)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        addr = srv.address
+        try:
+            ori = np.tile(np.eye(3, dtype=np.float32).reshape(-1),
+                          (W, 6)).reshape(W, 54).tolist()
+            acc = np.zeros((W, 18), np.float32).tolist()
+
+            def client(_):
+                st, sess = _request(addr, "POST", "/v1/session")
+                assert st == 200, sess
+                ok = 0
+                for _ in range(6):
+                    st, out = _request(addr, "POST", "/v1/step",
+                                       {"slot": sess["slot"], "ori": ori,
+                                        "acc": acc})
+                    assert st == 200, out
+                    pose = np.asarray(out["pose"], np.float32)
+                    assert pose.shape == (W, 24, 3, 3)
+                    assert np.isfinite(pose).all()
+                    ok += 1
+                _request(addr, "DELETE", f"/v1/session/{sess['slot']}")
+                return ok
+
+            def reloader():
+                for _ in range(8):
+                    st, r = _request(addr, "POST", "/v1/reload")
+                    assert st == 200 and r["reloaded"], r
+                return True
+
+            with ThreadPoolExecutor(4) as ex:
+                futs = [ex.submit(client, i) for i in range(3)]
+                futs.append(ex.submit(reloader))
+                results = [f.result() for f in futs]
+            assert results == [6, 6, 6, True]
+            st, stats = _request(addr, "GET", "/v1/stats")
+            assert stats["errors"] == 0 and stats["requests"] == 18
+        finally:
+            srv.shutdown()
