@@ -31,6 +31,7 @@ explicitly waived, which this module does on request).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 from typing import Dict, Optional, Sequence, Tuple
@@ -108,11 +109,19 @@ def export_streaming_cascade(
                     lambda z: jax.ShapeDtypeStruct(z.shape, z.dtype), zero),
                 aval((streams,)))
     kwargs = {}
+    ctx = contextlib.nullcontext()
     if backend == "pallas":
         kwargs["disabled_checks"] = [
             jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call")]
-    exp_step = jax_export.export(jax.jit(_step), platforms=list(platforms),
-                                 **kwargs)(*in_avals)
+        # force real Mosaic lowering: a CPU exporting process would
+        # otherwise trace the kernels in interpret mode and silently bake
+        # plain XLA ops into the "pallas" artifact
+        from a3gc_tpu.models.nets import compiled_pallas_lowering
+        ctx = compiled_pallas_lowering()
+    with ctx:
+        exp_step = jax_export.export(jax.jit(_step),
+                                     platforms=list(platforms),
+                                     **kwargs)(*in_avals)
     exp_init = jax_export.export(jax.jit(lambda: zero),
                                  platforms=list(platforms))()
 

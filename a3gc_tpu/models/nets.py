@@ -19,6 +19,7 @@ jit/vmap/pjit-compatible, with dropout active only when an rng is provided.
 
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 from typing import Optional, Tuple
 
@@ -108,10 +109,31 @@ def init_graph_net(key, cfg: GraphNetConfig, adjacency) -> GraphNetParams:
     )
 
 
+_INTERPRET_OVERRIDE = None
+
+
 def _pallas_interpret() -> bool:
     """Run the Pallas kernels in interpret mode off-TPU (forced
-    ``backend='pallas'`` in CPU tests); compiled Mosaic on TPU."""
+    ``backend='pallas'`` in CPU tests); compiled Mosaic on TPU.
+    :func:`compiled_pallas_lowering` overrides the host-platform check —
+    needed when a CPU process LOWERS for the tpu platform (jax.export
+    cross-export), where interpret mode would silently bake plain XLA ops
+    instead of the Mosaic kernels into the artifact."""
+    if _INTERPRET_OVERRIDE is not None:
+        return _INTERPRET_OVERRIDE
     return jax.devices()[0].platform not in ("tpu", "axon")
+
+
+@contextlib.contextmanager
+def compiled_pallas_lowering():
+    """Force real (non-interpret) Mosaic lowering regardless of the host
+    platform — for cross-exporting tpu-only artifacts from CPU."""
+    global _INTERPRET_OVERRIDE
+    prev, _INTERPRET_OVERRIDE = _INTERPRET_OVERRIDE, False
+    try:
+        yield
+    finally:
+        _INTERPRET_OVERRIDE = prev
 
 
 def _layer_hoisted_lstm(cfg: GraphNetConfig, cell2, x, st, rng_layer,

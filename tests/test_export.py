@@ -157,7 +157,11 @@ class TestExportedCascade:
                          backend="pallas")
         assert art.manifest["backend"] == "pallas"
         assert art.manifest["platforms"] == ["tpu"]
-        assert os.path.getsize(tmp_path / "artifact" / "step.jaxexport") > 0
+        # the artifact must carry REAL Mosaic kernels even when exported
+        # from a CPU process (interpret mode would silently bake plain
+        # XLA ops instead): the serialized module contains the custom call
+        raw = open(tmp_path / "artifact" / "step.jaxexport", "rb").read()
+        assert b"tpu_custom_call" in raw
         with pytest.raises(Exception):    # cpu execution must be refused
             art.step(np.zeros((1, 4, 54), np.float32),
                      np.zeros((1, 4, 18), np.float32), art.zero_states())
