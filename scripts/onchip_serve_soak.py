@@ -30,6 +30,12 @@ STREAMS, WINDOW = 8, 60
 
 
 def rss_mb():
+    """CURRENT VmRSS (ru_maxrss is a monotonic peak — it cannot tell a
+    leak from a one-time transfer-buffer spike; a CPU probe of this path
+    is flat over 3000 ticks)."""
+    for line in open("/proc/self/status"):
+        if line.startswith("VmRSS"):
+            return int(line.split()[1]) / 1024.0
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
@@ -56,6 +62,7 @@ def main():
     rss0 = rss_mb()
 
     lat, ticks, resets, checks = [], 0, 0, 0
+    rss_series = []
     t_end = time.time() + SOAK_SECONDS
     while time.time() < t_end:
         ori = rng.randn(STREAMS, WINDOW, 54).astype(np.float32)
@@ -76,8 +83,10 @@ def main():
                 f"max delta {np.abs(got - golden).max()}")
             sess.reset(stream=0)
             checks += 1
+            rss_series.append(round(rss_mb(), 1))
             print(f"tick {ticks}: determinism OK, "
-                  f"mean {np.mean(lat[-100:]) * 1e3:.1f} ms", flush=True)
+                  f"mean {np.mean(lat[-100:]) * 1e3:.1f} ms, "
+                  f"rss {rss_series[-1]} MB", flush=True)
 
     lat_ms = np.asarray(lat) * 1e3
     q = len(lat_ms) // 4
@@ -99,6 +108,7 @@ def main():
         },
         "rss_mb_start": round(rss0, 1),
         "rss_mb_end": round(rss_mb(), 1),
+        "rss_mb_series": rss_series,
     }
     path = os.path.join("docs", "validation", "SERVE_SOAK.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
