@@ -319,13 +319,13 @@ def cmd_evaluate(args):
     params3 = _load_cascade_params(args, cascade, is_graph, nira)
 
     stats = _load_stats(args) if args.norm else None
+    if args.save_preds and args.batch_streams > 1:
+        print("[a3gc_tpu] --save_preds dumps per-sequence predictions and "
+              "runs the per-sequence protocol; --batch_streams is ignored",
+              file=sys.stderr)
     for dataset in args.datasets:
         sequences = load_test_sequences(dataset)
         if args.save_preds:
-            if args.batch_streams > 1:
-                print("[a3gc_tpu] --save_preds dumps per-sequence "
-                      "predictions and runs the per-sequence protocol; "
-                      "--batch_streams is ignored", file=sys.stderr)
             import pickle as pkl
             from a3gc_tpu.eval import CascadeEvaluator
             from a3gc_tpu.eval.run import reduced_to_full

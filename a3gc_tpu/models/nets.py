@@ -20,6 +20,7 @@ jit/vmap/pjit-compatible, with dropout active only when an rng is provided.
 from __future__ import annotations
 
 import contextlib
+import threading
 from functools import partial
 from typing import Optional, Tuple
 
@@ -109,7 +110,9 @@ def init_graph_net(key, cfg: GraphNetConfig, adjacency) -> GraphNetParams:
     )
 
 
-_INTERPRET_OVERRIDE = None
+_interpret_override = threading.local()   # per-thread: export lowering
+                                          # must not poison other threads'
+                                          # concurrent pallas traces
 
 
 def _pallas_interpret() -> bool:
@@ -119,21 +122,23 @@ def _pallas_interpret() -> bool:
     needed when a CPU process LOWERS for the tpu platform (jax.export
     cross-export), where interpret mode would silently bake plain XLA ops
     instead of the Mosaic kernels into the artifact."""
-    if _INTERPRET_OVERRIDE is not None:
-        return _INTERPRET_OVERRIDE
+    override = getattr(_interpret_override, "value", None)
+    if override is not None:
+        return override
     return jax.devices()[0].platform not in ("tpu", "axon")
 
 
 @contextlib.contextmanager
 def compiled_pallas_lowering():
     """Force real (non-interpret) Mosaic lowering regardless of the host
-    platform — for cross-exporting tpu-only artifacts from CPU."""
-    global _INTERPRET_OVERRIDE
-    prev, _INTERPRET_OVERRIDE = _INTERPRET_OVERRIDE, False
+    platform — for cross-exporting tpu-only artifacts from CPU. Scoped to
+    the calling thread."""
+    prev = getattr(_interpret_override, "value", None)
+    _interpret_override.value = False
     try:
         yield
     finally:
-        _INTERPRET_OVERRIDE = prev
+        _interpret_override.value = prev
 
 
 def _layer_hoisted_lstm(cfg: GraphNetConfig, cell2, x, st, rng_layer,

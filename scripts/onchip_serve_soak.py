@@ -88,8 +88,9 @@ def main():
                   f"mean {np.mean(lat[-100:]) * 1e3:.1f} ms, "
                   f"rss {rss_series[-1]} MB", flush=True)
 
+    assert lat, "soak too short: no ticks completed"
     lat_ms = np.asarray(lat) * 1e3
-    q = len(lat_ms) // 4
+    q = max(len(lat_ms) // 4, 1)
     out = {
         "streams": STREAMS, "window": WINDOW,
         "soak_seconds": SOAK_SECONDS, "ticks": ticks,

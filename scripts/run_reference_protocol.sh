@@ -7,12 +7,11 @@
 #   $DATA_ROOT/raw_datasets/TotalCapture/...        (DIP-recalculated pkl)
 #   $SMPL_PKL                                        (official male SMPL)
 #
-# Mirrors the reference flow (ref: README.MD:27-37, preprocess.py,
+# Mirrors the reference flow exactly (ref: README.MD:27-40, preprocess.py,
 # train_a3gc_tp.py, evaluate_a3gc_tp.py:191-192): AMASS synthesis with CDA
-# -> pretrain 3 stages -> DIP-IMU finetune -> evaluate on the DIP-IMU test
-# split and TotalCapture, writing the same txt reports. Defaults match the
-# reference's hyperparameters (batch 32, lr 1e-3, gamma 0.8, patience,
-# hidden 256/64/128, --norm --cda).
+# -> pretrain (--norm --cda, lr 1e-3) -> DIP-IMU finetune (--norm --cda
+# -f, lr 1e-4) -> evaluate on the DIP-IMU test split and TotalCapture
+# (--norm --cda), writing the same txt reports. Hidden sizes 256/64/128.
 #
 # Usage:
 #   DATA_ROOT=/data SMPL_PKL=/data/smpl/SMPL_MALE.pkl \
@@ -23,40 +22,46 @@ cd "$(dirname "$0")/.."
 DATA_ROOT=${DATA_ROOT:?set DATA_ROOT to the directory holding raw_datasets/}
 SMPL_PKL=${SMPL_PKL:?set SMPL_PKL to the official SMPL pickle}
 MODEL=${MODEL:-a3gc}
+BATCH=${BATCH:-16}            # ref: README.MD training commands use -b 16
 OUT=${OUT:-protocol_run}
 CLI="python -m a3gc_tpu.cli"
 COMMON=(--smpl "$SMPL_PKL" --data_root "$DATA_ROOT")
 
 mkdir -p "$OUT"
 
-echo "== 1/4 offline data factory (AMASS+CDA, DIP-IMU, TotalCapture)"
+echo "== 1/4 offline data factory (AMASS+CDA, DIP-IMU sym, TotalCapture)"
 $CLI preprocess "${COMMON[@]}" --dataset amass --split train --cda \
     --output "$OUT/amass_train.npz"
 $CLI preprocess "${COMMON[@]}" --dataset amass --split valid --cda \
     --output "$OUT/amass_valid.npz"
-$CLI preprocess "${COMMON[@]}" --dataset dipimu --split train \
+$CLI preprocess "${COMMON[@]}" --dataset dipimu --split train --cda \
     --output "$OUT/dip_train.npz"
-$CLI preprocess "${COMMON[@]}" --dataset dipimu --split valid \
+$CLI preprocess "${COMMON[@]}" --dataset dipimu --split valid --cda \
     --output "$OUT/dip_valid.npz"
 $CLI preprocess "${COMMON[@]}" --dataset dipimu --split test \
     --output "$OUT/dip_test.npz"
 $CLI preprocess "${COMMON[@]}" --dataset totalcapture --split test \
     --output "$OUT/tc_test.npz"
-$CLI stats --inputs "$OUT/amass_train.npz" --output "$OUT/stats.npz"
+# write the sym stats WHERE --norm --cda resolves them: the framework
+# loads $DATA_ROOT/stats/all_sym_train_stats.npz (config.paths), falling
+# back to the shipped reference stats only if this file is absent
+mkdir -p "$DATA_ROOT/stats"
+$CLI stats --inputs "$OUT/amass_train.npz" \
+    --output "$DATA_ROOT/stats/all_sym_train_stats.npz"
 
-echo "== 2/4 pretrain on synthetic AMASS (ref: train_${MODEL}_tp.py)"
-$CLI train "${COMMON[@]}" --model "$MODEL" -b 32 --norm --cda \
-    --name "${MODEL}_protocol" --save_root "$OUT/models" \
+echo "== 2/4 pretrain on synthetic AMASS (ref: train_${MODEL}_tp.py, lr 1e-3)"
+$CLI train "${COMMON[@]}" --model "$MODEL" -b "$BATCH" --lr 1e-3 \
+    --norm --cda --name "${MODEL}_protocol" --save_root "$OUT/models" \
     --train_data "$OUT/amass_train.npz" --valid_data "$OUT/amass_valid.npz"
 
-echo "== 3/4 finetune on DIP-IMU"
-$CLI train "${COMMON[@]}" --model "$MODEL" -b 32 --norm -f \
-    --name "${MODEL}_protocol" --save_root "$OUT/models" \
+echo "== 3/4 finetune on DIP-IMU (ref fine command: lr 1e-4 --norm --cda -f)"
+$CLI train "${COMMON[@]}" --model "$MODEL" -b "$BATCH" --lr 1e-4 \
+    --norm --cda -f --name "${MODEL}_protocol" --save_root "$OUT/models" \
     --resume "$OUT/models/${MODEL}_protocol" \
     --train_data "$OUT/dip_train.npz" --valid_data "$OUT/dip_valid.npz"
 
-echo "== 4/4 evaluate (DIP-IMU test + TotalCapture; ref protocol reports)"
-$CLI evaluate "${COMMON[@]}" --model "$MODEL" --norm \
+echo "== 4/4 evaluate (DIP-IMU test + TotalCapture; ref: --norm --cda)"
+$CLI evaluate "${COMMON[@]}" --model "$MODEL" --norm --cda \
     --path "$OUT/models/${MODEL}_protocol" --type finetuning \
     --datasets "$OUT/dip_test.npz" "$OUT/tc_test.npz"
 
