@@ -32,6 +32,7 @@ explicitly waived, which this module does on request).
 from __future__ import annotations
 
 import contextlib
+import hashlib
 import json
 import os
 from typing import Dict, Optional, Sequence, Tuple
@@ -146,12 +147,17 @@ def export_streaming_cascade(
 
 
 def save_exported(directory: str, exp_step, exp_init, manifest: dict):
-    r"""Write the three-file artifact directory."""
+    r"""Write the three-file artifact directory. The manifest records a
+    sha256 per serialized module so a load can detect truncated/corrupted
+    artifacts before handing them to the runtime."""
     os.makedirs(directory, exist_ok=True)
-    with open(os.path.join(directory, _STEP), "wb") as f:
-        f.write(exp_step.serialize())
-    with open(os.path.join(directory, _INIT), "wb") as f:
-        f.write(exp_init.serialize())
+    digests = {}
+    for name, exp in ((_STEP, exp_step), (_INIT, exp_init)):
+        blob = bytes(exp.serialize())
+        digests[name] = hashlib.sha256(blob).hexdigest()
+        with open(os.path.join(directory, name), "wb") as f:
+            f.write(blob)
+    manifest = dict(manifest, sha256=digests)
     with open(os.path.join(directory, _MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
     return directory
@@ -170,10 +176,19 @@ class ExportedCascade:
             self.manifest = json.load(f)
         assert self.manifest["format_version"] == _FORMAT_VERSION, (
             f"unsupported artifact format {self.manifest['format_version']}")
-        with open(os.path.join(directory, _STEP), "rb") as f:
-            self._step = jax_export.deserialize(bytearray(f.read()))
-        with open(os.path.join(directory, _INIT), "rb") as f:
-            self._init = jax_export.deserialize(bytearray(f.read()))
+        blobs = {}
+        for name in (_STEP, _INIT):
+            with open(os.path.join(directory, name), "rb") as f:
+                blobs[name] = f.read()
+            want = self.manifest.get("sha256", {}).get(name)
+            if want is not None:
+                got = hashlib.sha256(blobs[name]).hexdigest()
+                assert got == want, (
+                    f"artifact integrity check failed for {name}: "
+                    f"sha256 {got} != manifest {want} (truncated or "
+                    f"corrupted artifact?)")
+        self._step = jax_export.deserialize(bytearray(blobs[_STEP]))
+        self._init = jax_export.deserialize(bytearray(blobs[_INIT]))
         self.window = self.manifest["window"]
         self.streams = self.manifest["streams"]
 

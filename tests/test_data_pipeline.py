@@ -225,3 +225,11 @@ class TestTorchDataConverter:
             assert seq["ori"].shape == (t, 54)
             assert seq["acc"].shape == (t, 18)
             assert seq["pose"].shape == (t, 135)
+
+    def test_non_dataset_pt_is_rejected(self, tmp_path):
+        import torch
+        from a3gc_tpu.compat import convert_torch_dataset
+        torch.save({"state_dict": {}}, tmp_path / "ckpt.pt")
+        with pytest.raises(AssertionError, match="packed dataset"):
+            convert_torch_dataset(str(tmp_path / "ckpt.pt"),
+                                  str(tmp_path / "x.npz"))

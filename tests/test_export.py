@@ -148,6 +148,17 @@ class TestExportedCascade:
         pose, _ = art.step(ori, acc, art.zero_states())
         np.testing.assert_allclose(np.asarray(pose)[0], want, atol=2e-5)
 
+    def test_corrupted_artifact_is_refused(self, model, tmp_path):
+        cfg, params3 = _graph_setup()
+        _roundtrip(tmp_path, params3, cfg, model, 4, 1)
+        p = tmp_path / "artifact" / "step.jaxexport"
+        blob = bytearray(p.read_bytes())
+        blob[len(blob) // 2] ^= 0xFF               # flip one byte
+        p.write_bytes(bytes(blob))
+        from a3gc_tpu.export import load_exported
+        with pytest.raises(AssertionError, match="integrity"):
+            load_exported(str(tmp_path / "artifact"))
+
     def test_pallas_backend_exports_tpu_only_artifact(self, model, tmp_path):
         # Mosaic lowering is cross-platform: a CPU process can BUILD the
         # tpu-only artifact (executing it needs a TPU). The round trip
