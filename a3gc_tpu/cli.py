@@ -159,7 +159,8 @@ def cmd_train(args):
                      max_epochs=args.epochs, normalize=args.norm,
                      cda=args.cda, finetuning=args.finetuning,
                      start_stage=args.start_at, start_epoch=args.start_epoch,
-                     seed=args.seed, dtype=args.dtype)
+                     seed=args.seed, dtype=args.dtype,
+                     accum_steps=args.accum)
 
     nira = load_adjacency_template()
     stats = _load_stats(args) if args.norm else None
@@ -430,9 +431,11 @@ def cmd_stream(args):
     sequences = load_test_sequences(args.input)
     if args.artifact:
         # stream through a `cli export` deployment artifact: geometry from
-        # its manifest; no checkpoints/stats/model assets needed
+        # its manifest (--streams/--window select within a bundle); no
+        # checkpoints/stats/model assets needed
         from a3gc_tpu.export import ArtifactSession, load_exported
-        session = ArtifactSession(load_exported(args.artifact))
+        session = ArtifactSession(load_exported(
+            args.artifact, streams=args.streams, window=args.window))
         args.window, args.streams = session.window, session.streams
         assert not args.pipelined and not args.lookahead, (
             "--pipelined/--lookahead drive the live session; artifacts "
@@ -443,6 +446,8 @@ def cmd_stream(args):
         W = args.window
         sess = session
     else:
+        args.window = args.window or 60
+        args.streams = args.streams or 1
         model = _load_body_model(args)
         nira = load_adjacency_template()
         cascade, is_graph = _stage_configs(
@@ -450,22 +455,23 @@ def cmd_stream(args):
         params3 = _load_cascade_params(args, cascade, is_graph, nira)
         stats = _load_stats(args) if args.norm else None
 
+        mesh = None
+        if args.mesh:
+            from a3gc_tpu.parallel import make_mesh
+            mesh = make_mesh()   # all devices on the data axis
         W = args.window
         if args.streams > 1:
-            assert not args.lookahead, (
-                "--lookahead is per-session; the multiplexed path resets "
-                "slots independently (use it with --streams 1)")
             return _stream_multi(args, params3, cascade, model, stats,
-                                 sequences)
+                                 sequences, mesh=mesh)
         sess = StreamingCascade(params3, cascade, model, window=args.window,
                                 stats=stats, normalize=args.norm,
-                                lookahead=args.lookahead)
+                                lookahead=args.lookahead, mesh=mesh)
 
-    # warm up (compile) outside the timed region; lookahead needs a second
-    # step to reach the 2W emission program (step 1 only buffers)
-    sess.step(sequences[0]["ori"][:W], sequences[0]["acc"][:W])
-    if args.lookahead:
+    # warm up (compile) outside the timed region; lookahead needs K+1
+    # steps to reach the (K+1)W emission program (earlier steps buffer)
+    for _ in range(args.lookahead + 1):
         sess.step(sequences[0]["ori"][:W], sequences[0]["acc"][:W])
+    if args.lookahead:
         sess.flush()
     sess.reset()
 
@@ -507,7 +513,7 @@ def cmd_stream(args):
     print(_json.dumps({
         "window": W,
         "pipelined": bool(args.pipelined),
-        "lookahead": bool(args.lookahead),
+        "lookahead": int(args.lookahead),
         "windows": int(lat.size),
         "latency_ms_mean": round(float(lat.mean()), 3),
         "latency_ms_p50": round(float(np.percentile(lat, 50)), 3),
@@ -517,7 +523,7 @@ def cmd_stream(args):
 
 
 def _stream_multi(args, params3, cascade, model, stats, sequences,
-                  session=None):
+                  session=None, mesh=None):
     r"""Multiplexed online serving: S independent clients share ONE
     compiled multi-stream program per window (the online counterpart of
     ``evaluate --batch_streams``; the reference serves one stream per
@@ -535,7 +541,8 @@ def _stream_multi(args, params3, cascade, model, stats, sequences,
     S, W = args.streams, args.window
     sess = session if session is not None else StreamingCascade(
         params3, cascade, model, window=W, stats=stats,
-        normalize=args.norm, streams=S)
+        normalize=args.norm, streams=S, mesh=mesh,
+        lookahead=getattr(args, "lookahead", 0))
 
     def slot_feed(playlist):
         for seq in playlist:
@@ -548,9 +555,14 @@ def _stream_multi(args, params3, cascade, model, stats, sequences,
     zero_o, zero_a = np.zeros((W, 54), np.float32), np.zeros((W, 18),
                                                              np.float32)
 
-    # warm up (compile) outside the timed region
-    sess.step(np.zeros((S, W, 54), np.float32),
-              np.zeros((S, W, 18), np.float32))
+    lookahead = getattr(args, "lookahead", 0)
+    # warm up (compile) outside the timed region; lookahead needs K+1
+    # steps to reach the emission program, plus the flush program
+    for _ in range(lookahead + 1):
+        sess.step(np.zeros((S, W, 54), np.float32),
+                  np.zeros((S, W, 18), np.float32))
+    if lookahead:
+        sess.flush()
     sess.reset()
 
     latencies, total_frames, ticks = [], 0, 0
@@ -559,6 +571,7 @@ def _stream_multi(args, params3, cascade, model, stats, sequences,
     while any(live):
         ori = np.empty((S, W, 54), np.float32)
         acc = np.empty((S, W, 18), np.float32)
+        act_vec = np.zeros(S, np.float32)
         active = 0
         for i in range(S):
             nxt = next(feeds[i], None) if live[i] else None
@@ -571,6 +584,7 @@ def _stream_multi(args, params3, cascade, model, stats, sequences,
                 sess.reset(stream=i)     # client i starts a new sequence
             started[i] = True
             ori[i], acc[i] = o, a
+            act_vec[i] = 1.0
             active += 1
         if active == 0:
             break
@@ -579,11 +593,25 @@ def _stream_multi(args, params3, cascade, model, stats, sequences,
             # submit-side latency; device execution overlaps the next
             # window's host work (see StreamingCascade.step_async)
             sess.step_async(ori, acc)
+            total_frames += active * W
+        elif lookahead:
+            # per-slot buffered emission: count only EMITTED frames (the
+            # warmup ticks of each slot produce none)
+            _, emitted = sess.step(ori, acc, active=act_vec)
+            total_frames += int(emitted.sum()) * W
         else:
             sess.step(ori, acc)
+            total_frames += active * W
         latencies.append(_time.perf_counter() - t)
-        total_frames += active * W
         ticks += 1
+    if lookahead and ticks:
+        # drain each slot's buffered tail
+        t = _time.perf_counter()
+        tails = sess.flush()
+        latencies.append(_time.perf_counter() - t)
+        total_frames += sum(0 if tl is None else len(tl)
+                            for tl in (tails if isinstance(tails, list)
+                                       else [tails]))
     if args.pipelined and ticks:
         # drain the last in-flight window INSIDE the timing so
         # frames_per_sec counts only executed-and-fetched work
@@ -602,6 +630,7 @@ def _stream_multi(args, params3, cascade, model, stats, sequences,
         "streams": S,
         "window": W,
         "pipelined": bool(args.pipelined),   # latency = submit-side then
+        "lookahead": lookahead,
         "windows": ticks,
         "latency_ms_mean": round(float(lat.mean()), 3),
         "latency_ms_p50": round(float(np.percentile(lat, 50)), 3),
@@ -620,7 +649,8 @@ def cmd_export(args):
     (the deployment story the reference lacks: serving it needs torch +
     net_aagc.py + the .tar files, ref: evaluate_a3gc_tp.py:125-145)."""
     from a3gc_tpu.data import load_adjacency_template
-    from a3gc_tpu.export import export_streaming_cascade, save_exported
+    from a3gc_tpu.export import (export_bundle, export_streaming_cascade,
+                                 save_exported)
 
     model = _load_body_model(args)
     nira = load_adjacency_template()
@@ -631,8 +661,25 @@ def cmd_export(args):
     params3 = _load_cascade_params(args, cascade, is_graph, nira)
     stats = _load_stats(args) if args.norm else None
 
+    geometries = [(s, w) for s in args.streams for w in args.window]
+    if len(geometries) > 1:
+        # multi-geometry bundle: one directory, one sub-artifact per
+        # (streams, window) — a deployment serves every geometry from
+        # one artifact (jax.export symbolic dims can't cover the stream
+        # axis: the Mosaic kernels have static grids)
+        export_bundle(args.output, params3, cascade, model,
+                      geometries, stats=stats, normalize=args.norm,
+                      backend=args.backend, platforms=args.platforms)
+        total = sum(os.path.getsize(os.path.join(dp, f))
+                    for dp, _, fs in os.walk(args.output) for f in fs)
+        print(f"exported bundle of {len(geometries)} geometries "
+              f"{geometries} (backend={args.backend}) -> {args.output} "
+              f"({total:,} bytes)")
+        return
+
+    (streams, window), = geometries
     exp_step, exp_init, manifest = export_streaming_cascade(
-        params3, cascade, model, window=args.window, streams=args.streams,
+        params3, cascade, model, window=window, streams=streams,
         stats=stats, normalize=args.norm, backend=args.backend,
         platforms=args.platforms)
     save_exported(args.output, exp_step, exp_init, manifest)
@@ -656,13 +703,17 @@ def cmd_serve(args):
 
     if args.artifact:
         # serve straight from a deployment artifact: no checkpoints, stats
-        # files, SMPL assets, or model code needed (geometry from manifest)
+        # files, SMPL assets, or model code needed (geometry from the
+        # manifest; for a bundle, --streams/--window select the geometry)
         from a3gc_tpu.export import ArtifactSession, load_exported
-        session = ArtifactSession(load_exported(args.artifact))
+        session = ArtifactSession(load_exported(
+            args.artifact, streams=args.streams, window=args.window))
         srv = PoseServer(None, None, None, host=args.host, port=args.port,
                          max_wait_ms=args.max_wait_ms, session=session)
         streams, window = session.streams, session.window
     else:
+        args.window = args.window or 60
+        args.streams = args.streams or 8
         assert args.model != "dip", (
             "serve drives the 3-stage cascade; the single-stage dip net "
             "has no serving mode (use evaluate --model dip)")
@@ -672,11 +723,16 @@ def cmd_serve(args):
             args, precision=args.precision or "default")
         params3 = _load_cascade_params(args, cascade, is_graph, nira)
         stats = _load_stats(args) if args.norm else None
+        mesh = None
+        if args.mesh:
+            from a3gc_tpu.parallel import make_mesh
+            mesh = make_mesh()   # all devices on the data axis
 
         srv = PoseServer(params3, cascade, model, window=args.window,
                          streams=args.streams, stats=stats,
                          normalize=args.norm, host=args.host,
                          port=args.port, max_wait_ms=args.max_wait_ms,
+                         mesh=mesh, lookahead=args.lookahead,
                          # POST /v1/reload re-discovers the latest
                          # checkpoints (training can keep writing to
                          # --path) and hot-swaps them into live sessions
@@ -821,6 +877,12 @@ def build_parser():
     t = sub.add_parser("train", help="3-stage cascade training")
     _add_common_model_flags(t)
     t.add_argument("-b", "--batch_size", type=int, required=True)
+    t.add_argument("--accum", type=int, default=1,
+                   help="microbatch gradient accumulation: split each "
+                        "batch into this many sequential microbatches "
+                        "(peak activation memory of one microbatch; one "
+                        "Adam update on the averaged gradients) — reaches "
+                        "effective batch sizes past the OOM knee")
     t.add_argument("--lr", type=float, default=1e-3)
     t.add_argument("--weight-decay", "--wd", dest="weight_decay", type=float,
                    default=0.0,
@@ -887,23 +949,31 @@ def build_parser():
     _add_common_model_flags(st)
     st.add_argument("--input", type=str, required=True,
                     help="packed test npz (from preprocess)")
-    st.add_argument("--window", type=int, default=60,
-                    help="frames per streaming window (60 = 1 s at 60 fps)")
+    st.add_argument("--window", type=int, default=None,
+                    help="frames per streaming window (default 60 = 1 s "
+                         "at 60 fps; with --artifact: bundle geometry "
+                         "selector)")
     st.add_argument("--output", type=str, default="",
                     help="npz to write predicted pose sequences to")
     st.add_argument("--pipelined", action="store_true",
                     help="overlap device execution with the host round-trip "
                          "(results lag one window; hides per-call latency)")
-    st.add_argument("--lookahead", action="store_true",
-                    help="one-window lookahead: each emitted window's "
-                         "backward direction also sees the NEXT window "
-                         "(2x context), cutting streaming-vs-offline "
-                         "divergence; costs ~3x compute and one window "
-                         "of latency")
-    st.add_argument("--streams", type=int, default=1,
+    st.add_argument("--lookahead", type=int, nargs="?", const=1, default=0,
+                    metavar="K",
+                    help="K-window lookahead (bare flag = 1): each emitted "
+                         "window's backward direction also sees the next K "
+                         "windows (K+1 windows of context), cutting "
+                         "streaming-vs-offline divergence; costs ~(K+2)/2x "
+                         "compute and K windows of latency")
+    st.add_argument("--streams", type=int, default=None,
                     help="multiplex N independent clients through one "
                          "compiled multi-stream program (per-client state, "
-                         "per-client reset); aggregate stats printed")
+                         "per-client reset); aggregate stats printed "
+                         "(with --artifact: bundle geometry selector)")
+    st.add_argument("--mesh", action="store_true",
+                    help="with --streams: shard the client slots over all "
+                         "devices' data axis (shard_map'd online step; "
+                         "per-shard carried state)")
     st.add_argument("--artifact", type=str, default="",
                     help="stream through a `cli export` deployment artifact "
                          "(geometry from its manifest; ignores checkpoint/"
@@ -923,9 +993,14 @@ def build_parser():
     _add_common_model_flags(ex)
     ex.add_argument("--output", type=str, required=True,
                     help="artifact directory to write")
-    ex.add_argument("--window", type=int, default=60)
-    ex.add_argument("--streams", type=int, default=1,
-                    help="serving slots compiled into the program")
+    ex.add_argument("--window", type=int, nargs="+", default=[60],
+                    help="window size(s); several values (or several "
+                         "--streams) produce a multi-geometry BUNDLE: one "
+                         "directory indexing a sub-artifact per "
+                         "(streams, window) pair")
+    ex.add_argument("--streams", type=int, nargs="+", default=[1],
+                    help="serving slots compiled into the program "
+                         "(several values -> bundle)")
     ex.add_argument("--backend", choices=("xla", "pallas"), default="xla",
                     help="xla = portable (cpu+tpu) under jax.export's "
                          "compatibility guarantees; pallas = bake the "
@@ -976,14 +1051,26 @@ def build_parser():
     sv = sub.add_parser("serve", help="dynamic-batching HTTP pose serving "
                         "(multi-stream, per-client state)")
     _add_common_model_flags(sv)
-    sv.add_argument("--window", type=int, default=60)
-    sv.add_argument("--streams", type=int, default=8,
+    sv.add_argument("--window", type=int, default=None,
+                    help="frames per window (default 60; with --artifact: "
+                         "bundle geometry selector)")
+    sv.add_argument("--streams", type=int, default=None,
                     help="max concurrent client sessions (one kernel row "
-                         "block per 8)")
+                         "block per 8; default 8; with --artifact: bundle "
+                         "geometry selector)")
     sv.add_argument("--host", type=str, default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8765)
     sv.add_argument("--max_wait_ms", type=float, default=5.0,
                     help="request-coalescing window per device step")
+    sv.add_argument("--mesh", action="store_true",
+                    help="shard the serving slots over all devices' data "
+                         "axis (multi-chip online serving)")
+    sv.add_argument("--lookahead", type=int, default=0,
+                    help="K-window lookahead: emissions lag K windows but "
+                         "each emitted window's backward direction sees K "
+                         "extra windows of future context (lower "
+                         "streaming-vs-offline divergence; ~(2K+1)x "
+                         "compute)")
     sv.add_argument("--artifact", type=str, default="",
                     help="serve from a `cli export` deployment artifact "
                          "directory (geometry from its manifest; ignores "

@@ -71,5 +71,12 @@ def convert_torch_dataset(pt_path: str, npz_path: str) -> str:
                 T, width).astype(np.float32)
         out[f"seq{i}_pose"] = _np(data["pose"][i]).reshape(T, -1).astype(
             np.float32)
+        # position targets (transform_to_torch_data_irregular_with_pos
+        # outputs, ref: postprocess_data.py:203): the --fse full-sequence
+        # validation sets carry these — keep them
+        for pos in ("full_pos", "leaf_pos"):
+            if pos in data:
+                out[f"seq{i}_{pos}"] = _np(data[pos][i]).reshape(
+                    T, -1, 3).astype(np.float32)
     np.savez(npz_path, **out)
     return npz_path

@@ -148,6 +148,12 @@ class TrainConfig:
     start_epoch: int = 0
     seed: int = 0
     dtype: str = "float32"       # compute dtype ("float32" or "bfloat16")
+    accum_steps: int = 1         # microbatch gradient accumulation: the
+                                 # per-step batch splits into this many
+                                 # sequential microbatches (peak activation
+                                 # memory of ONE microbatch), grads averaged
+                                 # before the single Adam update — reaches
+                                 # effective batches past the OOM knee
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
 
 

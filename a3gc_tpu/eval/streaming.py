@@ -17,6 +17,7 @@ has the same behavior when fed incrementally.
 
 from __future__ import annotations
 
+import collections
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -29,7 +30,8 @@ from a3gc_tpu.models.pipeline import (
     reduced_global_to_full_local,
 )
 
-__all__ = ["StreamingSession", "StreamingCascade", "make_window_step"]
+__all__ = ["StreamingSession", "StreamingCascade", "make_window_step",
+           "shard_window_step"]
 
 
 def make_window_step(cfg: CascadeConfig, model, stats=None):
@@ -42,6 +44,9 @@ def make_window_step(cfg: CascadeConfig, model, stats=None):
     with each stage's recurrent state threading across windows. ``active``
     [S] 0/1 masks idle serving slots: their state carries through unchanged
     (their whole window is treated like padding), enabling dynamic batching.
+    ``active`` may also be a per-frame mask [S, T_w] (ones-prefix rows) —
+    used by the lookahead flush, where slots hold fewer buffered windows
+    than the program's context length.
 
     This is the single compiled program behind :class:`StreamingCascade`,
     ``cli serve``, and the AOT deployment export (``a3gc_tpu.export``).
@@ -61,7 +66,9 @@ def make_window_step(cfg: CascadeConfig, model, stats=None):
         else:
             imu = jnp.concatenate((a, o), axis=-1)      # [S,T_w,72]
         B, T = imu.shape[0], imu.shape[1]
-        mask = jnp.broadcast_to(active[:, None], (B, T)).astype(imu.dtype)
+        mask = (active if active.ndim == 2
+                else jnp.broadcast_to(active[:, None], (B, T))
+                ).astype(imu.dtype)
         p1, p2, p3 = params3
 
         leaf, s1 = pose_net_forward(p1, cfg.stage1, imu, s1,
@@ -86,6 +93,43 @@ def make_window_step(cfg: CascadeConfig, model, stats=None):
         return pose, s1, s2, s3
 
     return _step
+
+
+def shard_window_step(step_fn, mesh, zero_states):
+    r"""shard_map the windowed-cascade step over ``mesh['data']``.
+
+    The ONLINE scale-out counterpart of ``parallel.serving.
+    cascade_apply_sharded`` (the reference's stateful online mode,
+    ref: net_aagc.py:802-812, has no multi-device story at all): the S
+    serving slots split over the data axis, each device runs the whole
+    windowed step — normalize → scatter → 3 stages → IK, INCLUDING its
+    own Pallas kernel launches — on its local S/n_data slots, with that
+    shard's carried recurrent state resident on the device. Per-slot
+    independence (block-diagonal adjacency, per-stream n_valid, ``active``
+    masking) means zero collectives; ``shard_map`` (not jit propagation)
+    because ``pallas_call`` has no SPMD partitioning rule — XLA would
+    gather the batch onto one device first.
+
+    ``zero_states`` fixes the state pytree structure; every state leaf
+    carries the slot axis at position 1 ([2, S, N, H] graph / [2, S, H]
+    dense), so its spec is P(None, 'data').
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from a3gc_tpu.parallel.mesh import shard_map_compat as shard_map
+
+    def _state_spec(zs):
+        return jax.tree_util.tree_map(lambda _: P(None, "data"), zs)
+
+    s_specs = tuple(_state_spec(zs) for zs in zero_states)
+    return shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(P(), P("data"), P("data")) + s_specs + (P("data"),),
+        # pose comes back [S_local·T, 24, 3, 3] stream-major per shard, so
+        # concatenating shards along axis 0 IS the global stream-major
+        # layout — the same contract as the unsharded step
+        out_specs=(P("data"),) + s_specs,
+        check_rep=False)
 
 
 class StreamingSession:
@@ -151,19 +195,28 @@ class StreamingCascade:
     ``step`` then takes ori [S, T_w, 54] / acc [S, T_w, 18] and returns
     [S, T_w, 24, 3, 3]; ``reset(stream=i)`` clears ONE client's state
     (a client ended its sequence) without touching the others.
+
+    Multi-chip: ``mesh=`` shards the S slots over the mesh's ``data``
+    axis (see :func:`shard_window_step`) — single-chip serving saturates
+    around 16 streams (docs/PERFORMANCE.md), so past that the slots
+    scale out data-parallel, each device carrying its shard's state.
+    ``reset(stream=i)`` and ``active`` masking work unchanged.
     """
 
     def __init__(self, params3: Tuple, cfg: CascadeConfig, model,
                  window: int = 60,
                  stats: Optional[Dict[str, np.ndarray]] = None,
                  normalize: bool = False, streams: int = 1,
-                 lookahead: bool = False):
+                 lookahead: int = 0, mesh=None):
         self.params3 = params3
         self.cfg = cfg
         self.window = window
         self.streams = streams
-        self.lookahead = lookahead
-        self._la_prev = None        # previous window awaiting emission
+        self.lookahead = int(lookahead)     # bool True (old API) -> K=1
+        self.mesh = mesh
+        # per-slot deques of buffered (ori, acc) windows awaiting emission
+        # (lookahead mode); slot i holds at most K+1 windows
+        self._buffers = [collections.deque() for _ in range(streams)]
         self.stats = ({k: jnp.asarray(v) for k, v in stats.items()}
                       if (normalize and stats is not None) else None)
         # explicit zero states (not None) so the program compiles ONCE: the
@@ -176,7 +229,16 @@ class StreamingCascade:
             for c in (cfg.stage1, cfg.stage2, cfg.stage3))
         self._states = self._zero_states
         self._pending = None
-        self._fn = jax.jit(make_window_step(cfg, model, self.stats))
+        step = make_window_step(cfg, model, self.stats)
+        if mesh is not None:
+            # multi-chip ONLINE serving: slots split over mesh['data'],
+            # each device carries its shard's recurrent state
+            n_data = mesh.shape["data"]
+            assert streams % n_data == 0, (
+                f"streams={streams} must divide over the {n_data}-device "
+                f"data axis (S/n_data slots per device)")
+            step = shard_window_step(step, mesh, self._zero_states)
+        self._fn = jax.jit(step)
 
     def reset(self, stream: Optional[int] = None):
         r"""Clear carried stage states (ref: evaluate_a3gc_tp.py:165).
@@ -184,18 +246,17 @@ class StreamingCascade:
         ``stream=i`` zeroes only client i's slice of every state array
         (batch axis 1 in both the graph [2, S, N, H] and DIP [2, S, H]
         layouts) — the serving primitive for one client ending its
-        sequence while the other S-1 continue."""
+        sequence while the other S-1 continue. In lookahead mode the
+        slot's buffered (un-emitted) windows are dropped with it."""
         if stream is None:
             self._states = self._zero_states
+            for b in self._buffers:
+                b.clear()
         else:
-            assert not self.lookahead, (
-                "per-stream reset is incompatible with lookahead: the "
-                "buffered previous window still holds the old client's "
-                "frames; reset() the whole session instead")
             self._states = jax.tree_util.tree_map(
                 lambda s: s.at[:, stream].set(0.0), self._states)
+            self._buffers[stream].clear()
         self._pending = None
-        self._la_prev = None
 
     def _dispatch(self, ori_window, acc_window, active=None):
         S = self.streams
@@ -219,52 +280,76 @@ class StreamingCascade:
         clients submitted this tick — idle slots' state is untouched and
         their output slice is garbage (dynamic batching).
 
-        With ``lookahead=True`` the emission lags ONE window: step(k)
-        returns window k-1's pose (None on the first call) computed with
-        window k as backward-direction context — see
-        :meth:`_step_lookahead`. Call :meth:`flush` after the last window.
+        With ``lookahead=K`` (K ≥ 1) the emission lags K windows: step(k)
+        returns window k-K's pose computed with windows k-K..k as
+        backward-direction context — see :meth:`_step_lookahead`. For
+        ``streams=1`` the return is the lagged pose (None while warming
+        up); for S > 1 it is ``(pose [S, T_w, ...] | None, emitted [S]
+        bool)`` — slot i's row is valid iff ``emitted[i]`` (slots warm up
+        independently, e.g. after a per-stream reset). Call :meth:`flush`
+        after a stream's last window to drain its buffered tail.
         """
         if self.lookahead:
-            assert active is None, (
-                "lookahead buffers whole windows; per-tick activity "
-                "masking (dynamic batching) is not supported with it")
-            return self._step_lookahead(ori_window, acc_window)
+            return self._step_lookahead(ori_window, acc_window, active)
         return np.asarray(self._dispatch(ori_window, acc_window, active))
 
-    def _step_lookahead(self, ori_window, acc_window):
-        r"""One-window-lookahead emission: window k-1's pose is computed
-        by running the cascade over frames [k-1, k+1) from the carried
-        state, keeping the first T_w outputs — the backward direction of
-        every bidirectional layer sees a full extra window of future
-        context (2·T_w total), cutting streaming-vs-offline divergence.
-        The carried state still advances through window k-1 alone (a
+    def _step_lookahead(self, ori_window, acc_window, active=None):
+        r"""K-window-lookahead emission: each slot buffers its last K+1
+        windows; once full, the oldest window's pose is computed by
+        running the cascade over ALL K+1 buffered windows from the
+        carried state, keeping the first T_w outputs — the backward
+        direction of every bidirectional layer sees K extra windows of
+        future context, cutting streaming-vs-offline divergence. The
+        carried state still advances through the oldest window alone (a
         second, plain pass), so state threading is IDENTICAL to plain
-        windowing — lookahead changes emissions only. Cost: ~3× the
-        per-window compute; latency: +1 window. The reference's online
-        mode has no counterpart (its windows never see future frames,
+        windowing — lookahead changes emissions only. Cost: ~(K+2)/2 ×
+        the plain per-window compute; latency: +K windows. Buffers are
+        PER SLOT, so ``active`` masking (dynamic batching) and per-stream
+        reset compose: an idle slot's buffer and state are untouched; a
+        reset slot re-warms from empty. The reference's online mode has
+        no counterpart (its windows never see future frames,
         ref: net_aagc.py:809-812)."""
-        S, W = self.streams, self.window
-        ori = jnp.asarray(ori_window).reshape(S, -1, 54)
-        acc = jnp.asarray(acc_window).reshape(S, -1, 18)
+        S, W, K = self.streams, self.window, self.lookahead
+        ori = np.asarray(ori_window, np.float32).reshape(S, -1, 54)
+        acc = np.asarray(acc_window, np.float32).reshape(S, -1, 18)
         assert ori.shape[1] == W, (
             f"window size {ori.shape[1]} != configured {W}")
-        if self._la_prev is None:
-            self._la_prev = (ori, acc)
-            return None
-        p_ori, p_acc = self._la_prev
-        act = jnp.ones((S,), jnp.float32)
-        s1, s2, s3 = self._states            # state at start of prev window
-        # emission pass over [prev ‖ cur] (2W — its own jit specialization)
-        pose, _, _, _ = self._fn(
-            self.params3, jnp.concatenate((p_ori, ori), axis=1),
-            jnp.concatenate((p_acc, acc), axis=1), s1, s2, s3, act)
-        # advance pass over prev alone: carried state for the next tick
-        _, s1, s2, s3 = self._fn(self.params3, p_ori, p_acc, s1, s2, s3,
-                                 act)
-        self._states = (s1, s2, s3)
-        self._la_prev = (ori, acc)
-        pose = pose.reshape((S, 2 * W) + pose.shape[1:])[:, :W]
-        return np.asarray(pose[0] if S == 1 else pose)
+        act = (np.ones(S, bool) if active is None
+               else np.asarray(active).astype(bool).reshape(S))
+        for i in range(S):
+            if act[i]:
+                self._buffers[i].append((ori[i], acc[i]))
+        emitted = np.array([act[i] and len(self._buffers[i]) == K + 1
+                            for i in range(S)])
+        pose = None
+        if emitted.any():
+            Tc = (K + 1) * W
+            ctx_o = np.zeros((S, Tc, 54), np.float32)
+            ctx_a = np.zeros((S, Tc, 18), np.float32)
+            adv_o = np.zeros((S, W, 54), np.float32)
+            adv_a = np.zeros((S, W, 18), np.float32)
+            for i in range(S):
+                if emitted[i]:
+                    ctx_o[i] = np.concatenate([o for o, _ in
+                                               self._buffers[i]])
+                    ctx_a[i] = np.concatenate([a for _, a in
+                                               self._buffers[i]])
+                    adv_o[i], adv_a[i] = self._buffers[i].popleft()
+            em = jnp.asarray(emitted, jnp.float32)
+            s1, s2, s3 = self._states   # state at start of oldest window
+            # emission pass over the K+1 buffered windows (read-only on
+            # the state; its own jit specialization at (K+1)·W frames)
+            full, _, _, _ = self._fn(self.params3, jnp.asarray(ctx_o),
+                                     jnp.asarray(ctx_a), s1, s2, s3, em)
+            full = full.reshape((S, Tc) + full.shape[1:])
+            pose = np.asarray(full[:, :W])
+            # advance pass over the oldest window alone: carried state
+            _, s1, s2, s3 = self._fn(self.params3, jnp.asarray(adv_o),
+                                     jnp.asarray(adv_a), s1, s2, s3, em)
+            self._states = (s1, s2, s3)
+        if S == 1:
+            return pose[0] if emitted[0] else None
+        return pose, emitted
 
     def step_async(self, ori_window: np.ndarray,
                    acc_window: np.ndarray) -> Optional[np.ndarray]:
@@ -284,16 +369,54 @@ class StreamingCascade:
         prev, self._pending = self._pending, pose
         return None if prev is None else np.asarray(prev)
 
-    def flush(self) -> Optional[np.ndarray]:
-        r"""Return the final window's pose. Pipelined mode: the last
-        dispatched result. Lookahead mode: the buffered last window,
-        emitted without future context (the stream ended — identical to
-        what plain windowing produces for a final window)."""
+    def flush(self, stream: Optional[int] = None):
+        r"""Drain buffered results at end of stream. Pipelined mode: the
+        last dispatched result. Lookahead mode: emit each slot's
+        un-emitted tail as ONE continuous chunk — exactly an offline
+        cascade pass over the remaining f·W frames from the carried
+        state, so every tail window sees all remaining future context
+        (for f=1 this equals plain windowing's final window). ``stream=i``
+        flushes only slot i (its tail frames returned, other slots
+        untouched); otherwise all slots flush: returns the single slot's
+        [f·W, ...] frames for streams=1, else a per-slot list (None for
+        empty slots)."""
         if self.lookahead:
-            if self._la_prev is None:
-                return None
-            p_ori, p_acc = self._la_prev
-            self._la_prev = None
-            return np.asarray(self._dispatch(p_ori, p_acc))
+            return self._flush_lookahead(stream)
         prev, self._pending = self._pending, None
         return None if prev is None else np.asarray(prev)
+
+    def _flush_lookahead(self, stream: Optional[int]):
+        S, W, K = self.streams, self.window, self.lookahead
+        sel = [stream] if stream is not None else list(range(S))
+        fills = [len(self._buffers[i]) if i in sel else 0
+                 for i in range(S)]
+        if not any(fills):
+            return None if (S == 1 or stream is not None) else [None] * S
+        Tc = (K + 1) * W
+        ctx_o = np.zeros((S, Tc, 54), np.float32)
+        ctx_a = np.zeros((S, Tc, 18), np.float32)
+        # ones-prefix per-frame mask: slot i's remaining f·W frames are
+        # real, the rest padding (distinct jit specialization from the
+        # scalar-active programs — compiled only if flush is used)
+        mask = np.zeros((S, Tc), np.float32)
+        for i in sel:
+            if fills[i]:
+                ctx_o[i, :fills[i] * W] = np.concatenate(
+                    [o for o, _ in self._buffers[i]])
+                ctx_a[i, :fills[i] * W] = np.concatenate(
+                    [a for _, a in self._buffers[i]])
+                mask[i, :fills[i] * W] = 1.0
+                self._buffers[i].clear()
+        s1, s2, s3 = self._states
+        # one pass: emits all remaining frames AND advances the state
+        # through them (masked steps carry non-flushed slots unchanged)
+        full, s1, s2, s3 = self._fn(self.params3, jnp.asarray(ctx_o),
+                                    jnp.asarray(ctx_a), s1, s2, s3,
+                                    jnp.asarray(mask))
+        self._states = (s1, s2, s3)
+        full = np.asarray(full.reshape((S, Tc) + full.shape[1:]))
+        tails = [full[i, :fills[i] * W] if fills[i] else None
+                 for i in range(S)]
+        if stream is not None:
+            return tails[stream]
+        return tails[0] if S == 1 else tails

@@ -46,20 +46,26 @@ from a3gc_tpu.eval.streaming import make_window_step
 from a3gc_tpu.models.pipeline import CascadeConfig
 
 __all__ = ["export_streaming_cascade", "save_exported", "load_exported",
-           "ExportedCascade"]
+           "ExportedCascade", "export_bundle", "ExportedBundle"]
 
 _MANIFEST = "manifest.json"
 _STEP = "step.jaxexport"
 _INIT = "init.jaxexport"
+_BUNDLE = "bundle.json"
 _FORMAT_VERSION = 1
 
 
 def _override_backend(cfg: CascadeConfig, backend: str) -> CascadeConfig:
     r"""Pin the scan backend of every stage net (GraphNetConfig.backend /
     DIPConfig.backend) so the exported lowering is deterministic instead of
-    depending on the platform of the exporting process."""
+    depending on the platform of the exporting process. A pallas export
+    additionally pins ``pallas_interpret='never'``: interpret mode on a CPU
+    exporting host would silently bake plain XLA ops into the artifact."""
+    net_kw = {"backend": backend}
+    if backend == "pallas":
+        net_kw["pallas_interpret"] = "never"
     stages = {
-        name: stage.replace(net=stage.net.replace(backend=backend))
+        name: stage.replace(net=stage.net.replace(**net_kw))
         for name, stage in (("stage1", cfg.stage1), ("stage2", cfg.stage2),
                             ("stage3", cfg.stage3))
     }
@@ -163,6 +169,83 @@ def save_exported(directory: str, exp_step, exp_init, manifest: dict):
     return directory
 
 
+def export_bundle(directory: str, params3: Tuple, cfg: CascadeConfig,
+                  model, geometries: Sequence[Tuple[int, int]],
+                  stats: Optional[Dict[str, np.ndarray]] = None,
+                  normalize: bool = False, backend: str = "xla",
+                  platforms: Optional[Sequence[str]] = None) -> str:
+    r"""Export ONE deployment bundle covering several serving geometries.
+
+    A single exported module has fixed (streams, window): the Pallas
+    whole-scan kernels are Mosaic programs with static grids, so
+    ``jax.export`` symbolic dimensions cannot cover the stream axis — the
+    TPU-honest answer to multi-geometry deployment is a BUNDLE: one
+    directory holding one serialized module per geometry plus an index,
+    so a deployment ships one artifact and serves S∈{1,8,16} (etc.)
+    without re-exporting. Each sub-artifact still cold-starts in seconds
+    (trace+lowering were paid at export, docs/validation/EXPORT_ONCHIP.md).
+
+    ``geometries`` is a list of (streams, window). Layout::
+
+        bundle.json              index: geometries -> subdirectory
+        s{S}_w{W}/manifest.json  ordinary single-geometry artifacts
+        s{S}_w{W}/step.jaxexport
+        s{S}_w{W}/init.jaxexport
+    """
+    index = {"format_version": _FORMAT_VERSION, "geometries": []}
+    for streams, window in geometries:
+        exp_step, exp_init, manifest = export_streaming_cascade(
+            params3, cfg, model, window=window, streams=streams,
+            stats=stats, normalize=normalize, backend=backend,
+            platforms=platforms)
+        sub = f"s{streams}_w{window}"
+        save_exported(os.path.join(directory, sub), exp_step, exp_init,
+                      manifest)
+        index["geometries"].append(
+            {"streams": streams, "window": window, "dir": sub})
+    with open(os.path.join(directory, _BUNDLE), "w") as f:
+        json.dump(index, f, indent=1)
+    return directory
+
+
+class ExportedBundle:
+    r"""Runtime view of a multi-geometry bundle directory: ``select`` a
+    (streams, window) sub-artifact; each deserializes lazily and is
+    cached, so a server that only ever uses one geometry pays one
+    deserialization."""
+
+    def __init__(self, directory: str):
+        self.directory = directory
+        with open(os.path.join(directory, _BUNDLE)) as f:
+            self.index = json.load(f)
+        if self.index["format_version"] != _FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported bundle format "
+                f"{self.index['format_version']}")
+        self._cache = {}
+
+    @property
+    def geometries(self):
+        return [(g["streams"], g["window"])
+                for g in self.index["geometries"]]
+
+    def select(self, streams: Optional[int] = None,
+               window: Optional[int] = None) -> "ExportedCascade":
+        r"""Return the sub-artifact matching the requested geometry.
+        Unspecified axes match the bundle's first entry."""
+        for g in self.index["geometries"]:
+            if ((streams is None or g["streams"] == streams)
+                    and (window is None or g["window"] == window)):
+                key = (g["streams"], g["window"])
+                if key not in self._cache:
+                    self._cache[key] = ExportedCascade(
+                        os.path.join(self.directory, g["dir"]))
+                return self._cache[key]
+        raise KeyError(
+            f"no geometry (streams={streams}, window={window}) in this "
+            f"bundle; available: {self.geometries}")
+
+
 class ExportedCascade:
     r"""Runtime wrapper over a deserialized artifact directory.
 
@@ -174,8 +257,13 @@ class ExportedCascade:
     def __init__(self, directory: str):
         with open(os.path.join(directory, _MANIFEST)) as f:
             self.manifest = json.load(f)
-        assert self.manifest["format_version"] == _FORMAT_VERSION, (
-            f"unsupported artifact format {self.manifest['format_version']}")
+        # real exceptions, not asserts: these validate EXTERNAL artifact
+        # files and must survive `python -O`
+        if self.manifest["format_version"] != _FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported artifact format "
+                f"{self.manifest['format_version']} "
+                f"(this runtime reads format {_FORMAT_VERSION})")
         blobs = {}
         for name in (_STEP, _INIT):
             with open(os.path.join(directory, name), "rb") as f:
@@ -183,10 +271,11 @@ class ExportedCascade:
             want = self.manifest.get("sha256", {}).get(name)
             if want is not None:
                 got = hashlib.sha256(blobs[name]).hexdigest()
-                assert got == want, (
-                    f"artifact integrity check failed for {name}: "
-                    f"sha256 {got} != manifest {want} (truncated or "
-                    f"corrupted artifact?)")
+                if got != want:
+                    raise ValueError(
+                        f"artifact integrity check failed for {name}: "
+                        f"sha256 {got} != manifest {want} (truncated or "
+                        f"corrupted artifact?)")
         self._step = jax_export.deserialize(bytearray(blobs[_STEP]))
         self._init = jax_export.deserialize(bytearray(blobs[_INIT]))
         self.window = self.manifest["window"]
@@ -205,8 +294,21 @@ class ExportedCascade:
         return self._step.call(ori, acc, states, act)
 
 
-def load_exported(directory: str) -> ExportedCascade:
-    return ExportedCascade(directory)
+def load_exported(directory: str, streams: Optional[int] = None,
+                  window: Optional[int] = None) -> ExportedCascade:
+    r"""Load a single-geometry artifact OR a bundle. For a bundle,
+    ``streams``/``window`` pick the geometry (first entry when omitted);
+    for a plain artifact a non-matching request is an error."""
+    if os.path.exists(os.path.join(directory, _BUNDLE)):
+        return ExportedBundle(directory).select(streams, window)
+    art = ExportedCascade(directory)
+    if ((streams is not None and art.streams != streams)
+            or (window is not None and art.window != window)):
+        raise KeyError(
+            f"artifact has geometry (streams={art.streams}, "
+            f"window={art.window}), not (streams={streams}, "
+            f"window={window}); re-export or use a bundle")
+    return art
 
 
 class ArtifactSession:

@@ -62,6 +62,12 @@ class GraphNetConfig:
     # "auto": fused Pallas scan kernel on TPU for batch-1 inference,
     # XLA lax.scan otherwise; "xla"/"pallas" force a backend.
     backend: str = struct.field(pytree_node=False, default="auto")
+    # Pallas execution mode: "auto" = interpret off-TPU / compiled Mosaic
+    # on TPU (platform probe); "never" = always real Mosaic lowering (for
+    # cross-exporting tpu artifacts from a CPU process); "always" =
+    # interpret even on TPU (debugging). The explicit knob for what
+    # compiled_pallas_lowering() does via thread-local override.
+    pallas_interpret: str = struct.field(pytree_node=False, default="auto")
     # rematerialize the cell step in the backward pass: the stored per-step
     # gate/attention intermediates otherwise dominate HBM (training at
     # B=128/T=300 needs 55 GB without remat, OOM on a 16 GB chip). Measured
@@ -115,13 +121,21 @@ _interpret_override = threading.local()   # per-thread: export lowering
                                           # concurrent pallas traces
 
 
-def _pallas_interpret() -> bool:
+def _pallas_interpret(cfg=None) -> bool:
     """Run the Pallas kernels in interpret mode off-TPU (forced
     ``backend='pallas'`` in CPU tests); compiled Mosaic on TPU.
-    :func:`compiled_pallas_lowering` overrides the host-platform check —
-    needed when a CPU process LOWERS for the tpu platform (jax.export
-    cross-export), where interpret mode would silently bake plain XLA ops
-    instead of the Mosaic kernels into the artifact."""
+
+    Resolution order: the net config's explicit ``pallas_interpret`` knob
+    ("always"/"never") → the :func:`compiled_pallas_lowering` thread-local
+    override → the host-platform probe. The explicit overrides exist for
+    cross-lowering: a CPU process exporting a tpu artifact must NOT take
+    interpret mode, or plain XLA ops get silently baked in instead of the
+    Mosaic kernels (jax.export cross-export)."""
+    knob = getattr(cfg, "pallas_interpret", "auto") if cfg is not None \
+        else "auto"
+    if knob != "auto":
+        assert knob in ("always", "never"), knob
+        return knob == "always"
     override = getattr(_interpret_override, "value", None)
     if override is not None:
         return override
@@ -216,7 +230,7 @@ def _rnn_stack_pallas_impl(cfg: GraphNetConfig, rnn1, rnn2, x, state,
     from a3gc_tpu.ops.pallas_gcn_lstm import (
         bi_gcn_lstm_pallas, bi_gcn_lstm_pallas_dirfused, bi_ggru_pallas)
     prec = cfg.matmul_precision
-    interp = _pallas_interpret()
+    interp = _pallas_interpret(cfg)
     n_valid = (None if frame_mask is None
                else jnp.sum(frame_mask, axis=1).astype(jnp.int32))
     if cfg.cell == "ggru":
@@ -393,6 +407,7 @@ class DIPConfig:
     dropout: float = struct.field(pytree_node=False, default=0.2)
     precision: str = struct.field(pytree_node=False, default="highest")
     backend: str = struct.field(pytree_node=False, default="auto")
+    pallas_interpret: str = struct.field(pytree_node=False, default="auto")
 
     @property
     def matmul_precision(self):
@@ -501,7 +516,7 @@ def _dip_stack_xla(cfg: DIPConfig, lstm, x, state, frame_mask):
 def _dip_stack_pallas_impl(cfg: DIPConfig, lstm, x, state, frame_mask):
     from a3gc_tpu.ops.pallas_gcn_lstm import bi_lstm_pallas
     prec = cfg.matmul_precision
-    interp = _pallas_interpret()
+    interp = _pallas_interpret(cfg)
     n_valid = (None if frame_mask is None
                else jnp.sum(frame_mask[0]).astype(jnp.int32))
     new_states = []

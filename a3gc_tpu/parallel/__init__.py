@@ -4,6 +4,7 @@ from a3gc_tpu.parallel.mesh import (  # noqa: F401
     param_sharding,
     replicate,
     shard_batch,
+    shard_map_compat,
     shard_params,
 )
 from a3gc_tpu.parallel.serving import cascade_apply_sharded  # noqa: F401

@@ -26,7 +26,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from a3gc_tpu.config import MeshConfig
 
 __all__ = ["make_mesh", "batch_sharding", "shard_batch", "replicate",
-           "param_sharding", "shard_params"]
+           "param_sharding", "shard_params", "shard_map_compat"]
+
+
+def shard_map_compat(f, mesh, in_specs, out_specs, check_rep=True):
+    r"""``shard_map`` across jax versions: the stable ``jax.shard_map``
+    (keyword-only, ``check_vma``) when present, else the experimental one
+    (``check_rep``). ``check_rep=False`` is needed around ``pallas_call``
+    bodies, which have no replication rule."""
+    try:
+        from jax import shard_map as sm
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_vma=check_rep)
+    except ImportError:      # pragma: no cover — older jax
+        from jax.experimental.shard_map import shard_map as sm
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=check_rep)
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None,

@@ -26,12 +26,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:
-    from jax.experimental.shard_map import shard_map
-except ImportError:  # pragma: no cover — deprecated path removed upstream
-    from jax import shard_map
-
 from a3gc_tpu.models.pipeline import CascadeConfig, cascade_apply
+from a3gc_tpu.parallel.mesh import shard_map_compat as shard_map
 
 __all__ = ["cascade_apply_sharded"]
 

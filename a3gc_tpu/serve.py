@@ -52,10 +52,11 @@ class _Batcher:
     """Coalesce per-slot requests into multi-stream steps."""
 
     def __init__(self, session, streams: int, window: int,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, lookahead: int = 0):
         self.sess = session
         self.S = streams
         self.W = window
+        self.lookahead = lookahead
         self.max_wait = max_wait_ms / 1e3
         self.lock = threading.Lock()
         self.cond = threading.Condition(self.lock)
@@ -63,7 +64,11 @@ class _Batcher:
         self.pending = {}           # slot -> (ori, acc)
         self.results = {}           # slot -> pose | ("error", msg)
         self.releasing = set()      # slots whose reset the dispatcher owes
-        self.reload_pending = None  # new params3 the dispatcher owes a swap
+        self.reload_queue = []      # [(params3, applied_event)] FIFO: each
+                                    # requester waits on ITS OWN event, so
+                                    # concurrent reloads can't report a
+                                    # false success for a swap that was
+                                    # overwritten before being applied
         self.stop = False
         # serving counters (read under self.lock)
         self.n_ticks = 0
@@ -116,14 +121,16 @@ class _Batcher:
         The swap is applied ON the dispatcher thread, serialized with
         device steps, so no tick ever mixes old and new stages; carried
         client states persist across the swap (same shapes). Blocks until
-        applied; returns False if the batcher stopped first (the swap did
-        NOT happen)."""
+        THIS request's params were applied (concurrent reloads queue and
+        apply in order — success never means "someone else's params won");
+        returns False if the batcher stopped before applying them."""
+        applied = threading.Event()
         with self.cond:
-            self.reload_pending = params3
+            self.reload_queue.append((params3, applied))
             self.cond.notify_all()
-            while self.reload_pending is not None and not self.stop:
+            while not applied.is_set() and not self.stop:
                 self.cond.wait(timeout=0.1)
-            return self.reload_pending is None
+            return applied.is_set()
 
     def stats(self) -> dict:
         with self.lock:
@@ -132,6 +139,7 @@ class _Batcher:
             return {
                 "streams": self.S,
                 "window": self.W,
+                "lookahead": self.lookahead,
                 "active_sessions": self.S - len(self.free),
                 "ticks": self.n_ticks,
                 "requests": self.n_requests,
@@ -161,15 +169,19 @@ class _Batcher:
         while True:
             with self.cond:
                 while (not self.pending and not self.releasing
-                       and self.reload_pending is None and not self.stop):
+                       and not self.reload_queue and not self.stop):
                     self.cond.wait(timeout=0.1)
                 if self.stop:
                     return
-                # apply an owed checkpoint swap here, serialized with
-                # device steps (carried states survive: same shapes)
-                if self.reload_pending is not None:
-                    self.sess.params3 = self.reload_pending
-                    self.reload_pending = None
+                # apply owed checkpoint swaps here, in request order,
+                # serialized with device steps (carried states survive:
+                # same shapes); each requester's event fires only after
+                # ITS params were actually applied
+                if self.reload_queue:
+                    for params3, applied in self.reload_queue:
+                        self.sess.params3 = params3
+                        applied.set()
+                    self.reload_queue.clear()
                     self.cond.notify_all()
                 # process owed releases first: reset happens here, on the
                 # same thread as device steps — no state/result races
@@ -198,8 +210,20 @@ class _Batcher:
             active = np.asarray([1.0 if i in batch else 0.0
                                  for i in range(self.S)], np.float32)
             t0 = time.perf_counter()
+            emitted = None
             try:
-                poses = self.sess.step(ori, acc, active=active)
+                if self.lookahead:
+                    # per-slot buffered emission: a slot still warming up
+                    # (buffer not full, e.g. right after acquire/reset)
+                    # gets a "warmup" result instead of a pose
+                    out = self.sess.step(ori, acc, active=active)
+                    if self.S > 1:
+                        poses, emitted = out
+                    else:
+                        poses, emitted = out, np.asarray(
+                            [out is not None])
+                else:
+                    poses = self.sess.step(ori, acc, active=active)
                 err = None
             except Exception as e:          # transient device/relay errors
                 err = f"device step failed: {e!r}"
@@ -212,8 +236,14 @@ class _Batcher:
                     self.n_errors += len(batch)
                 self.tick_latencies.append((dt, len(batch)))
                 for i in batch:
-                    self.results[i] = (("error", err) if err else
-                                       (poses[i] if self.S > 1 else poses))
+                    if err:
+                        self.results[i] = ("error", err)
+                    elif emitted is not None and not emitted[i if self.S > 1
+                                                            else 0]:
+                        self.results[i] = ("warmup", self.lookahead)
+                    else:
+                        self.results[i] = (poses[i] if self.S > 1
+                                           else poses)
                 self.cond.notify_all()
 
 
@@ -223,22 +253,30 @@ class PoseServer:
     def __init__(self, params3, cfg, model, window: int = 60,
                  streams: int = 8, stats=None, normalize: bool = False,
                  host: str = "127.0.0.1", port: int = 8765,
-                 max_wait_ms: float = 5.0, session=None, reload_fn=None):
+                 max_wait_ms: float = 5.0, session=None, reload_fn=None,
+                 mesh=None, lookahead: int = 0):
         if session is None:
             from a3gc_tpu.eval.streaming import StreamingCascade
 
             session = StreamingCascade(params3, cfg, model, window=window,
                                        stats=stats, normalize=normalize,
-                                       streams=streams)
+                                       streams=streams, mesh=mesh,
+                                       lookahead=lookahead)
         else:
             # e.g. an export.ArtifactSession serving a deployment artifact
             window, streams = session.window, session.streams
+            assert not lookahead, (
+                "lookahead serving needs a live session (per-slot window "
+                "buffers); artifacts bake the plain windowed step")
         sess = session
-        # compile outside the serving path
-        sess.step(np.zeros((streams, window, 54), np.float32),
-                  np.zeros((streams, window, 18), np.float32))
+        # compile outside the serving path (lookahead reaches its
+        # emission program only on the (K+1)-th window)
+        for _ in range(lookahead + 1):
+            sess.step(np.zeros((streams, window, 54), np.float32),
+                      np.zeros((streams, window, 18), np.float32))
         sess.reset()
-        self.batcher = _Batcher(sess, streams, window, max_wait_ms)
+        self.batcher = _Batcher(sess, streams, window, max_wait_ms,
+                                lookahead=lookahead)
         self.window = window
         batcher, W = self.batcher, window
 
@@ -313,6 +351,18 @@ class PoseServer:
                         return self._json(400, {"error": str(e)})
                     except RuntimeError as e:
                         return self._json(500, {"error": str(e)})
+                    if isinstance(pose, tuple) and pose[0] == "warmup":
+                        # lookahead mode: this slot's emission lags K
+                        # windows; the frames were accepted and buffered
+                        if binary:
+                            self.send_response(202)
+                            self.send_header("X-Warmup", "1")
+                            self.send_header("X-Lag", str(pose[1]))
+                            self.send_header("Content-Length", "0")
+                            self.end_headers()
+                            return
+                        return self._json(202, {"warmup": True,
+                                                "lag": pose[1]})
                     if binary:
                         body = np.ascontiguousarray(
                             pose, dtype="<f4").tobytes()

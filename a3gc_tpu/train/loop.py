@@ -58,8 +58,64 @@ class TrainState:
 def _donate_state():
     r"""Donation spec for the train step's TrainState argument. Empty when
     jax_debug_nans is active: the flag's eager NaN-locating re-run reads
-    the original inputs, which donation would already have deleted."""
+    the original inputs, which donation would already have deleted.
+
+    NOTE: evaluated once at RUNNER CONSTRUCTION (the jit decorator is
+    applied in ``__init__``) — enable jax_debug_nans BEFORE building a
+    StageRunner/DIPRunner; flipping it afterwards does not un-donate."""
     return () if jax.config.jax_debug_nans else (0,)
+
+
+def _make_train_step(loss_fn, optimizer, accum_steps: int = 1):
+    r"""Build the jitted per-batch train step.
+
+    ``accum_steps=1``: one fused program — value_and_grad + Adam update.
+
+    ``accum_steps=k>1``: microbatch gradient accumulation — the [B, ...]
+    batch splits into k sequential microbatches of B/k inside a
+    ``lax.scan``, so peak activation memory is that of ONE microbatch
+    while the single Adam update sees the exact mean-of-microbatch
+    gradients. Because the loss is a mean over batch elements and the
+    microbatches are equal-sized, the accumulated gradient equals the
+    full-batch gradient (up to summation order), reaching effective
+    batch sizes past the activation-memory OOM knee (B=512 OOMs
+    monolithically on a 16 GB chip; k=2 halves the residency). The rng
+    splits per microbatch, so dropout/noise draws differ from the
+    monolithic step's — same distribution, different stream."""
+    if accum_steps == 1:
+        @partial(jax.jit, donate_argnums=_donate_state())
+        def train_step(state: TrainState, raw, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, raw,
+                                                      rng)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss
+        return train_step
+
+    @partial(jax.jit, donate_argnums=_donate_state())
+    def train_step(state: TrainState, raw, rng):
+        k = accum_steps
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape((k, x.shape[0] // k) + x.shape[1:]), raw)
+        rngs = jax.random.split(rng, k)
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+        def body(carry, inp):
+            mb, r = inp
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, mb, r)
+            c_loss, c_grads = carry
+            return (c_loss + loss,
+                    jax.tree_util.tree_map(jnp.add, c_grads, grads)), None
+
+        (loss_sum, grad_sum), _ = jax.lax.scan(
+            body, (jnp.zeros(()), zeros), (micro, rngs))
+        grads = jax.tree_util.tree_map(lambda g: g / k, grad_sum)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss_sum / k
+    return train_step
 
 
 def _make_caster(train_cfg: TrainConfig):
@@ -206,13 +262,11 @@ class StageRunner:
         # instead of double-buffering — lower peak HBM at large batch.
         # Not under jax_debug_nans: its eager NaN-locating re-run would
         # read the already-deleted donated buffers.
-        @partial(jax.jit, donate_argnums=_donate_state())
-        def train_step(state: TrainState, raw, rng):
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, raw, rng)
-            updates, opt_state = self.optimizer.update(
-                grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            return TrainState(params, opt_state, state.step + 1), loss
+        assert train_cfg.batch_size % train_cfg.accum_steps == 0, (
+            f"accum_steps={train_cfg.accum_steps} must divide "
+            f"batch_size={train_cfg.batch_size}")
+        self.train_step = _make_train_step(loss_fn, self.optimizer,
+                                           train_cfg.accum_steps)
 
         @jax.jit
         def eval_step(params, raw):
@@ -221,7 +275,6 @@ class StageRunner:
             pred, _ = pose_net_forward(params, stage_cfg, inputs)
             return pose_loss(pred.reshape(target.shape), target)
 
-        self.train_step = train_step
         self.eval_step = eval_step
 
     def _put(self, raw: Dict[str, np.ndarray]):
@@ -311,13 +364,11 @@ class DIPRunner:
             return pose_loss(
                 pred.reshape(target.shape).astype(jnp.float32), target)
 
-        @partial(jax.jit, donate_argnums=_donate_state())  # see StageRunner
-        def train_step(state: TrainState, raw, rng):
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, raw, rng)
-            updates, opt_state = self.optimizer.update(
-                grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            return TrainState(params, opt_state, state.step + 1), loss
+        assert train_cfg.batch_size % train_cfg.accum_steps == 0, (
+            f"accum_steps={train_cfg.accum_steps} must divide "
+            f"batch_size={train_cfg.batch_size}")
+        self.train_step = _make_train_step(loss_fn, self.optimizer,
+                                           train_cfg.accum_steps)
 
         @jax.jit
         def eval_step(params, raw):
@@ -325,7 +376,6 @@ class DIPRunner:
             pred, _ = pose_net_forward(params, stage_cfg, inputs)
             return pose_loss(pred.reshape(target.shape), target)
 
-        self.train_step = train_step
         self.eval_step = eval_step
 
     train_epoch = StageRunner.train_epoch
@@ -355,9 +405,15 @@ def run_cascade_training(
     sampler factories are still accepted."""
     rng = jax.random.PRNGKey(cfg.seed)
 
+    # salt-accepting = ONE positional argument binds (a `lambda **kw` or
+    # keyword-only signature must fall back to the zero-arg call, not be
+    # handed the salt positionally and crash)
     try:
-        _takes_salt = len(inspect.signature(train_sampler_fn).parameters) > 0
-    except (TypeError, ValueError):
+        inspect.signature(train_sampler_fn).bind(0)
+        _takes_salt = True
+    except TypeError:
+        _takes_salt = False
+    except ValueError:          # no introspectable signature (builtins)
         _takes_salt = False
 
     def _train_sampler(salt):

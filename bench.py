@@ -95,8 +95,11 @@ def run_throughput(args):
 
 
 def run_train_bench(args):
-    """Stage-1 training-step throughput (full jitted step: on-device batch
-    assembly + fwd + bwd + Adam; ref loop: train_a3gc_tp.py:216-241)."""
+    """Per-stage training-step throughput (full jitted step: on-device
+    batch assembly + fwd + bwd + Adam; ref loop: train_a3gc_tp.py:216-241
+    / train_tp.py). --stage picks the cascade stage; graph families and
+    the flat tp family both covered (reference-default sizes,
+    ref: train_a3gc_tp.py:28-33 / train_tp.py:163-165)."""
     import jax
 
     from a3gc_tpu.config import TrainConfig
@@ -107,17 +110,32 @@ def run_train_bench(args):
     from a3gc_tpu.models.pipeline import PoseNetConfig, init_pose_net
     from a3gc_tpu.train import StageRunner
 
-    assert args.model in ("a3gc", "aagc", "agc", "ggru"), (
-        "--train benches the graph stage-1 net")
+    assert args.model in ("a3gc", "aagc", "agc", "ggru", "tp"), (
+        "--train benches the cascade stage nets (graph families + tp)")
     B, T = args.batch_size, 300
+    stage = args.stage
     steps = max(args.iters // 4, 4)
-    cfg = PoseNetConfig(net=N.GraphNetConfig(
-        cell=args.model, units_in=12, units_out=3, units_hidden=256),
-        rotsize=3)
     nira = load_adjacency_template()
-    params = init_pose_net(jax.random.PRNGKey(0), cfg, nira)
-    tc = TrainConfig(batch_size=B, dtype=args.dtype)
-    runner = StageRunner(1, cfg, params, tc, steps_per_epoch=steps)
+    if args.model == "tp":
+        ni, no, h = {1: (72, 15, 256), 2: (87, 69, 64),
+                     3: (141, 135, 128)}[stage]
+        cfg = PoseNetConfig(net=N.DIPConfig(
+            n_input=ni, n_output=no, n_hidden=h),
+            rotsize={1: 3, 2: 3, 3: 9}[stage])
+        params = init_pose_net(jax.random.PRNGKey(0), cfg)
+        graph = False
+    else:
+        ui, uo, h = {1: (12, 3, 256), 2: (15, 3, 64),
+                     3: (15, 9, 128)}[stage]
+        cfg = PoseNetConfig(net=N.GraphNetConfig(
+            cell=args.model, units_in=ui, units_out=uo, units_hidden=h),
+            rotsize={1: 3, 2: 3, 3: 9}[stage])
+        params = init_pose_net(jax.random.PRNGKey(0), cfg, nira)
+        graph = True
+    tc = TrainConfig(batch_size=B, dtype=args.dtype,
+                     accum_steps=args.accum)
+    runner = StageRunner(stage, cfg, params, tc, steps_per_epoch=steps,
+                         graph=graph)
     data = synthetic_packed_dataset(n_seqs=B * steps, seq_len=T, seed=0)
 
     # stage the batches ON DEVICE first: the measurement is the training
@@ -142,8 +160,9 @@ def run_train_bench(args):
 
     frames_per_sec = B * T * steps / dt
     print(json.dumps({
-        "metric": (f"{args.model}_stage1_train_frames_per_sec_per_chip"
-                   f"_b{B}_{args.dtype}"),
+        "metric": (f"{args.model}_stage{stage}_train_frames_per_sec"
+                   f"_per_chip_b{B}_{args.dtype}"
+                   + (f"_accum{args.accum}" if args.accum > 1 else "")),
         "value": round(frames_per_sec, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(frames_per_sec / BASELINE_FPS, 3),
@@ -245,6 +264,15 @@ def run_check(args):
     # the attention-free kernel specialization (AAGC cell), random init
     graph_case("aagc_random_b1_highest", "aagc", (15, 9, 128),
                None, 1, args.seq_len, "highest")
+    # AGC: the shared-fixed-adjacency code path (cells.shared_fixed_adj) —
+    # a distinct kernel specialization from a3gc's per-cell adjacencies
+    graph_case("agc_random_b1_highest", "agc", (15, 9, 128),
+               None, 1, args.seq_len, "highest")
+    # multi-stream (chunked block-diag) variants of the aagc/agc kernels
+    graph_case("aagc_random_b16_chunked_highest", "aagc", (15, 9, 128),
+               None, 16, args.seq_len // 2, "highest")
+    graph_case("agc_random_b16_chunked_highest", "agc", (15, 9, 128),
+               None, 16, args.seq_len // 2, "highest")
 
     # end-to-end cascade divergence IN DEGREES: the user-facing unit.
     # Full a3gc cascade (trained stage-2/3 checkpoints where available),
@@ -320,6 +348,10 @@ def main():
                          "inference")
     ap.add_argument("--batch_size", type=int, default=128,
                     help="training batch size (--train)")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation microbatch count (--train)")
+    ap.add_argument("--stage", type=int, default=1, choices=(1, 2, 3),
+                    help="cascade stage to bench (--train)")
     ap.add_argument("--dtype", choices=("float32", "bfloat16"),
                     default="float32", help="training dtype (--train)")
     ap.add_argument("--check_out", default="KERNEL_CHECK.json")

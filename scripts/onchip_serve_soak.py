@@ -27,6 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SOAK_SECONDS = int(os.environ.get("SOAK_SECONDS", "1200"))
 STREAMS, WINDOW = 8, 60
+LOOKAHEAD = int(os.environ.get("LOOKAHEAD", "0"))   # K>0 soaks the
+# lookahead serving path: per-slot buffered emission + active masking
+# + per-slot reset (writes SERVE_SOAK_LOOKAHEAD.json)
 
 
 def rss_mb():
@@ -46,19 +49,43 @@ def main():
     from a3gc_tpu.eval.streaming import StreamingCascade
 
     cfg, params3, model, _ = _flagship(seq_len=WINDOW)
+    K = LOOKAHEAD
     sess = StreamingCascade(params3, cfg, model, window=WINDOW,
-                            streams=STREAMS)
+                            streams=STREAMS, lookahead=K)
     rng = np.random.RandomState(0)
     probe_ori = rng.randn(STREAMS, WINDOW, 54).astype(np.float32)
     probe_acc = rng.randn(STREAMS, WINDOW, 18).astype(np.float32)
+    act0 = np.zeros(STREAMS, np.float32)
+    act0[0] = 1.0
 
-    print(f"platform={jax.devices()[0].platform} compiling...", flush=True)
-    sess.step(probe_ori, probe_acc)     # compile
+    print(f"platform={jax.devices()[0].platform} lookahead={K} "
+          f"compiling...", flush=True)
+    for _ in range(K + 1):              # compile (emission on tick K+1)
+        sess.step(probe_ori, probe_acc)
+    if K:
+        sess.flush()
     sess.reset()
 
-    # golden: slot 0's pose for the probe window from zero state
-    golden = np.asarray(sess.step(probe_ori, probe_acc))[0].copy()
-    sess.reset()
+    def slot0_probe():
+        """Slot 0's emission for the fixed probe window(s) from zero
+        state — with lookahead, K+1 active-masked ticks (the other
+        slots' buffers/state untouched) then the first emission."""
+        sess.reset(stream=0)
+        if K == 0:
+            out = np.asarray(sess.step(probe_ori, probe_acc))[0].copy()
+            sess.reset(stream=0)
+            return out
+        for _ in range(K):
+            _, em = sess.step(probe_ori, probe_acc, active=act0)
+            assert not em[0], "emitted during warmup"
+        pose, em = sess.step(probe_ori, probe_acc, active=act0)
+        assert em[0], "no emission after K+1 windows"
+        out = np.asarray(pose)[0].copy()
+        sess.reset(stream=0)
+        return out
+
+    # golden: slot 0's probe pose from zero state
+    golden = slot0_probe()
     rss0 = rss_mb()
 
     lat, ticks, resets, checks = [], 0, 0, 0
@@ -68,20 +95,30 @@ def main():
         ori = rng.randn(STREAMS, WINDOW, 54).astype(np.float32)
         acc = rng.randn(STREAMS, WINDOW, 18).astype(np.float32)
         t0 = time.perf_counter()
-        pose = sess.step(ori, acc)
+        if K:
+            # random per-tick activity (dynamic batching) on top of the
+            # per-slot lookahead buffers; slot 0 stays active so its
+            # cadence is predictable for the probes
+            active = (rng.rand(STREAMS) > 0.3).astype(np.float32)
+            active[0] = 1.0
+            pose, emitted = sess.step(ori, acc, active=active)
+            if emitted.any():
+                assert np.isfinite(pose[emitted]).all(), (
+                    f"non-finite emission at tick {ticks}")
+        else:
+            pose = sess.step(ori, acc)
+            assert np.isfinite(pose).all(), (
+                f"non-finite pose at tick {ticks}")
         lat.append(time.perf_counter() - t0)
         ticks += 1
-        assert np.isfinite(pose).all(), f"non-finite pose at tick {ticks}"
         if ticks % 7 == 0:              # a client ends its sequence
             sess.reset(stream=int(rng.randint(STREAMS)))
             resets += 1
         if ticks % 100 == 0:            # determinism probe on slot 0
-            sess.reset(stream=0)
-            got = sess.step(probe_ori, probe_acc)[0]
+            got = slot0_probe()
             assert np.array_equal(got, golden), (
                 f"slot-0 determinism broke at tick {ticks}: "
                 f"max delta {np.abs(got - golden).max()}")
-            sess.reset(stream=0)
             checks += 1
             rss_series.append(round(rss_mb(), 1))
             print(f"tick {ticks}: determinism OK, "
@@ -92,7 +129,7 @@ def main():
     lat_ms = np.asarray(lat) * 1e3
     q = max(len(lat_ms) // 4, 1)
     out = {
-        "streams": STREAMS, "window": WINDOW,
+        "streams": STREAMS, "window": WINDOW, "lookahead": K,
         "soak_seconds": SOAK_SECONDS, "ticks": ticks,
         "frames_served": ticks * STREAMS * WINDOW,
         "per_client_resets": resets,
@@ -111,7 +148,9 @@ def main():
         "rss_mb_end": round(rss_mb(), 1),
         "rss_mb_series": rss_series,
     }
-    path = os.path.join("docs", "validation", "SERVE_SOAK.json")
+    path = os.path.join("docs", "validation",
+                        "SERVE_SOAK_LOOKAHEAD.json" if K
+                        else "SERVE_SOAK.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

@@ -455,6 +455,127 @@ class TestStreamingCascade:
             np.testing.assert_allclose(m[0], s0, atol=3e-5,
                                        err_msg=f"window {w}")
 
+    def test_mesh_online_equals_single_device(self, model):
+        """StreamingCascade(mesh=...) — the shard_map'd ONLINE windowed
+        step over the 8-device CPU mesh — matches the single-device
+        multi-stream session across carried state, per-stream reset, and
+        active masking."""
+        from a3gc_tpu.config import MeshConfig
+        from a3gc_tpu.parallel import make_mesh
+
+        SC, cfg, params3 = self._build(model)
+        W, S = 6, 8
+        mesh = make_mesh(MeshConfig(data=8, model=1))
+        local = SC(params3, cfg, model, window=W, streams=S)
+        shard = SC(params3, cfg, model, window=W, streams=S, mesh=mesh)
+
+        rng = np.random.default_rng(23)
+        ori = Rotation.random(3 * W * S * 6, random_state=23).as_matrix(
+        ).reshape(S, 3 * W, 54).astype(np.float32)
+        acc = rng.normal(scale=0.5, size=(S, 3 * W, 18)).astype(np.float32)
+
+        m1 = local.step(ori[:, :W], acc[:, :W])
+        s1 = shard.step(ori[:, :W], acc[:, :W])
+        np.testing.assert_allclose(s1, m1, atol=1e-6)
+
+        local.reset(stream=3)
+        shard.reset(stream=3)
+        active = np.ones(S, np.float32)
+        active[5] = 0.0                      # slot 5 idles this tick
+        m2 = local.step(ori[:, W:2 * W], acc[:, W:2 * W], active=active)
+        s2 = shard.step(ori[:, W:2 * W], acc[:, W:2 * W], active=active)
+        live = [i for i in range(S) if active[i]]
+        np.testing.assert_allclose(s2[live], m2[live], atol=1e-6)
+
+        m3 = local.step(ori[:, 2 * W:], acc[:, 2 * W:])
+        s3 = shard.step(ori[:, 2 * W:], acc[:, 2 * W:])
+        np.testing.assert_allclose(s3, m3, atol=1e-6)
+
+    def test_lookahead_depth2_exact_construction(self, model):
+        """lookahead=2: emission for window k == cascade over [k, k+3W)
+        from the carried state, first W frames; flush drains the 2-window
+        tail as ONE continuous chunk == an offline pass over the
+        remaining frames from the carried state."""
+        SC, cfg, params3 = self._build(model)
+        rng = np.random.default_rng(29)
+        W, n = 8, 5
+        T = n * W
+        ori = Rotation.random(T * 6, random_state=29).as_matrix().reshape(
+            T, 54).astype(np.float32)
+        acc = rng.normal(scale=0.5, size=(T, 18)).astype(np.float32)
+
+        la = SC(params3, cfg, model, window=W, lookahead=2)
+        emitted = []
+        for t in range(0, T, W):
+            p = la.step(ori[t:t + W], acc[t:t + W])
+            if p is not None:
+                emitted.append(p)
+        assert len(emitted) == n - 2      # first 2 ticks warm up
+        tail = la.flush()
+        assert tail.shape[0] == 2 * W
+
+        # oracle: a plain session tracks the carried state; each emitted
+        # window is a 3W-wide pass from that state, first W frames
+        plain = SC(params3, cfg, model, window=W)
+        for k in range(n - 2):
+            t = k * W
+            wide = SC(params3, cfg, model, window=3 * W)
+            wide._states = plain._states
+            want = wide.step(ori[t:t + 3 * W], acc[t:t + 3 * W])[:W]
+            plain.step(ori[t:t + W], acc[t:t + W])
+            np.testing.assert_allclose(emitted[k], want, atol=1e-6,
+                                       err_msg=f"window {k}")
+        # tail oracle: ONE offline pass over the remaining 2W frames
+        # from the carried state
+        wide = SC(params3, cfg, model, window=2 * W)
+        wide._states = plain._states
+        want_tail = wide.step(ori[3 * W:], acc[3 * W:])
+        np.testing.assert_allclose(tail, want_tail, atol=1e-6)
+
+    def test_lookahead_multi_stream_composes(self, model):
+        """lookahead with streams=S: per-slot buffers make active masking
+        and per-stream reset compose — each slot's emissions equal an
+        independent single-stream lookahead session fed the same
+        windows."""
+        SC, cfg, params3 = self._build(model)
+        W, S, K = 6, 2, 1
+        multi = SC(params3, cfg, model, window=W, streams=S, lookahead=K)
+        singles = [SC(params3, cfg, model, window=W, lookahead=K)
+                   for _ in range(S)]
+
+        rng = np.random.default_rng(31)
+        n = 6
+        ori = Rotation.random(n * W * S * 6, random_state=31).as_matrix(
+        ).reshape(S, n * W, 54).astype(np.float32)
+        acc = rng.normal(scale=0.5, size=(S, n * W, 18)).astype(np.float32)
+
+        # slot 1 idles on tick 2 and resets (new sequence) on tick 4;
+        # slot 0 streams continuously
+        for w in range(n):
+            sl = slice(w * W, (w + 1) * W)
+            active = np.ones(S, np.float32)
+            if w == 2:
+                active[1] = 0.0
+            if w == 4:
+                multi.reset(stream=1)
+                singles[1].reset()
+            pose, emitted = multi.step(ori[:, sl], acc[:, sl],
+                                       active=active)
+            for i in range(S):
+                if not active[i]:
+                    continue
+                want = singles[i].step(ori[i, sl], acc[i, sl])
+                assert emitted[i] == (want is not None), f"w{w} s{i}"
+                if want is not None:
+                    np.testing.assert_allclose(
+                        pose[i], want, atol=2e-5,
+                        err_msg=f"window {w} stream {i}")
+        # drain one slot's tail while the other keeps its buffer
+        tail0 = multi.flush(stream=0)
+        want0 = singles[0].flush()
+        np.testing.assert_allclose(tail0, want0, atol=2e-5)
+
+
 class TestWorstFramesContract:
     def test_reference_18_pickle_layout(self, model, tmp_path):
         """compare_models writes the reference's exact artifact set

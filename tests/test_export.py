@@ -156,7 +156,7 @@ class TestExportedCascade:
         blob[len(blob) // 2] ^= 0xFF               # flip one byte
         p.write_bytes(bytes(blob))
         from a3gc_tpu.export import load_exported
-        with pytest.raises(AssertionError, match="integrity"):
+        with pytest.raises(ValueError, match="integrity"):
             load_exported(str(tmp_path / "artifact"))
 
     def test_pallas_backend_exports_tpu_only_artifact(self, model, tmp_path):
@@ -282,3 +282,58 @@ class TestExportedCascade:
         assert (out / "manifest.json").exists()
         assert (out / "step.jaxexport").exists()
         assert (out / "init.jaxexport").exists()
+
+
+class TestBundle:
+    def test_bundle_serves_multiple_geometries(self, model, tmp_path):
+        """ONE bundle directory covers several (streams, window)
+        geometries; each selected sub-artifact matches a live session of
+        that geometry."""
+        from a3gc_tpu.eval.streaming import StreamingCascade
+        from a3gc_tpu.export import export_bundle, load_exported
+
+        cfg, params3 = _graph_setup()
+        d = export_bundle(str(tmp_path / "bundle"), params3, cfg, model,
+                          geometries=[(1, 4), (2, 4), (1, 6)])
+        rng = np.random.RandomState(3)
+        for S, W in [(1, 4), (2, 4), (1, 6)]:
+            art = load_exported(d, streams=S, window=W)
+            assert (art.streams, art.window) == (S, W)
+            sess = StreamingCascade(params3, cfg, model, window=W,
+                                    streams=S)
+            states = art.zero_states()
+            ori = rng.randn(S, W, 54).astype(np.float32)
+            acc = rng.randn(S, W, 18).astype(np.float32)
+            pose, states = art.step(ori, acc, states)
+            want = sess.step(ori, acc)
+            np.testing.assert_allclose(
+                np.asarray(pose).reshape(want.shape), want, atol=2e-5)
+
+    def test_bundle_selection_errors(self, model, tmp_path):
+        from a3gc_tpu.export import export_bundle, load_exported
+
+        cfg, params3 = _graph_setup()
+        d = export_bundle(str(tmp_path / "b2"), params3, cfg, model,
+                          geometries=[(1, 4), (2, 4)])
+        # default = first entry
+        art = load_exported(d)
+        assert (art.streams, art.window) == (1, 4)
+        with pytest.raises(KeyError, match="no geometry"):
+            load_exported(d, streams=7)
+
+    def test_cli_export_bundle_and_serve_selects(self, tmp_path):
+        """`cli export --streams 1 2` writes a bundle; the artifact
+        loaders pick a geometry by --streams/--window."""
+        from a3gc_tpu.cli import main
+        from a3gc_tpu.export import ArtifactSession, load_exported
+
+        out = tmp_path / "cli_bundle"
+        main(["export", "--model", "a3gc", "--hu1", "8", "--hu2", "8",
+              "--hu3", "8", "--window", "4", "--streams", "1", "2",
+              "--output", str(out)])
+        assert (out / "bundle.json").exists()
+        sess = ArtifactSession(load_exported(str(out), streams=2))
+        assert sess.streams == 2 and sess.window == 4
+        pose = sess.step(np.zeros((2, 4, 54), np.float32),
+                         np.zeros((2, 4, 18), np.float32))
+        assert np.isfinite(pose).all()

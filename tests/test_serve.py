@@ -382,3 +382,62 @@ class TestServerOps:
             assert stats["errors"] == 0 and stats["requests"] == 18
         finally:
             srv.shutdown()
+
+
+class TestLookaheadServing:
+    def test_lookahead_server_warmup_then_matches_session(self, setup,
+                                                          model):
+        """PoseServer(lookahead=K): the first K steps answer 202
+        warmup; every later step returns the lagged emission equal to an
+        independent lookahead session fed the same windows."""
+        from a3gc_tpu.eval.streaming import StreamingCascade
+        from a3gc_tpu.serve import PoseServer
+        from scipy.spatial.transform import Rotation
+
+        cfg, params3 = setup
+        W, K, n_windows = 6, 1, 4
+        srv = PoseServer(params3, cfg, model, window=W, streams=2, port=0,
+                         max_wait_ms=5.0, lookahead=K)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        addr = srv.address
+        try:
+            rng = np.random.default_rng(5)
+            ori = Rotation.random(n_windows * W * 6, random_state=6
+                                  ).as_matrix().reshape(
+                n_windows * W, 54).astype(np.float32)
+            acc = rng.normal(scale=0.5, size=(n_windows * W, 18)
+                             ).astype(np.float32)
+
+            ref = StreamingCascade(params3, cfg, model, window=W,
+                                   lookahead=K)
+            _, slot_info = _request(addr, "POST", "/v1/session")
+            slot = slot_info["slot"]
+            got, want = [], []
+            for w in range(n_windows):
+                sl = slice(w * W, (w + 1) * W)
+                status, out = _request(addr, "POST", "/v1/step", {
+                    "slot": slot, "ori": ori[sl].tolist(),
+                    "acc": acc[sl].tolist()})
+                expect = ref.step(ori[sl], acc[sl])
+                if w < K:
+                    assert status == 202 and out.get("warmup"), out
+                    assert out["lag"] == K
+                    assert expect is None
+                else:
+                    assert status == 200, out
+                    got.append(np.asarray(out["pose"], np.float32))
+                    want.append(expect)
+            for g, w_ in zip(got, want):
+                np.testing.assert_allclose(g, w_, atol=2e-5)
+            _request(addr, "DELETE", f"/v1/session/{slot}")
+            # a fresh session on the released slot re-warms from empty
+            _, info2 = _request(addr, "POST", "/v1/session")
+            status, out = _request(addr, "POST", "/v1/step", {
+                "slot": info2["slot"], "ori": ori[:W].tolist(),
+                "acc": acc[:W].tolist()})
+            assert status == 202 and out.get("warmup")
+            st = _request(addr, "GET", "/v1/stats")[1]
+            assert st["lookahead"] == K
+        finally:
+            srv.shutdown()

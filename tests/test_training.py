@@ -197,6 +197,52 @@ class TestShardedTraining:
                                        atol=1e-5)
 
 
+class TestGradientAccumulation:
+    def test_accumulated_equals_monolithic(self, nira, packed):
+        """accum_steps=k: one step on batch B matches the monolithic step
+        on the same batch — mean-of-microbatch gradients feed the same
+        Adam update (stage 1 with dropout 0, so the per-microbatch rng
+        split is inert and the comparison is deterministic)."""
+        cfg, params = make_stage(1, nira, hidden=8)
+        r_mono = StageRunner(1, cfg, params, TrainConfig(batch_size=8),
+                             steps_per_epoch=1)
+        r_acc = StageRunner(1, cfg, params,
+                            TrainConfig(batch_size=8, accum_steps=4),
+                            steps_per_epoch=1)
+        l1 = r_mono.train_epoch(DP.Sampler(packed, 8, seed=0),
+                                jax.random.PRNGKey(0))
+        l2 = r_acc.train_epoch(DP.Sampler(packed, 8, seed=0),
+                               jax.random.PRNGKey(0))
+        assert abs(l1 - l2) < 1e-6, (l1, l2)
+        for a, b in zip(jax.tree_util.tree_leaves(r_mono.state.params),
+                        jax.tree_util.tree_leaves(r_acc.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-6)
+
+    def test_accum_trains_with_dropout(self, nira, packed):
+        """With dropout + teacher-forcing noise active (stage 3), the
+        accumulated step still trains (loss decreases)."""
+        cfg, params = make_stage(3, nira)
+        cfg = cfg.replace(net=cfg.net.replace(dropout=0.3,
+                                              linear_dropout=0.2,
+                                              recurrent_dropout=0.3))
+        tc = TrainConfig(batch_size=4, lr=2e-3, accum_steps=2)
+        runner = StageRunner(3, cfg, params, tc, steps_per_epoch=2)
+        first = runner.eval_epoch(DP.Sampler(packed, 4, seed=0))
+        for e in range(3):
+            runner.train_epoch(DP.Sampler(packed, 4, seed=0),
+                               jax.random.PRNGKey(e))
+        last = runner.eval_epoch(DP.Sampler(packed, 4, seed=0))
+        assert np.isfinite(last) and last < first
+
+    def test_accum_must_divide_batch(self, nira):
+        cfg, params = make_stage(1, nira, hidden=8)
+        with pytest.raises(AssertionError, match="divide"):
+            StageRunner(1, cfg, params,
+                        TrainConfig(batch_size=6, accum_steps=4),
+                        steps_per_epoch=1)
+
+
 class TestMixedPrecision:
     def test_bf16_training_step(self, nira, packed):
         import jax.numpy as jnp
