@@ -318,7 +318,9 @@ class StreamingCascade:
                else np.asarray(active).astype(bool).reshape(S))
         for i in range(S):
             if act[i]:
-                self._buffers[i].append((ori[i], acc[i]))
+                # copies: np.asarray is a no-op view for float32 input,
+                # and the buffer must survive the caller reusing arrays
+                self._buffers[i].append((ori[i].copy(), acc[i].copy()))
         emitted = np.array([act[i] and len(self._buffers[i]) == K + 1
                             for i in range(S)])
         pose = None

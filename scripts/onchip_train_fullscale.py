@@ -41,9 +41,12 @@ OUT = os.path.join(ROOT, "docs", "validation")
 
 N_TRAIN = int(os.environ.get("N_TRAIN", 10_000))
 N_VALID = int(os.environ.get("N_VALID", 512))
-SEQ_LEN = 300
+SEQ_LEN = int(os.environ.get("SEQ_LEN", 300))
+FAST_EPOCHS = os.environ.get("FAST_EPOCHS", "8")
 B_FAST = min(256, max(N_TRAIN // 4, 1))   # fast-config batch, scaled
                                           # down for CPU smoke corpora
+FAST_DTYPE = os.environ.get("FAST_DTYPE", "bfloat16")   # CPU smoke:
+# FAST_DTYPE=float32 (bf16 matmuls are emulated on CPU and ~2x slower)
 
 
 def make_corpus():
@@ -108,13 +111,14 @@ def main():
 
     # --- B: fast config (bf16, b=256) with REAL early stopping ---
     t0 = time.time()
-    cli(["train", "--model", "a3gc", "-b", str(B_FAST), "--epochs", "8",
-         "--patience", "1", "--seed", "0", "--dtype", "bfloat16",
+    cli(["train", "--model", "a3gc", "-b", str(B_FAST), "--epochs",
+         FAST_EPOCHS, "--patience", "1", "--seed", "0", "--dtype",
+         FAST_DTYPE,
          "--name", "fast", "--save_root", runs, "--smpl", smpl,
          "--train_data", train_npz, "--valid_data", valid_npz])
     fast_rows = losses(os.path.join(runs, "fast", "train_log.jsonl"))
     stopped = any(
-        len([r for r in fast_rows if r["stage"] == s]) < 8
+        len([r for r in fast_rows if r["stage"] == s]) < int(FAST_EPOCHS)
         for s in (1, 2, 3))
     report["runs"]["B_fast_bf16"] = {
         "wall_s": round(time.time() - t0, 1), "early_stopped": stopped,
