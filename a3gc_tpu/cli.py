@@ -160,7 +160,8 @@ def cmd_train(args):
                      cda=args.cda, finetuning=args.finetuning,
                      start_stage=args.start_at, start_epoch=args.start_epoch,
                      seed=args.seed, dtype=args.dtype,
-                     accum_steps=args.accum)
+                     accum_steps=args.accum,
+                     eval_batch_size=args.eval_batch)
 
     nira = load_adjacency_template()
     stats = _load_stats(args) if args.norm else None
@@ -883,6 +884,12 @@ def build_parser():
                         "(peak activation memory of one microbatch; one "
                         "Adam update on the averaged gradients) — reaches "
                         "effective batch sizes past the OOM knee")
+    t.add_argument("--eval_batch", type=int, default=0,
+                   help="validation forward chunk size (0 = auto: "
+                        "min(batch_size, 128)). Validation has no remat "
+                        "and hoists the input projections, so it can OOM "
+                        "at batch sizes training fits; chunking bounds it "
+                        "— the loss is the exact size-weighted mean")
     t.add_argument("--lr", type=float, default=1e-3)
     t.add_argument("--weight-decay", "--wd", dest="weight_decay", type=float,
                    default=0.0,

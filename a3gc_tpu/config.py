@@ -154,6 +154,15 @@ class TrainConfig:
                                  # memory of ONE microbatch), grads averaged
                                  # before the single Adam update — reaches
                                  # effective batches past the OOM knee
+    eval_batch_size: int = 0     # validation forward batch. 0 = auto:
+                                 # min(batch_size, 128). Eval has no remat
+                                 # (nothing to rematerialize without a
+                                 # backward) and hoists the bidirectional
+                                 # input projections ([T,2,B,J,4H] resident),
+                                 # so at large batch the VALIDATION pass can
+                                 # OOM where training fits — chunking the
+                                 # eval batch bounds it (loss is an exact
+                                 # size-weighted mean, order-independent)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
 
 

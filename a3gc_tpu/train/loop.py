@@ -270,12 +270,18 @@ class StageRunner:
 
         @jax.jit
         def eval_step(params, raw):
+            # same compute dtype as the train forward (fp32 loss), so the
+            # early-stopping signal tracks what training actually optimizes
             batch = assemble(raw, self.stats, None, **noise_kw)
             inputs, target = wire(batch, stage, train=False)
-            pred, _ = pose_net_forward(params, stage_cfg, inputs)
-            return pose_loss(pred.reshape(target.shape), target)
+            pred, _ = pose_net_forward(_cast(params), stage_cfg,
+                                       _cast(inputs))
+            return pose_loss(
+                pred.reshape(target.shape).astype(jnp.float32), target)
 
         self.eval_step = eval_step
+        self._eval_b = (train_cfg.eval_batch_size
+                        or min(train_cfg.batch_size, 128))
 
     def _put(self, raw: Dict[str, np.ndarray]):
         if self.mesh is not None:
@@ -300,11 +306,24 @@ class StageRunner:
         return float(jnp.mean(jnp.stack(losses)))
 
     def eval_epoch(self, sampler: DP.Sampler) -> float:
-        losses = [self.eval_step(self.state.params, self._put(raw))
-                  for raw in sampler]
+        r"""Validation pass in chunks of ``eval_batch_size`` (auto-capped —
+        see :class:`TrainConfig`): the eval forward has no remat and hoists
+        the bidirectional input projections, so an uncapped large-batch
+        validation OOMs where training fits. The chunked loss is the exact
+        size-weighted mean of the monolithic one; fetches stay deferred."""
+        losses, weights = [], []
+        for raw in sampler:
+            B = len(next(iter(raw.values())))
+            for s in range(0, B, self._eval_b):
+                chunk = {k: v[s:s + self._eval_b] for k, v in raw.items()}
+                n = min(self._eval_b, B - s)
+                losses.append(self.eval_step(self.state.params,
+                                             self._put(chunk)))
+                weights.append(n)
         if not losses:
             return 0.0
-        return float(jnp.mean(jnp.stack(losses)))
+        w = jnp.asarray(weights, jnp.float32)
+        return float(jnp.stack(losses) @ w / w.sum())
 
     def eval_full_sequences(self, sequences) -> float:
         r"""Full-sequence validation (the reference's ``--fse`` flag,
@@ -373,10 +392,14 @@ class DIPRunner:
         @jax.jit
         def eval_step(params, raw):
             inputs, target = DP.dip_batch(raw, stats)
-            pred, _ = pose_net_forward(params, stage_cfg, inputs)
-            return pose_loss(pred.reshape(target.shape), target)
+            pred, _ = pose_net_forward(_cast(params), stage_cfg,
+                                       _cast(inputs))
+            return pose_loss(
+                pred.reshape(target.shape).astype(jnp.float32), target)
 
         self.eval_step = eval_step
+        self._eval_b = (train_cfg.eval_batch_size
+                        or min(train_cfg.batch_size, 128))
 
     train_epoch = StageRunner.train_epoch
     eval_epoch = StageRunner.eval_epoch

@@ -243,6 +243,45 @@ class TestGradientAccumulation:
                         steps_per_epoch=1)
 
 
+class TestEvalChunking:
+    def test_chunked_eval_equals_monolithic(self, nira, packed):
+        """eval_batch_size=3 over batch 8 (ragged chunks 3/3/2): the
+        size-weighted chunked validation loss equals the monolithic one."""
+        cfg, params = make_stage(1, nira, hidden=8)
+        r_mono = StageRunner(1, cfg, params,
+                             TrainConfig(batch_size=8, eval_batch_size=8),
+                             steps_per_epoch=1)
+        r_chunk = StageRunner(1, cfg, params,
+                              TrainConfig(batch_size=8, eval_batch_size=3),
+                              steps_per_epoch=1)
+        l_mono = r_mono.eval_epoch(DP.Sampler(packed, 8, seed=0))
+        l_chunk = r_chunk.eval_epoch(DP.Sampler(packed, 8, seed=0))
+        assert abs(l_mono - l_chunk) < 1e-6, (l_mono, l_chunk)
+
+    def test_eval_batch_auto_caps_at_128(self, nira):
+        cfg, params = make_stage(1, nira, hidden=8)
+        big = StageRunner(1, cfg, params, TrainConfig(batch_size=256),
+                          steps_per_epoch=1)
+        small = StageRunner(1, cfg, params, TrainConfig(batch_size=16),
+                            steps_per_epoch=1)
+        assert big._eval_b == 128 and small._eval_b == 16
+
+    def test_bf16_eval_matches_train_dtype(self, nira, packed):
+        """Validation runs at the training compute dtype: the bf16 eval
+        loss differs from the fp32 one (proving the cast is applied) and
+        both are finite."""
+        cfg, params = make_stage(1, nira, hidden=8)
+        r32 = StageRunner(1, cfg, params, TrainConfig(batch_size=4),
+                          steps_per_epoch=1)
+        r16 = StageRunner(1, cfg, params,
+                          TrainConfig(batch_size=4, dtype="bfloat16"),
+                          steps_per_epoch=1)
+        l32 = r32.eval_epoch(DP.Sampler(packed, 4, seed=0))
+        l16 = r16.eval_epoch(DP.Sampler(packed, 4, seed=0))
+        assert np.isfinite(l32) and np.isfinite(l16)
+        assert l32 != l16
+
+
 class TestMixedPrecision:
     def test_bf16_training_step(self, nira, packed):
         import jax.numpy as jnp
