@@ -22,6 +22,10 @@ docs/validation/TRAIN_FULLSCALE.md + the run JSONLs.
 
 Usage (serially - the chip is single-tenant; ~45 min cold):
     python scripts/onchip_train_fullscale.py
+Resume after an interruption (keeps /tmp/fullscale: the corpus and any
+run whose train_log.jsonl is already complete are reused, later runs
+re-execute):
+    REUSE=1 python scripts/onchip_train_fullscale.py
 Smoke test on CPU:
     N_TRAIN=64 N_VALID=16 JAX_PLATFORMS=cpu python scripts/onchip_train_fullscale.py
 """
@@ -49,6 +53,9 @@ FAST_DTYPE = os.environ.get("FAST_DTYPE", "bfloat16")   # CPU smoke:
 # FAST_DTYPE=float32 (bf16 matmuls are emulated on CPU and ~2x slower)
 
 
+REUSE = os.environ.get("REUSE") == "1"
+
+
 def make_corpus():
     """AMASS-scale packed corpus + chunked valid + test-style sequences."""
     from a3gc_tpu.data.synthetic import synthetic_packed_dataset
@@ -56,6 +63,10 @@ def make_corpus():
     train_npz = os.path.join(WORK, "train.npz")
     valid_npz = os.path.join(WORK, "valid.npz")
     test_npz = os.path.join(WORK, "test.npz")
+    if REUSE and all(os.path.exists(p)
+                     for p in (train_npz, valid_npz, test_npz)):
+        print("[corpus] reusing", WORK)
+        return train_npz, valid_npz, test_npz
     t0 = time.time()
     # generate in shards to bound the scipy Rotation peak memory
     shard = 1000
@@ -85,9 +96,37 @@ def losses(log_path):
     return [json.loads(l) for l in open(log_path) if "train_loss" in l]
 
 
+def maybe(name, fn, complete_rows=None):
+    """Run ``fn`` unless REUSE finds this step already complete (a .done
+    marker from a prior invocation, or — for fixed-epoch runs — a training
+    log with the expected row count). Returns (wall_s, rows)."""
+    runs = os.path.join(WORK, "runs")
+    marker = os.path.join(runs, name + ".done")
+    log = os.path.join(runs, name, "train_log.jsonl")
+    if REUSE and os.path.exists(marker):
+        d = json.load(open(marker))
+        return d["wall_s"], losses(log) if os.path.exists(log) else []
+    if REUSE and complete_rows and os.path.exists(log):
+        rows = losses(log)
+        if len(rows) >= complete_rows:
+            print(f"[reuse] {name}: complete log, wall from timestamps")
+            wall = rows[-1]["time"] - (rows[0]["time"] - rows[0]["seconds"])
+            return round(wall, 1), rows
+    # re-running an incomplete run: clear its dir (the logger appends)
+    shutil.rmtree(os.path.join(runs, name), ignore_errors=True)
+    t0 = time.time()
+    fn()
+    wall = round(time.time() - t0, 1)
+    with open(marker, "w") as f:
+        json.dump({"wall_s": wall}, f)
+    return wall, losses(log) if os.path.exists(log) else []
+
+
 def main():
-    shutil.rmtree(WORK, ignore_errors=True)
+    if not REUSE:
+        shutil.rmtree(WORK, ignore_errors=True)
     os.makedirs(WORK, exist_ok=True)
+    os.makedirs(os.path.join(WORK, "runs"), exist_ok=True)
     os.makedirs(OUT, exist_ok=True)
 
     from a3gc_tpu.cli import main as cli
@@ -100,57 +139,57 @@ def main():
     report = {"n_train_chunks": N_TRAIN, "seq_len": SEQ_LEN, "runs": {}}
 
     # --- A: reference-protocol config (fp32, b=16, ref default sizes) ---
-    t0 = time.time()
-    cli(["train", "--model", "a3gc", "-b", "16", "--epochs", "2",
+    wall, a_rows = maybe("protocol", lambda: cli(
+        ["train", "--model", "a3gc", "-b", "16", "--epochs", "2",
          "--patience", "99", "--seed", "0", "--dtype", "float32",
          "--name", "protocol", "--save_root", runs, "--smpl", smpl,
-         "--train_data", train_npz, "--valid_data", valid_npz])
-    report["runs"]["A_protocol_fp32_b16"] = {
-        "wall_s": round(time.time() - t0, 1), "epochs": losses(
-            os.path.join(runs, "protocol", "train_log.jsonl"))}
+         "--train_data", train_npz, "--valid_data", valid_npz]),
+        complete_rows=6)
+    report["runs"]["A_protocol_fp32_b16"] = {"wall_s": wall,
+                                             "epochs": a_rows}
 
     # --- B: fast config (bf16, b=256) with REAL early stopping ---
-    t0 = time.time()
-    cli(["train", "--model", "a3gc", "-b", str(B_FAST), "--epochs",
+    wall, fast_rows = maybe("fast", lambda: cli(
+        ["train", "--model", "a3gc", "-b", str(B_FAST), "--epochs",
          FAST_EPOCHS, "--patience", "1", "--seed", "0", "--dtype",
          FAST_DTYPE,
          "--name", "fast", "--save_root", runs, "--smpl", smpl,
-         "--train_data", train_npz, "--valid_data", valid_npz])
-    fast_rows = losses(os.path.join(runs, "fast", "train_log.jsonl"))
+         "--train_data", train_npz, "--valid_data", valid_npz]))
     stopped = any(
         len([r for r in fast_rows if r["stage"] == s]) < int(FAST_EPOCHS)
         for s in (1, 2, 3))
     report["runs"]["B_fast_bf16"] = {
-        "wall_s": round(time.time() - t0, 1), "early_stopped": stopped,
-        "epochs": fast_rows}
+        "wall_s": wall, "early_stopped": stopped, "epochs": fast_rows}
 
     # --- C: checkpoint/resume mid-stage (continue A by one epoch) ---
-    t0 = time.time()
-    cli(["train", "--model", "a3gc", "-b", "16", "--epochs", "3",
+    wall, res_rows = maybe("protocol_resumed", lambda: cli(
+        ["train", "--model", "a3gc", "-b", "16", "--epochs", "3",
          "--patience", "99", "--seed", "0", "--dtype", "float32",
          "--start_epoch", "2", "--resume", os.path.join(runs, "protocol"),
          "--name", "protocol_resumed", "--save_root", runs, "--smpl", smpl,
-         "--train_data", train_npz, "--valid_data", valid_npz])
-    res_rows = losses(os.path.join(runs, "protocol_resumed",
-                                   "train_log.jsonl"))
-    a_rows = report["runs"]["A_protocol_fp32_b16"]["epochs"]
+         "--train_data", train_npz, "--valid_data", valid_npz]))
     # the resumed epoch must continue from A's level, not from scratch
     s1_a = [r for r in a_rows if r["stage"] == 1]
     s1_r = [r for r in res_rows if r["stage"] == 1]
     resumed_ok = bool(s1_r) and s1_r[0]["train_loss"] < s1_a[0]["train_loss"]
     report["runs"]["C_resume"] = {
-        "wall_s": round(time.time() - t0, 1),
+        "wall_s": wall,
         "continues_from_checkpoint": resumed_ok, "epochs": res_rows}
 
     # --- D: evaluate the self-trained checkpoints (discovery + report) ---
-    t0 = time.time()
-    cwd = os.getcwd()
-    os.chdir(WORK)
-    cli(["evaluate", "--model", "a3gc", "--path",
-         os.path.join(runs, "protocol"), "--type", "pretrain",
-         "--batch_streams", "8", "--smpl", smpl, "--datasets", test_npz])
-    os.chdir(cwd)
-    report["runs"]["D_evaluate"] = {"wall_s": round(time.time() - t0, 1)}
+    def run_d():
+        cwd = os.getcwd()
+        os.chdir(WORK)
+        try:
+            cli(["evaluate", "--model", "a3gc", "--path",
+                 os.path.join(runs, "protocol"), "--type", "pretrain",
+                 "--batch_streams", "8", "--smpl", smpl,
+                 "--datasets", test_npz])
+        finally:
+            os.chdir(cwd)
+
+    wall, _ = maybe("evaluate", run_d)
+    report["runs"]["D_evaluate"] = {"wall_s": wall}
 
     for name in ("protocol", "fast", "protocol_resumed"):
         shutil.copy(os.path.join(runs, name, "train_log.jsonl"),
