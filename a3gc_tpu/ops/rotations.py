@@ -120,19 +120,42 @@ def angle_difference(target, source):
     return normalize_angle(target - source)
 
 
+# Largest 3x3-SVD batch lowered as ONE XLA QrDecompositionBlock: the TPU
+# lowering scopes vmem proportional to the batch (measured: 49152 rows =
+# 12M fits the 16M scoped-vmem limit, 98304 rows = 24M hard-fails the
+# compile), so long sequences (T=4096 x 24 joints in the metrics suite)
+# must run the SVD in lax.map chunks. 16384 rows = ~4M scoped.
+_SVD_CHUNK = 16384
+
+
+def _project_block(m: jnp.ndarray) -> jnp.ndarray:
+    u, _, vt = jnp.linalg.svd(m)
+    det = jnp.linalg.det(jnp.matmul(u, vt,
+                                    precision=jax.lax.Precision.HIGHEST))
+    u = u.at[..., :, 2].multiply(jnp.sign(det)[..., None])
+    return jnp.matmul(u, vt, precision=jax.lax.Precision.HIGHEST)
+
+
 def project_to_rotation(m: jnp.ndarray) -> jnp.ndarray:
     r"""Project matrices to the nearest proper rotation (batched 3×3 SVD with
     the reflection fix). cv2.Rodrigues does this implicitly on every input
     (verified numerically to 1e-13), so any path that must match the
     reference's angles on NON-orthonormal input — e.g. the raw 9D 'rotation'
     outputs of the nets (ref: net_aagc.py:759 view(-1,15,3,3) with no
-    orthonormalization) — must project first."""
+    orthonormalization) — must project first. Batches past ``_SVD_CHUNK``
+    rows run chunk-serially (identity-padded tail) to bound TPU scoped
+    vmem; results are identical."""
     m = m.reshape(-1, 3, 3)
-    u, _, vt = jnp.linalg.svd(m)
-    det = jnp.linalg.det(jnp.matmul(u, vt,
-                                    precision=jax.lax.Precision.HIGHEST))
-    u = u.at[..., :, 2].multiply(jnp.sign(det)[..., None])
-    return jnp.matmul(u, vt, precision=jax.lax.Precision.HIGHEST)
+    n = m.shape[0]
+    if n <= _SVD_CHUNK:
+        return _project_block(m)
+    k = -(-n // _SVD_CHUNK)
+    pad = k * _SVD_CHUNK - n
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=m.dtype), (pad, 3, 3))
+        m = jnp.concatenate((m, eye))
+    out = jax.lax.map(_project_block, m.reshape(k, _SVD_CHUNK, 3, 3))
+    return out.reshape(-1, 3, 3)[:n]
 
 
 def angle_between(rot1: jnp.ndarray, rot2: jnp.ndarray,

@@ -491,6 +491,39 @@ class TestStreamingCascade:
         s3 = shard.step(ori[:, 2 * W:], acc[:, 2 * W:])
         np.testing.assert_allclose(s3, m3, atol=1e-6)
 
+    def test_mesh_lookahead_composes(self, model):
+        """lookahead=K on a mesh session: the buffered emission and
+        state-advance passes both route through the shard_map'd step, so
+        sharded lookahead == single-device lookahead (emissions, the
+        emitted mask, and the flushed tails)."""
+        from a3gc_tpu.config import MeshConfig
+        from a3gc_tpu.parallel import make_mesh
+
+        SC, cfg, params3 = self._build(model)
+        W, S, K, n = 6, 8, 1, 4
+        mesh = make_mesh(MeshConfig(data=8, model=1))
+        local = SC(params3, cfg, model, window=W, streams=S, lookahead=K)
+        shard = SC(params3, cfg, model, window=W, streams=S, lookahead=K,
+                   mesh=mesh)
+
+        rng = np.random.default_rng(37)
+        ori = Rotation.random(n * W * S * 6, random_state=37).as_matrix(
+        ).reshape(S, n * W, 54).astype(np.float32)
+        acc = rng.normal(scale=0.5, size=(S, n * W, 18)).astype(np.float32)
+
+        for w in range(n):
+            sl = slice(w * W, (w + 1) * W)
+            pm, em = local.step(ori[:, sl], acc[:, sl])
+            ps, es = shard.step(ori[:, sl], acc[:, sl])
+            np.testing.assert_array_equal(es, em, err_msg=f"window {w}")
+            if em.any():
+                np.testing.assert_allclose(ps[em], pm[em], atol=1e-6,
+                                           err_msg=f"window {w}")
+        tm, ts = local.flush(), shard.flush()
+        for i in range(S):
+            np.testing.assert_allclose(ts[i], tm[i], atol=1e-6,
+                                       err_msg=f"tail {i}")
+
     def test_lookahead_depth2_exact_construction(self, model):
         """lookahead=2: emission for window k == cascade over [k, k+3W)
         from the carried state, first W frames; flush drains the 2-window

@@ -149,6 +149,22 @@ class TestAngleBetween:
         np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
+class TestProjectChunking:
+    def test_chunked_projection_equals_monolithic(self, monkeypatch):
+        """Batches past _SVD_CHUNK run the SVD in lax.map chunks (TPU
+        scoped-vmem bound); results are identical to the single-block
+        path, including the identity-padded non-divisible tail."""
+        monkeypatch.setattr(R, "_SVD_CHUNK", 1000)
+        rng = np.random.default_rng(18)
+        m = rng.normal(size=(2500, 3, 3)).astype(np.float32)
+        chunked = np.asarray(R.project_to_rotation(jnp.asarray(m)))
+        direct = np.asarray(R._project_block(jnp.asarray(m)))
+        np.testing.assert_allclose(chunked, direct, atol=1e-6)
+        # outputs are proper rotations
+        dets = np.linalg.det(chunked)
+        np.testing.assert_allclose(dets, 1.0, atol=1e-4)
+
+
 class TestSvdRotate:
     def test_recovers_rotation(self):
         rng = np.random.default_rng(16)
