@@ -109,8 +109,10 @@ def main():
                 jnp.asarray(off[:n].reshape(-1, 3, 3)))))
             angs.append(a)
         a = np.concatenate(angs)
+        # K=0: one pass per window; K>=1: emission pass over (K+1)*S
+        # frames + the state-advance pass over S, per S emitted frames
         rows.append({"S": S, "K": K, "latency_frames": (K + 1) * S,
-                     "relative_compute": float(K + 1),
+                     "relative_compute": float(1 if K == 0 else K + 2),
                      "mean_deg": round(float(a.mean()), 3),
                      "p95_deg": round(float(np.percentile(a, 95)), 3),
                      "max_deg": round(float(a.max()), 3)})
