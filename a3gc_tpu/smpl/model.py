@@ -32,6 +32,39 @@ __all__ = ["ParametricModel", "load_parametric_model"]
 _HI = jax.lax.Precision.HIGHEST
 
 
+class StaticArray:
+    r"""Hashable ndarray wrapper for pytree-METADATA fields.
+
+    jax compares treedef metadata with ``==`` (and hashes it for the jit
+    cache); a bare ndarray there raises "truth value is ambiguous" the
+    moment two distinct model instances meet one jit boundary (e.g. train
+    then evaluate in one process, each loading its own SMPL pickle).
+    Equality/hash go by shape+dtype+bytes; ``np.asarray`` works via
+    ``__array__``, matching how ``faces`` is consumed.
+    """
+
+    __slots__ = ("a",)
+
+    def __init__(self, a):
+        self.a = np.asarray(a)
+
+    def __array__(self, dtype=None, copy=None):
+        return self.a if dtype is None else self.a.astype(dtype)
+
+    def __iter__(self):
+        return iter(self.a)
+
+    def __eq__(self, other):
+        if not isinstance(other, StaticArray):
+            return NotImplemented
+        return (self.a.shape == other.a.shape
+                and self.a.dtype == other.a.dtype
+                and self.a.tobytes() == other.a.tobytes())
+
+    def __hash__(self):
+        return hash((self.a.shape, self.a.tobytes()))
+
+
 @struct.dataclass
 class ParametricModel:
     r"""A loaded parametric body model (SMPL/MANO/SMPLH).
@@ -48,7 +81,8 @@ class ParametricModel:
     v_template: jnp.ndarray           # [V, 3]
     joints_template: jnp.ndarray      # [J, 3]  (the pickle's 'J')
     parent: Tuple[Optional[int], ...] = struct.field(pytree_node=False)
-    faces: np.ndarray = struct.field(pytree_node=False, default=None)
+    faces: Optional[StaticArray] = struct.field(pytree_node=False,
+                                                default=None)
     use_pose_blendshape: bool = struct.field(pytree_node=False, default=False)
 
     # ------------------------------------------------------------------
@@ -266,6 +300,6 @@ def load_parametric_model(official_model_file: str,
         v_template=jnp.asarray(np.asarray(data["v_template"]), dtype=dtype),
         joints_template=jnp.asarray(np.asarray(data["J"]), dtype=dtype),
         parent=tuple(parent),
-        faces=np.asarray(data["f"]),
+        faces=StaticArray(data["f"]),
         use_pose_blendshape=use_pose_blendshape,
     )

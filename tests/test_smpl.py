@@ -41,6 +41,26 @@ class TestLoad:
         w = np.asarray(model.skinning_weights)
         np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-5)
 
+    def test_two_instances_share_jit_cache(self, smpl_pickle):
+        # faces is pytree METADATA: jax compares it with == / hashes it in
+        # the jit cache. A bare ndarray there raises "truth value is
+        # ambiguous" the moment a second loaded instance hits the same jit
+        # (train-then-evaluate in one process). StaticArray fixes that.
+        import jax
+
+        from a3gc_tpu.metrics.evaluator import full_motion_metrics
+
+        m1 = load_parametric_model(smpl_pickle)
+        m2 = load_parametric_model(smpl_pickle)
+        assert m1.faces == m2.faces
+        assert hash(m1.faces) == hash(m2.faces)
+        assert (np.asarray(m1.faces) + 1).ndim == 2
+        assert jax.tree_util.tree_structure(m1) == \
+            jax.tree_util.tree_structure(m2)
+        pose = np.tile(np.eye(3, dtype=np.float32), (4, 24, 1, 1))
+        for m in (m1, m2):  # second call must HIT the cache, not raise
+            full_motion_metrics(m, pose, pose, n_valid=4, fps=60)
+
     def test_zero_pose(self, model, ref_model):
         j, v = model.get_zero_pose_joint_and_vertex()
         rj, rv = ref_model.get_zero_pose_joint_and_vertex()
