@@ -175,7 +175,9 @@ def cmd_train(args):
         valid_fn = lambda runner: runner.eval_full_sequences(fse_sequences)
     else:
         valid = DPipe.load_packed(args.valid_data)
-    steps = max(len(train[next(iter(train))]) // tc.batch_size, 1)
+    # ceil: tail batches are kept (padded + weight-masked), like the
+    # reference's drop_last=False DataLoaders (ref: train_a3gc_tp.py:209-221)
+    steps = max(-(-len(train[next(iter(train))]) // tc.batch_size), 1)
 
     if args.model == "dip":
         return _train_dip(args, tc, train, valid, steps)
@@ -212,8 +214,10 @@ def cmd_train(args):
     run_cascade_training(
         runners,
         lambda salt: DPipe.Sampler(train, tc.batch_size, shuffle=True,
-                                   seed=(tc.seed, salt)),
-        lambda: DPipe.Sampler(valid, tc.batch_size, shuffle=False),
+                                   seed=(tc.seed, salt),
+                                   pad_remainder=True),
+        lambda: DPipe.Sampler(valid, tc.batch_size, shuffle=False,
+                              pad_remainder=True),
         tc,
         save_fn=lambda st, ep, p: save_params(
             p, save_dir, st, ep, finetuning=tc.finetuning),
@@ -246,10 +250,11 @@ def _train_dip(args, tc, train, valid, steps):
     for epoch in range(tc.start_epoch, tc.max_epochs):
         train_loss = runner.train_epoch(
             DPipe.Sampler(train, tc.batch_size, shuffle=True,
-                          seed=(tc.seed, epoch)),
+                          seed=(tc.seed, epoch), pad_remainder=True),
             jax.random.fold_in(jax.random.PRNGKey(tc.seed), epoch))
         valid_loss = runner.eval_epoch(
-            DPipe.Sampler(valid, tc.batch_size, shuffle=False))
+            DPipe.Sampler(valid, tc.batch_size, shuffle=False,
+                          pad_remainder=True))
         log({"stage": 1, "epoch": epoch, "train_loss": train_loss,
              "valid_loss": valid_loss})
         if valid_loss < best:

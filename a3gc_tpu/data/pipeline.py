@@ -186,23 +186,34 @@ class Sampler:
 
     def __init__(self, data: Dict[str, np.ndarray], batch_size: int,
                  shuffle: bool = True, drop_remainder: bool = True,
-                 seed=0):
+                 seed=0, pad_remainder: bool = False):
         # ``seed`` is anything np.random.default_rng accepts; the training
         # driver passes (base_seed, epoch_salt) so each epoch reshuffles
         # like the reference's DataLoader(shuffle=True) while staying
         # deterministic for resume (ref: train_a3gc_tp.py:209-210)
+        #
+        # ``pad_remainder``: keep the partial tail batch (the reference's
+        # DataLoaders do — ``drop_last`` defaults False,
+        # ref: train_a3gc_tp.py:209-221) WITHOUT breaking XLA's static
+        # shapes: the tail is padded to ``batch_size`` by cyclically
+        # repeating the epoch's sequences, and every yielded batch carries
+        # a ``"_weight"`` [B] array (1 real / 0 pad) that the loss uses to
+        # reproduce the native-size mean exactly. Full batches carry all-1
+        # weights so the jitted step sees ONE input structure.
         self.data = data
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.drop_remainder = drop_remainder
+        self.pad_remainder = pad_remainder
+        self.drop_remainder = drop_remainder and not pad_remainder
         self._rng = np.random.default_rng(seed)
         self.n = len(next(iter(data.values())))
-        if drop_remainder and self.n < batch_size:
+        if self.drop_remainder and self.n < batch_size:
             raise ValueError(
                 f"batch_size {batch_size} exceeds the dataset's "
                 f"{self.n} sequences — every epoch would be empty "
-                f"(loss 0.0). Lower --batch_size or disable "
-                f"drop_remainder.")
+                f"(loss 0.0). Lower --batch_size, or pass "
+                f"pad_remainder=True (the reference's drop_last=False "
+                f"semantics).")
 
     def __len__(self) -> int:
         if self.drop_remainder:
@@ -217,4 +228,15 @@ class Sampler:
                 if self.drop_remainder else self.n)
         for s in range(0, stop, self.batch_size):
             take = idx[s:s + self.batch_size]
-            yield {k: v[take] for k, v in self.data.items()}
+            if not self.pad_remainder:
+                yield {k: v[take] for k, v in self.data.items()}
+                continue
+            n_real = len(take)
+            if n_real < self.batch_size:
+                take = np.concatenate(
+                    [take, np.resize(idx, self.batch_size - n_real)])
+            w = np.zeros(self.batch_size, np.float32)
+            w[:n_real] = 1.0
+            out = {k: v[take] for k, v in self.data.items()}
+            out["_weight"] = w
+            yield out

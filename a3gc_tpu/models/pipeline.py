@@ -155,14 +155,25 @@ def cascade_apply(params3: Tuple, cfg: CascadeConfig,
 
 def pose_loss(pred: jnp.ndarray, target: jnp.ndarray,
               loss_weight: Optional[jnp.ndarray] = None,
-              frame_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+              frame_mask: Optional[jnp.ndarray] = None,
+              sample_weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     r"""Weighted squared error: sum over the last dim, mean over the rest
     (ref: net_aagc.py:1077-1087). ``frame_mask`` [B, T] restricts the mean to
-    valid frames (full-sequence validation on end-padded buckets)."""
+    valid frames (full-sequence validation on end-padded buckets).
+    ``sample_weight`` [B] restricts it to real batch elements — the mean a
+    partial tail batch padded to the static batch size would have had at its
+    native size (the reference's DataLoaders keep tail batches:
+    ``drop_last`` defaults False, ref: train_a3gc_tp.py:209-221)."""
     err = jnp.square(target - pred)
     if loss_weight is not None:
         err = err * loss_weight
     err = jnp.sum(err, axis=-1)
+    if sample_weight is not None:
+        assert frame_mask is None, "sample_weight excludes frame_mask"
+        w = sample_weight.reshape(
+            sample_weight.shape + (1,) * (err.ndim - 1))
+        denom = jnp.sum(sample_weight) * err[0].size
+        return jnp.sum(err * w) / jnp.maximum(denom, 1.0)
     if frame_mask is None:
         return jnp.mean(err)
     w = frame_mask.reshape(frame_mask.shape + (1,) * (err.ndim - 2))

@@ -81,7 +81,13 @@ def _make_train_step(loss_fn, optimizer, accum_steps: int = 1):
     batch sizes past the activation-memory OOM knee (B=512 OOMs
     monolithically on a 16 GB chip; k=2 halves the residency). The rng
     splits per microbatch, so dropout/noise draws differ from the
-    monolithic step's — same distribution, different stream."""
+    monolithic step's — same distribution, different stream.
+
+    When the batch carries a ``"_weight"`` array (padded tail batch, see
+    :class:`a3gc_tpu.data.pipeline.Sampler`) microbatch gradients combine
+    weighted by their real-sample counts — the result is exactly the
+    weighted-mean gradient of the whole batch, even when the pad samples
+    land unevenly across microbatches."""
     if accum_steps == 1:
         @partial(jax.jit, donate_argnums=_donate_state())
         def train_step(state: TrainState, raw, rng):
@@ -96,6 +102,7 @@ def _make_train_step(loss_fn, optimizer, accum_steps: int = 1):
     @partial(jax.jit, donate_argnums=_donate_state())
     def train_step(state: TrainState, raw, rng):
         k = accum_steps
+        weighted = "_weight" in raw         # static per input structure
         micro = jax.tree_util.tree_map(
             lambda x: x.reshape((k, x.shape[0] // k) + x.shape[1:]), raw)
         rngs = jax.random.split(rng, k)
@@ -104,17 +111,23 @@ def _make_train_step(loss_fn, optimizer, accum_steps: int = 1):
         def body(carry, inp):
             mb, r = inp
             loss, grads = jax.value_and_grad(loss_fn)(state.params, mb, r)
-            c_loss, c_grads = carry
-            return (c_loss + loss,
-                    jax.tree_util.tree_map(jnp.add, c_grads, grads)), None
+            # each microbatch loss/grad is a mean over its real samples;
+            # scaling by that count makes the accumulated result the exact
+            # full-batch weighted mean
+            w = jnp.sum(mb["_weight"]) if weighted else 1.0
+            c_loss, c_w, c_grads = carry
+            return (c_loss + loss * w, c_w + w,
+                    jax.tree_util.tree_map(
+                        lambda c, g: c + g * w, c_grads, grads)), None
 
-        (loss_sum, grad_sum), _ = jax.lax.scan(
-            body, (jnp.zeros(()), zeros), (micro, rngs))
-        grads = jax.tree_util.tree_map(lambda g: g / k, grad_sum)
+        (loss_sum, w_sum, grad_sum), _ = jax.lax.scan(
+            body, (jnp.zeros(()), jnp.zeros(()), zeros), (micro, rngs))
+        grads = jax.tree_util.tree_map(lambda g: g / w_sum, grad_sum)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss_sum / k
+        return (TrainState(params, opt_state, state.step + 1),
+                loss_sum / w_sum)
     return train_step
 
 
@@ -249,13 +262,16 @@ class StageRunner:
         _cast = _make_caster(train_cfg)
 
         def loss_fn(params, raw, rng):
+            raw = dict(raw)
+            weight = raw.pop("_weight", None)  # padded-tail batch (Sampler)
             rng_noise, rng_drop = jax.random.split(rng)
             batch = assemble(raw, self.stats, rng_noise, **noise_kw)
             inputs, target = wire(batch, stage, train=True)
             pred, _ = pose_net_forward(_cast(params), stage_cfg,
                                        _cast(inputs), rng=rng_drop)
             return pose_loss(
-                pred.reshape(target.shape).astype(jnp.float32), target)
+                pred.reshape(target.shape).astype(jnp.float32), target,
+                sample_weight=weight)
 
         # the old TrainState is dead after every step (train_epoch
         # rebinds), so donate it: params + Adam moments update in place
@@ -272,12 +288,15 @@ class StageRunner:
         def eval_step(params, raw):
             # same compute dtype as the train forward (fp32 loss), so the
             # early-stopping signal tracks what training actually optimizes
+            raw = dict(raw)
+            weight = raw.pop("_weight", None)
             batch = assemble(raw, self.stats, None, **noise_kw)
             inputs, target = wire(batch, stage, train=False)
             pred, _ = pose_net_forward(_cast(params), stage_cfg,
                                        _cast(inputs))
             return pose_loss(
-                pred.reshape(target.shape).astype(jnp.float32), target)
+                pred.reshape(target.shape).astype(jnp.float32), target,
+                sample_weight=weight)
 
         self.eval_step = eval_step
         self._eval_b = (train_cfg.eval_batch_size
@@ -310,13 +329,21 @@ class StageRunner:
         see :class:`TrainConfig`): the eval forward has no remat and hoists
         the bidirectional input projections, so an uncapped large-batch
         validation OOMs where training fits. The chunked loss is the exact
-        size-weighted mean of the monolithic one; fetches stay deferred."""
+        size-weighted mean of the monolithic one; fetches stay deferred.
+        Padded tail batches (Sampler ``pad_remainder``) weight each chunk
+        by its REAL sample count, so the result is the mean over the
+        dataset's native size — the reference's drop_last=False
+        validation semantics (ref: train_a3gc_tp.py:218-221)."""
         losses, weights = [], []
         for raw in sampler:
             B = len(next(iter(raw.values())))
+            w_all = raw.get("_weight")
             for s in range(0, B, self._eval_b):
                 chunk = {k: v[s:s + self._eval_b] for k, v in raw.items()}
-                n = min(self._eval_b, B - s)
+                n = (float(w_all[s:s + self._eval_b].sum())
+                     if w_all is not None else min(self._eval_b, B - s))
+                if n == 0:
+                    continue    # all-pad chunk: nothing real to score
                 losses.append(self.eval_step(self.state.params,
                                              self._put(chunk)))
                 weights.append(n)
@@ -377,11 +404,14 @@ class DIPRunner:
         _cast = _make_caster(train_cfg)
 
         def loss_fn(params, raw, rng):
+            raw = dict(raw)
+            weight = raw.pop("_weight", None)  # padded-tail batch (Sampler)
             inputs, target = DP.dip_batch(raw, stats)
             pred, _ = pose_net_forward(_cast(params), stage_cfg,
                                        _cast(inputs), rng=rng)
             return pose_loss(
-                pred.reshape(target.shape).astype(jnp.float32), target)
+                pred.reshape(target.shape).astype(jnp.float32), target,
+                sample_weight=weight)
 
         assert train_cfg.batch_size % train_cfg.accum_steps == 0, (
             f"accum_steps={train_cfg.accum_steps} must divide "
@@ -391,11 +421,14 @@ class DIPRunner:
 
         @jax.jit
         def eval_step(params, raw):
+            raw = dict(raw)
+            weight = raw.pop("_weight", None)
             inputs, target = DP.dip_batch(raw, stats)
             pred, _ = pose_net_forward(_cast(params), stage_cfg,
                                        _cast(inputs))
             return pose_loss(
-                pred.reshape(target.shape).astype(jnp.float32), target)
+                pred.reshape(target.shape).astype(jnp.float32), target,
+                sample_weight=weight)
 
         self.eval_step = eval_step
         self._eval_b = (train_cfg.eval_batch_size

@@ -577,3 +577,97 @@ class TestSchedulerFastForward:
         d2 = np.abs(np.asarray(s2.params.linear_in.kernel)
                     - np.asarray(params.linear_in.kernel)).max()
         np.testing.assert_allclose(d2, d0 * 0.25, rtol=1e-3)
+
+
+class TestTailBatches:
+    """Partial tail batches are kept, padded to the static batch size and
+    weight-masked — the reference's DataLoaders never drop them
+    (drop_last defaults False, ref: train_a3gc_tp.py:209-221)."""
+
+    def test_sampler_pads_and_weights(self, packed):
+        s = DP.Sampler(packed, 3, shuffle=False, pad_remainder=True)
+        batches = list(s)
+        assert len(batches) == len(s) == 3           # ceil(8 / 3)
+        np.testing.assert_array_equal(batches[0]["_weight"], [1, 1, 1])
+        np.testing.assert_array_equal(batches[2]["_weight"], [1, 1, 0])
+        for k in packed:                 # every sequence exactly once, w=1
+            got = np.concatenate(
+                [b[k][b["_weight"] > 0] for b in batches])
+            np.testing.assert_array_equal(got, packed[k])
+        # pad rows repeat real sequences (finite, realistic values)
+        np.testing.assert_array_equal(batches[2]["acc"][2], packed["acc"][0])
+
+    def test_dataset_smaller_than_batch_tiles(self, packed):
+        two = {k: v[:2] for k, v in packed.items()}
+        (b,) = list(DP.Sampler(two, 5, shuffle=False, pad_remainder=True))
+        np.testing.assert_array_equal(b["_weight"], [1, 1, 0, 0, 0])
+        np.testing.assert_array_equal(b["acc"][2], two["acc"][0])
+
+    def test_padded_step_matches_native_size_step(self, nira, packed):
+        # one weighted step on [3 real + 1 pad] == one step on the native
+        # [3] batch (noise/dropout off so rng shape differences vanish)
+        cfg, params = make_stage(1, nira)
+        tc = lambda b: TrainConfig(batch_size=b, leaf_noise_std=0.0,
+                                   full_noise_std=0.0)
+        r_pad = StageRunner(1, cfg, params, tc(4), steps_per_epoch=1)
+        r_ref = StageRunner(1, cfg, params, tc(3), steps_per_epoch=1)
+        padded = {k: v[[0, 1, 2, 0]] for k, v in packed.items()}
+        padded["_weight"] = np.array([1, 1, 1, 0], np.float32)
+        small = {k: v[:3] for k, v in packed.items()}
+        rng = jax.random.PRNGKey(7)
+        state_pad, loss_pad = r_pad.train_step(r_pad.state, padded, rng)
+        state_ref, loss_ref = r_ref.train_step(r_ref.state, small, rng)
+        np.testing.assert_allclose(float(loss_pad), float(loss_ref),
+                                   rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=2e-6),
+            state_pad.params, state_ref.params)
+
+    def test_padded_accum_equals_monolithic(self, nira, packed):
+        # pads land entirely in the second microbatch: the weighted
+        # combine must still reproduce the monolithic weighted gradient
+        cfg, params = make_stage(1, nira)
+        mk = lambda k: TrainConfig(batch_size=4, accum_steps=k,
+                                   leaf_noise_std=0.0, full_noise_std=0.0)
+        r1 = StageRunner(1, cfg, params, mk(1), steps_per_epoch=1)
+        r2 = StageRunner(1, cfg, params, mk(2), steps_per_epoch=1)
+        padded = {k: v[[0, 1, 2, 0]] for k, v in packed.items()}
+        padded["_weight"] = np.array([1, 1, 1, 0], np.float32)
+        rng = jax.random.PRNGKey(3)
+        s1, l1 = r1.train_step(r1.state, dict(padded), rng)
+        s2, l2 = r2.train_step(r2.state, dict(padded), rng)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=2e-6),
+            s1.params, s2.params)
+
+    def test_eval_epoch_scores_only_real_sequences(self, nira, packed):
+        cfg, params = make_stage(1, nira)
+        tc = TrainConfig(batch_size=4, leaf_noise_std=0.0,
+                         full_noise_std=0.0)
+        runner = StageRunner(1, cfg, params, tc, steps_per_epoch=1)
+        five = {k: v[:5] for k, v in packed.items()}
+        padded = runner.eval_epoch(
+            DP.Sampler(five, 4, shuffle=False, pad_remainder=True))
+        exact = runner.eval_epoch(
+            DP.Sampler(five, 5, shuffle=False, drop_remainder=True))
+        np.testing.assert_allclose(padded, exact, rtol=1e-6)
+
+    def test_driver_runs_non_divisible_dataset(self, nira, packed):
+        # end-to-end: a dataset smaller than the batch trains and
+        # validates (this exact case aborted the protocol dry run)
+        cfg, params = make_stage(1, nira)
+        tc = TrainConfig(batch_size=4, max_epochs=2, patience=0,
+                         leaf_noise_std=0.0, full_noise_std=0.0)
+        runner = StageRunner(1, cfg, params, tc, steps_per_epoch=1)
+        three = {k: v[:3] for k, v in packed.items()}
+        run_cascade_training(
+            {1: runner},
+            lambda salt: DP.Sampler(three, 4, shuffle=True,
+                                    seed=(0, salt), pad_remainder=True),
+            lambda: DP.Sampler(three, 4, shuffle=False,
+                               pad_remainder=True),
+            tc)
+        loss = runner.eval_epoch(
+            DP.Sampler(three, 4, shuffle=False, pad_remainder=True))
+        assert np.isfinite(loss)
