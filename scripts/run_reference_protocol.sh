@@ -16,6 +16,12 @@
 # Usage:
 #   DATA_ROOT=/data SMPL_PKL=/data/smpl/SMPL_MALE.pkl \
 #     MODEL=a3gc bash scripts/run_reference_protocol.sh
+#
+# The published protocol is the default. For a bounded smoke run (e.g. on
+# the synthetic raw tree from scripts/make_synthetic_raw_assets.py):
+#   EXTRA_FLAGS  — appended to BOTH train and evaluate (model geometry,
+#                  e.g. "--hu1 32 --hu2 16 --hu3 32")
+#   EXTRA_TRAIN_FLAGS — appended to train only (e.g. "--epochs 2")
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -26,6 +32,10 @@ BATCH=${BATCH:-16}            # ref: README.MD training commands use -b 16
 OUT=${OUT:-protocol_run}
 CLI="python -m a3gc_tpu.cli"
 COMMON=(--smpl "$SMPL_PKL" --data_root "$DATA_ROOT")
+# shellcheck disable=SC2206  # word-splitting of the extra flags is intended
+EXTRA=(${EXTRA_FLAGS:-})
+# shellcheck disable=SC2206
+EXTRA_TRAIN=(${EXTRA_TRAIN_FLAGS:-})
 
 mkdir -p "$OUT"
 
@@ -52,18 +62,20 @@ $CLI stats --inputs "$OUT/amass_train.npz" \
 echo "== 2/4 pretrain on synthetic AMASS (ref: train_${MODEL}_tp.py, lr 1e-3)"
 $CLI train "${COMMON[@]}" --model "$MODEL" -b "$BATCH" --lr 1e-3 \
     --norm --cda --name "${MODEL}_protocol" --save_root "$OUT/models" \
-    --train_data "$OUT/amass_train.npz" --valid_data "$OUT/amass_valid.npz"
+    --train_data "$OUT/amass_train.npz" --valid_data "$OUT/amass_valid.npz" \
+    "${EXTRA[@]}" "${EXTRA_TRAIN[@]}"
 
 echo "== 3/4 finetune on DIP-IMU (ref fine command: lr 1e-4 --norm --cda -f)"
 $CLI train "${COMMON[@]}" --model "$MODEL" -b "$BATCH" --lr 1e-4 \
     --norm --cda -f --name "${MODEL}_protocol" --save_root "$OUT/models" \
     --resume "$OUT/models/${MODEL}_protocol" \
-    --train_data "$OUT/dip_train.npz" --valid_data "$OUT/dip_valid.npz"
+    --train_data "$OUT/dip_train.npz" --valid_data "$OUT/dip_valid.npz" \
+    "${EXTRA[@]}" "${EXTRA_TRAIN[@]}"
 
 echo "== 4/4 evaluate (DIP-IMU test + TotalCapture; ref: --norm --cda)"
 $CLI evaluate "${COMMON[@]}" --model "$MODEL" --norm --cda \
     --path "$OUT/models/${MODEL}_protocol" --type finetuning \
-    --datasets "$OUT/dip_test.npz" "$OUT/tc_test.npz"
+    --datasets "$OUT/dip_test.npz" "$OUT/tc_test.npz" "${EXTRA[@]}"
 
 echo "reports in evaluation_results/; compare SIP/angular/positional rows"
 echo "against the paper's table (BASELINE.md) and the torch reference run."
