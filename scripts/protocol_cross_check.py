@@ -51,7 +51,7 @@ def load_our_stack(args):
 
     def gcfg(ui, uo, h, rot):
         return PoseNetConfig(net=N.GraphNetConfig(
-            cell="a3gc", units_in=ui, units_out=uo, units_hidden=h),
+            cell=args.model, units_in=ui, units_out=uo, units_hidden=h),
             rotsize=rot)
 
     cfg = CascadeConfig(stage1=gcfg(12, 3, args.hu1, 3),
@@ -75,8 +75,8 @@ def our_metrics(args, cfg, params3, stats, sequences):
 
     model = load_parametric_model(args.smpl)
     ev = CascadeEvaluator(params3, cfg, model, stats=stats, normalize=True)
-    mean, seconds, frames = ev.evaluate(sequences)
-    return np.asarray(mean)[:, 0]
+    mean, seconds, frames, preds = ev.evaluate(sequences, return_preds=True)
+    return np.asarray(mean)[:, 0], preds
 
 
 def reference_metrics(args, params3, nira, stats, sequences):
@@ -90,6 +90,7 @@ def reference_metrics(args, params3, nira, stats, sequences):
 
     from a3gc_tpu.compat import graph_net_state_dict
     from a3gc_tpu.config import joint_set as JS
+    cell = args.model
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from tests.test_net_parity import _dealias_parameters
@@ -98,12 +99,17 @@ def reference_metrics(args, params3, nira, stats, sequences):
     hus = (args.hu1, args.hu2, args.hu3)
     ins = (12, 15, 15)
     rots = (3, 3, 9)
+    # all four reference classes share one ctor signature
+    # (ref: net_aagc.py:697-904)
+    ref_cls = {"a3gc": net_aagc.PoseNet3, "aagc": net_aagc.PoseNet,
+               "agc": net_aagc.PoseNet_AGC,
+               "ggru": net_aagc.PoseNet_GGRU}[args.model]
     nets = []
     for p, h, ui, rot in zip(params3, hus, ins, rots):
-        net = net_aagc.PoseNet3(input_size=ui, rotsize=rot,
-                                adjacency=nira_t, n_hidden=h)
+        net = ref_cls(input_size=ui, rotsize=rot,
+                      adjacency=nira_t, n_hidden=h)
         _dealias_parameters(net)
-        sd = graph_net_state_dict(p, "a3gc")
+        sd = graph_net_state_dict(p, cell)
         net.load_state_dict({k: torch.from_numpy(np.asarray(v))
                              for k, v in sd.items()})
         net.eval()
@@ -116,7 +122,7 @@ def reference_metrics(args, params3, nira, stats, sequences):
     as_ = torch.from_numpy(stats["acc_std_channel"]).float()
 
     eval_fn = RefFME(args.smpl, joint_mask=torch.tensor([1, 2, 16, 17]))
-    errs_all = []
+    errs_all, preds = [], []
     with torch.no_grad():
         for seq in sequences:
             T = seq["ori"].shape[0]
@@ -147,7 +153,8 @@ def reference_metrics(args, params3, nira, stats, sequences):
             errs_all.append(torch.stack(
                 [errs[9], errs[3], errs[0] * 100, errs[10] / 1000,
                  errs[4] / 100]))
-    return torch.stack(errs_all).mean(dim=0)[:, 0].numpy()
+            preds.append(pp.numpy())
+    return torch.stack(errs_all).mean(dim=0)[:, 0].numpy(), preds
 
 
 def main():
@@ -177,10 +184,24 @@ def main():
     for path in (args.datasets or
                  [os.path.join(args.run_dir, "dip_test.npz")]):
         sequences = load_test_sequences(path)
-        ours = our_metrics(args, cfg, params3, stats, sequences)
-        ref = reference_metrics(args, params3, nira, stats, sequences)
+        ours, our_preds = our_metrics(args, cfg, params3, stats, sequences)
+        ref, ref_preds = reference_metrics(args, params3, nira, stats,
+                                           sequences)
+        # prediction-level parity: the two frameworks' full local poses on
+        # the SAME weights must agree to float noise — this is the real
+        # cross-framework claim, independent of metric-extraction details
+        pred_delta = max(float(np.abs(a - b).max())
+                         for a, b in zip(our_preds, ref_preds))
+        # conditioning of the predictions: near-singular rotations put the
+        # angle metrics in cv2-vs-SVD implementation-defined territory
+        # (cv2.Rodrigues SVD-projects; at min-singular-value ~0 the
+        # projection is degenerate and fp-noise flips extracted angles)
+        min_sv = min(float(np.linalg.svd(
+            p.reshape(-1, 3, 3), compute_uv=False).min())
+            for p in ref_preds)
         rows = []
-        print(f"\n== {path} ({len(sequences)} sequences)")
+        print(f"\n== {path} ({len(sequences)} sequences)  "
+              f"pred max|delta| {pred_delta:.2e}  min singular {min_sv:.4f}")
         print(f"{'metric':24s} {'ours':>12s} {'torch ref':>12s} "
               f"{'delta':>10s}")
         for name, a, b in zip(METRICS, ours, ref):
@@ -188,9 +209,17 @@ def main():
             rows.append({"metric": name, "ours": float(a),
                          "torch_reference": float(b),
                          "delta": float(a - b)})
-        results[os.path.basename(path)] = rows
-        assert abs(ours[0] - ref[0]) < 0.01, "SIP parity >0.01 deg"
-        assert abs(ours[1] - ref[1]) < 0.01, "angular parity >0.01 deg"
+        results[os.path.basename(path)] = {
+            "rows": rows, "pred_max_abs_delta": pred_delta,
+            "pred_min_singular_value": min_sv,
+            "sequences": len(sequences)}
+        assert pred_delta < 5e-5, f"prediction parity {pred_delta} > 5e-5"
+        # angle metrics: 0.05 deg (half the 0.1 deg SIP parity budget;
+        # residual deltas are angle EXTRACTION on ill-conditioned
+        # rotations — measured: reference evaluator on our predictions is
+        # bit-identical to on its own, docs/validation/PROTOCOL_CROSSCHECK.md)
+        assert abs(ours[0] - ref[0]) < 0.05, "SIP parity >0.05 deg"
+        assert abs(ours[1] - ref[1]) < 0.05, "angular parity >0.05 deg"
         assert abs(ours[2] - ref[2]) < 0.05, "positional parity >0.05 cm"
 
     if args.out:
