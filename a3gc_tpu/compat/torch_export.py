@@ -72,7 +72,7 @@ def _gcn_lstm_cell_sd(p, base: str, cell: str, out: Dict[str, np.ndarray]):
         out[f"{base}.attention_bu"] = _np(a.bu)
 
 
-def _ggru_cell_sd(p, base: str, out: Dict[str, np.ndarray]):
+def _ggru_cell_sd(p, base: str, out: Dict[str, np.ndarray], nira):
     H = p.w_in.shape[1] // 3
     for i, name in enumerate(("dense_r", "dense_u", "dense_c")):
         out[f"{base}.{name}_in.weight"] = _np(
@@ -82,13 +82,23 @@ def _ggru_cell_sd(p, base: str, out: Dict[str, np.ndarray]):
             p.w_hid[:, i * H:(i + 1) * H]).T
     out[f"{base}.gcn_kernel"] = _np(p.gcn_kernel).T
     out[f"{base}.adjacency"] = _np(p.adj).T
+    # the reference cell also registers the FIXED template as a
+    # (non-trainable, forward-unused) Parameter ``a``
+    # (ref: net_aagc.py:324) — strict load_state_dict requires the key
+    out[f"{base}.a"] = _np(nira)
 
 
 def graph_net_state_dict(params: N.GraphNetParams, cell: str,
-                         prefix: str = "pose_net."
+                         prefix: str = "pose_net.",
+                         nira: np.ndarray = None
                          ) -> Dict[str, np.ndarray]:
     r"""Reference-schema state dict of a graph net (inverse of
-    ``graph_net_params_from_state_dict``)."""
+    ``graph_net_params_from_state_dict``). ``nira`` is the fixed adjacency
+    template the net was built with (G-GRU checkpoints carry it as the
+    dead Parameter ``a``); defaults to the packaged template."""
+    if cell == "ggru" and nira is None:
+        from a3gc_tpu.data import load_adjacency_template
+        nira = load_adjacency_template()
     out: Dict[str, np.ndarray] = {}
     _graph_conv_sd(params.linear_in, f"{prefix}linear_in", out)
     for rnn, p2 in (("rnn1", params.rnn1), ("rnn2", params.rnn2)):
@@ -96,7 +106,7 @@ def graph_net_state_dict(params: N.GraphNetParams, cell: str,
             base = f"{prefix}{rnn}.directions.{d}.cell"
             p = _take_dir(p2, d)
             if cell == "ggru":
-                _ggru_cell_sd(p, base, out)
+                _ggru_cell_sd(p, base, out, nira)
             else:
                 _gcn_lstm_cell_sd(p, base, cell, out)
     _graph_conv_sd(params.linear_out, f"{prefix}linear_out", out)

@@ -209,7 +209,7 @@ def main():
             rows.append({"metric": name, "ours": float(a),
                          "torch_reference": float(b),
                          "delta": float(a - b)})
-        results[os.path.basename(path)] = {
+        results[f"{args.model}:{os.path.basename(path)}"] = {
             "rows": rows, "pred_max_abs_delta": pred_delta,
             "pred_min_singular_value": min_sv,
             "sequences": len(sequences)}
@@ -223,6 +223,9 @@ def main():
         assert abs(ours[2] - ref[2]) < 0.05, "positional parity >0.05 cm"
 
     if args.out:
+        if os.path.exists(args.out):   # merge per-model sections
+            with open(args.out) as fh:
+                results = {**json.load(fh), **results}
         with open(args.out, "w") as fh:
             json.dump(results, fh, indent=1)
         print(f"\nwrote {args.out}")

@@ -68,20 +68,27 @@ def test_tar_roundtrip(tmp_path, nira):
     _tree_equal(params, back)
 
 
-def test_reference_runs_our_export(nira, reference_path):
+@pytest.mark.parametrize("cell", ["a3gc", "aagc", "agc", "ggru"])
+def test_reference_runs_our_export(cell, nira, reference_path):
     """The torch reference net loaded with OUR exported checkpoint produces
     the same outputs as our net — the interop contract in the export
-    direction (mirror of TestTrainedCheckpointParity)."""
+    direction (mirror of TestTrainedCheckpointParity). STRICT
+    load_state_dict on every family's reference class, so a missing or
+    extra key in the exporter schema fails here (the G-GRU cell's dead
+    fixed-template Parameter ``a``, ref: net_aagc.py:324, was caught by
+    exactly this strictness)."""
     import torch
     import net_aagc
     from tests.test_net_parity import _dealias_parameters, _run_ref_net
 
-    cfg = N.GraphNetConfig(cell="a3gc", units_in=15, units_out=9,
+    cfg = N.GraphNetConfig(cell=cell, units_in=15, units_out=9,
                            units_hidden=24)
     params = N.init_graph_net(jax.random.PRNGKey(5), cfg, nira)
-    sd = graph_net_state_dict(params, "a3gc")
+    sd = graph_net_state_dict(params, cell, nira=nira)
 
-    ref = net_aagc.A3GC_net(15, 9, 24, torch.from_numpy(nira))
+    ref_cls = {"a3gc": net_aagc.A3GC_net, "aagc": net_aagc.AAGC_net,
+               "agc": net_aagc.AGC_net, "ggru": net_aagc.G_GRU_net}[cell]
+    ref = ref_cls(15, 9, 24, torch.from_numpy(nira))
     _dealias_parameters(ref)
     ref.load_state_dict({k[len("pose_net."):]: torch.from_numpy(v)
                          for k, v in sd.items()})
