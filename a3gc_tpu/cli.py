@@ -398,8 +398,8 @@ def _evaluate_dip(args, model):
     from a3gc_tpu.utils import discover_latest, restore_params
 
     cfg = PoseNetConfig(net=N.DIPConfig(
-        n_input=60, n_output=135, n_hidden=args.hu1,
-        precision=args.precision or "default"), rotsize=9)
+        n_input=60, n_output=15 * args.rotsize, n_hidden=args.hu1,
+        precision=args.precision or "default"), rotsize=args.rotsize)
     if args.torch_checkpoints:
         params = dip_params_from_state_dict(
             load_torch_checkpoint(args.torch_checkpoints[0]))

@@ -150,9 +150,13 @@ def flat_batch(raw: Dict[str, jnp.ndarray],
 
 def dip_batch(raw: Dict[str, jnp.ndarray],
               stats: Dict[str, jnp.ndarray],
-              no_root: bool = True):
+              no_root: bool = True, rotsize: int = 9):
     r"""Assemble a DIP batch (ref: datasets.py:156-168): drop the root
-    sensor's channels, normalize, concat acc‖ori.
+    sensor's channels, normalize, concat acc‖ori. ``rotsize=6`` converts
+    the stored 3x3 targets to 6D, matching the intent of train_dip.py's
+    ``--rotsize`` flag (ref: train_dip.py:35,146 — its Dataset_dip call
+    passes rotsize=, though the shipped datasets.py ctor has bit-rotted
+    and no longer accepts it).
 
     :return: (inputs [B,T,60], smpl [B,T,...])."""
     ori, acc = raw["ori"], raw["acc"]
@@ -163,7 +167,8 @@ def dip_batch(raw: Dict[str, jnp.ndarray],
         acc, am, as_ = acc[..., :-3], am[..., :-3], as_[..., :-3]
     ori = (ori - om) / os_
     acc = (acc - am) / as_
-    return jnp.concatenate((acc, ori), axis=-1), raw["pose"]
+    smpl = pose_to_r6d(raw["pose"]) if rotsize == 6 else raw["pose"]
+    return jnp.concatenate((acc, ori), axis=-1), smpl
 
 
 # ---------------------------------------------------------------------------

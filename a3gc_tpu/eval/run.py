@@ -269,8 +269,12 @@ class DipEvaluator:
             mask = (jnp.arange(imu.shape[1])[None] < n_valid).astype(
                 imu.dtype)
             out, _ = pose_net_forward(params, cfg, imu, frame_mask=mask)
+            # rotsize-aware conversion (ref: net_aagc.py:1060-1075 —
+            # n_output 90 takes the r6d path, 135 the 3x3 path)
+            rep = (3, 3) if cfg.rotsize == 9 else (cfg.rotsize,)
             pose_p = reduced_global_to_full_local(
-                out.reshape(-1, JS.n_reduced, 3, 3), self.model)
+                out.reshape((-1, JS.n_reduced) + rep), self.model,
+                rotsize=cfg.rotsize)
             eye = jnp.eye(3, dtype=pose_p.dtype)
             ign = jnp.asarray(JS.ignored)
             pose_p = pose_p.at[:, ign].set(eye)

@@ -406,7 +406,8 @@ class DIPRunner:
         def loss_fn(params, raw, rng):
             raw = dict(raw)
             weight = raw.pop("_weight", None)  # padded-tail batch (Sampler)
-            inputs, target = DP.dip_batch(raw, stats)
+            inputs, target = DP.dip_batch(raw, stats,
+                                          rotsize=stage_cfg.rotsize)
             pred, _ = pose_net_forward(_cast(params), stage_cfg,
                                        _cast(inputs), rng=rng)
             return pose_loss(
@@ -423,7 +424,8 @@ class DIPRunner:
         def eval_step(params, raw):
             raw = dict(raw)
             weight = raw.pop("_weight", None)
-            inputs, target = DP.dip_batch(raw, stats)
+            inputs, target = DP.dip_batch(raw, stats,
+                                          rotsize=stage_cfg.rotsize)
             pred, _ = pose_net_forward(_cast(params), stage_cfg,
                                        _cast(inputs))
             return pose_loss(

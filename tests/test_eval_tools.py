@@ -94,9 +94,13 @@ class TestStreaming:
 
 
 class TestDipEvaluator:
-    def test_runs_and_is_finite(self, model):
-        cfg = PoseNetConfig(net=N.DIPConfig(n_input=60, n_output=135,
-                                            n_hidden=32), rotsize=9)
+    @pytest.mark.parametrize("rotsize", [9, 6])
+    def test_runs_and_is_finite(self, model, rotsize):
+        """rotsize 9 AND 6: the reference's evaluate_dip.py defaults to a
+        6D-rotation net (ref: evaluate_dip.py:23, net_aagc.py:1068-1072)."""
+        cfg = PoseNetConfig(net=N.DIPConfig(n_input=60,
+                                            n_output=15 * rotsize,
+                                            n_hidden=32), rotsize=rotsize)
         params = init_pose_net(jax.random.PRNGKey(0), cfg)
         stats = {
             "ori_mean_channel": np.zeros(54, np.float32),
