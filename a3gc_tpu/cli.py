@@ -239,6 +239,14 @@ def _train_dip(args, tc, train, valid, steps):
         n_input=60, n_output=15 * rotsize, n_hidden=args.hu1,
         precision=args.precision or "highest"), rotsize=rotsize)
     params = init_pose_net(jax.random.PRNGKey(tc.seed), cfg)
+    if args.resume:
+        # same contract as the reference's train_dip.py:131-142: load the
+        # checkpoint's weights (finetuning restarts the epoch count)
+        from a3gc_tpu.utils import discover_latest, restore_params
+        found = discover_latest(args.resume, 1, phase=None)
+        assert found, f"no checkpoint found in {args.resume}"
+        params = restore_params(found[0], params)
+        print(f"resumed from {found[0]}")
     stats = _load_stats(args)
     assert stats is not None, "DIP training needs normalization stats"
     runner = DIPRunner(cfg, params, tc, steps, stats)

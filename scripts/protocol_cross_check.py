@@ -3,8 +3,11 @@ r"""Cross-framework protocol validation: the TORCH REFERENCE evaluates
 checkpoints TRAINED BY THIS FRAMEWORK (exported via compat/torch_export)
 on the same test set, reproducing the reference's evaluate flow
 (ref: evaluate_a3gc_tp.py:64-94 prepare_input with --norm stats, :147-187
-cascade + FullMotionEvaluator), and the two frameworks' 5-metric reports
-are compared row by row.
+cascade + FullMotionEvaluator; evaluate_tp.py:85,149-153 for the dense
+cascade; evaluate_dip.py:79-106 for the single DIP net), and the two
+frameworks' 5-metric reports are compared row by row. ``--model`` covers
+ALL SIX families: a3gc / aagc / agc / ggru (graph cascades), tp (dense
+cascade), dip (single net).
 
 This closes the loop the protocol dry run opened: not just "the protocol
 runs end-to-end here", but "a user can train HERE and deploy the weights
@@ -54,11 +57,29 @@ def load_our_stack(args):
             cell=args.model, units_in=ui, units_out=uo, units_hidden=h),
             rotsize=rot)
 
-    cfg = CascadeConfig(stage1=gcfg(12, 3, args.hu1, 3),
-                        stage2=gcfg(15, 3, args.hu2, 3),
-                        stage3=gcfg(15, 9, args.hu3, 9))
+    def dcfg(ni, no, h, rot):
+        return PoseNetConfig(net=N.DIPConfig(
+            n_input=ni, n_output=no, n_hidden=h), rotsize=rot)
+
     nira = load_adjacency_template()
     ckpt_dir = os.path.join(args.run_dir, "models", f"{args.model}_protocol")
+    if args.model == "dip":
+        # single-stage DIP (ref: train_dip.py:128, evaluate_dip.py:88)
+        cfg = dcfg(60, 135, args.hu1, 9)
+        template = init_pose_net(jax.random.PRNGKey(0), cfg)
+        found = discover_latest(ckpt_dir, 1, phase=args.phase)
+        assert found, f"no {args.phase} checkpoint in {ckpt_dir}"
+        print(f"dip: {found[0]}")
+        return cfg, (restore_params(found[0], template),), nira
+    if args.model == "tp":
+        # fixed published geometry (ref: train_tp.py:163-165)
+        cfg = CascadeConfig(stage1=dcfg(72, 15, 256, 3),
+                            stage2=dcfg(87, 69, 64, 3),
+                            stage3=dcfg(141, 135, 128, 9))
+    else:
+        cfg = CascadeConfig(stage1=gcfg(12, 3, args.hu1, 3),
+                            stage2=gcfg(15, 3, args.hu2, 3),
+                            stage3=gcfg(15, 9, args.hu3, 9))
     params3 = []
     for i, scfg in enumerate((cfg.stage1, cfg.stage2, cfg.stage3)):
         template = init_pose_net(jax.random.PRNGKey(i), scfg, nira)
@@ -70,10 +91,32 @@ def load_our_stack(args):
 
 
 def our_metrics(args, cfg, params3, stats, sequences):
-    from a3gc_tpu.eval.run import CascadeEvaluator
+    from a3gc_tpu.eval.run import CascadeEvaluator, DipEvaluator
     from a3gc_tpu.smpl import load_parametric_model
 
     model = load_parametric_model(args.smpl)
+    if args.model == "dip":
+        import jax.numpy as jnp
+        from a3gc_tpu.config import joint_set as JS
+        from a3gc_tpu.data import pipeline as DPipe
+        from a3gc_tpu.models.pipeline import (
+            pose_net_forward, reduced_global_to_full_local)
+        ev = DipEvaluator(params3[0], cfg, model, stats)
+        mean, seconds, frames = ev.evaluate(sequences)
+        preds = []
+        for seq in sequences:   # DipEvaluator has no return_preds
+            imu, _ = DPipe.dip_batch(
+                {"ori": jnp.asarray(seq["ori"])[None],
+                 "acc": jnp.asarray(seq["acc"])[None],
+                 "pose": jnp.asarray(seq["pose"])[None]},
+                {k: jnp.asarray(v) for k, v in stats.items()},
+                no_root=True)
+            out, _ = pose_net_forward(params3[0], cfg, imu)
+            pose_p = reduced_global_to_full_local(
+                out.reshape(-1, JS.n_reduced, 3, 3), model)
+            pose_p = pose_p.at[:, jnp.asarray(JS.ignored)].set(jnp.eye(3))
+            preds.append(np.asarray(pose_p))
+        return np.asarray(mean)[:, 0], preds
     ev = CascadeEvaluator(params3, cfg, model, stats=stats, normalize=True)
     mean, seconds, frames, preds = ev.evaluate(sequences, return_preds=True)
     return np.asarray(mean)[:, 0], preds
@@ -96,24 +139,46 @@ def reference_metrics(args, params3, nira, stats, sequences):
     from tests.test_net_parity import _dealias_parameters
 
     nira_t = torch.from_numpy(nira)
-    hus = (args.hu1, args.hu2, args.hu3)
-    ins = (12, 15, 15)
-    rots = (3, 3, 9)
-    # all four reference classes share one ctor signature
-    # (ref: net_aagc.py:697-904)
-    ref_cls = {"a3gc": net_aagc.PoseNet3, "aagc": net_aagc.PoseNet,
-               "agc": net_aagc.PoseNet_AGC,
-               "ggru": net_aagc.PoseNet_GGRU}[args.model]
     nets = []
-    for p, h, ui, rot in zip(params3, hus, ins, rots):
-        net = ref_cls(input_size=ui, rotsize=rot,
-                      adjacency=nira_t, n_hidden=h)
-        _dealias_parameters(net)
-        sd = graph_net_state_dict(p, cell)
+    if args.model == "dip":
+        # single DIP net, no-root 60-channel input (ref: evaluate_dip.py:
+        # 79-80,88,106)
+        from a3gc_tpu.compat import dip_state_dict
+        net = net_aagc.PoseNetDIP(rotsize=9, n_hidden=args.hu1)
+        sd = dip_state_dict(params3[0])
         net.load_state_dict({k: torch.from_numpy(np.asarray(v))
                              for k, v in sd.items()})
         net.eval()
-        nets.append(net)
+        nets = [net, None, None]
+    elif args.model == "tp":
+        # dense TransPose cascade (ref: evaluate_tp.py:116-118)
+        from a3gc_tpu.compat import dip_state_dict
+        for p, (ni, no, h) in zip(params3, ((72, 15, 256), (87, 69, 64),
+                                            (141, 135, 128))):
+            net = net_aagc.PoseNetTP(input_size=ni, n_output=no, n_hidden=h)
+            sd = dip_state_dict(p)
+            net.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                                 for k, v in sd.items()})
+            net.eval()
+            nets.append(net)
+    else:
+        hus = (args.hu1, args.hu2, args.hu3)
+        ins = (12, 15, 15)
+        rots = (3, 3, 9)
+        # all four graph reference classes share one ctor signature
+        # (ref: net_aagc.py:697-904)
+        ref_cls = {"a3gc": net_aagc.PoseNet3, "aagc": net_aagc.PoseNet,
+                   "agc": net_aagc.PoseNet_AGC,
+                   "ggru": net_aagc.PoseNet_GGRU}[args.model]
+        for p, h, ui, rot in zip(params3, hus, ins, rots):
+            net = ref_cls(input_size=ui, rotsize=rot,
+                          adjacency=nira_t, n_hidden=h)
+            _dealias_parameters(net)
+            sd = graph_net_state_dict(p, cell)
+            net.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                                 for k, v in sd.items()})
+            net.eval()
+            nets.append(net)
     net1, net2, net3 = nets
 
     om = torch.from_numpy(stats["ori_mean_channel"]).float()
@@ -128,20 +193,35 @@ def reference_metrics(args, params3, nira, stats, sequences):
             T = seq["ori"].shape[0]
             ori = (torch.from_numpy(seq["ori"]).float() - om) / os_
             acc = (torch.from_numpy(seq["acc"]).float() - am) / as_
-            # scatter 5 non-root sensors onto the graph
-            # (ref: evaluate_a3gc_tp.py:88-93)
-            x = torch.zeros((T, 15, 12))
-            inp = torch.cat((acc.view(-1, 6, 3)[:, :5],
-                             ori.view(-1, 6, 9)[:, :5]), dim=-1)
-            for i, el in enumerate([3, 4, 13, 14, 10]):
-                x[:, el] = inp[:, i]
-            x = x.unsqueeze(0)
-            # cascade (ref: evaluate_a3gc_tp.py:164-171)
-            leaf_pos, _ = net1.forward_offline(x)
-            x2 = torch.cat((x, leaf_pos.view(1, T, 15, 3)), dim=-1)
-            full_pos, _ = net2.forward_offline(x2)
-            x3 = torch.cat((x, full_pos.view(1, T, 15, 3)), dim=-1)
-            pose_p, _ = net3.forward_offline(x3)
+            if args.model == "dip":
+                # no-root input, one net (ref: evaluate_dip.py:79-80,106)
+                x = torch.cat((acc[:, :-3], ori[:, :-9]),
+                              dim=-1).unsqueeze(0)
+                pose_p, _ = net1.forward_offline(x)
+            elif args.model == "tp":
+                # flat input + flat stage concat (ref: evaluate_tp.py:85,
+                # 149-153)
+                x = torch.cat((acc, ori), dim=-1).unsqueeze(0)
+                leaf_pos, _ = net1.forward_offline(x)
+                x2 = torch.cat((x, leaf_pos), dim=-1)
+                full_pos, _ = net2.forward_offline(x2)
+                x3 = torch.cat((x, full_pos), dim=-1)
+                pose_p, _ = net3.forward_offline(x3)
+            else:
+                # scatter 5 non-root sensors onto the graph
+                # (ref: evaluate_a3gc_tp.py:88-93)
+                x = torch.zeros((T, 15, 12))
+                inp = torch.cat((acc.view(-1, 6, 3)[:, :5],
+                                 ori.view(-1, 6, 9)[:, :5]), dim=-1)
+                for i, el in enumerate([3, 4, 13, 14, 10]):
+                    x[:, el] = inp[:, i]
+                x = x.unsqueeze(0)
+                # cascade (ref: evaluate_a3gc_tp.py:164-171)
+                leaf_pos, _ = net1.forward_offline(x)
+                x2 = torch.cat((x, leaf_pos.view(1, T, 15, 3)), dim=-1)
+                full_pos, _ = net2.forward_offline(x2)
+                x3 = torch.cat((x, full_pos.view(1, T, 15, 3)), dim=-1)
+                pose_p, _ = net3.forward_offline(x3)
 
             pose_t = torch.eye(3).repeat(T, 24, 1, 1)
             pose_t[:, list(JS.reduced)] = torch.from_numpy(
