@@ -227,3 +227,41 @@ class TestInitializers:
             np.testing.assert_allclose(
                 np.asarray(fresh.linear_in.adj),
                 np.asarray(conv.linear_in.adj), atol=1e-6)
+
+
+class TestOnlineWindowParity:
+    """The ONLINE mode contract, cross-framework: both frameworks process
+    the same sequence in fixed windows with carried recurrent state — the
+    reference via its forward(imu, rnn_state) online mode (ref:
+    net_aagc.py:633-645,802-812: ONE state threads rnn1→rnn2 inside a call
+    and rnn2's final state seeds the NEXT window's rnn1), ours via
+    graph_net_apply's state carry (the StreamingCascade primitive). Outputs
+    must agree window for window — this pins the cross-window state
+    semantics that the offline parity oracles cannot see."""
+
+    @pytest.mark.parametrize("cell,ref_cls", [
+        ("a3gc", "A3GC_net"), ("aagc", "AAGC_net"),
+        ("agc", "AGC_net"), ("ggru", "G_GRU_net")])
+    def test_windowed_equals_reference_online(self, cell, ref_cls, nira,
+                                              ref_nets):
+        import torch
+        torch.manual_seed(11)
+        ref = getattr(ref_nets, ref_cls)(12, 9, 16, torch.from_numpy(nira))
+        params = graph_net_params_from_state_dict(
+            _torch_state_dict(ref), cell, prefix="")
+        cfg = N.GraphNetConfig(cell=cell, units_in=12, units_out=9,
+                               units_hidden=16)
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(1, 40, 15, 12)).astype(np.float32) * 0.5
+
+        state, h = None, None
+        ref.eval()
+        with torch.no_grad():
+            for w in range(4):
+                xw = x[:, w * 10:(w + 1) * 10]
+                ours, state = N.graph_net_apply(params, cfg,
+                                                jnp.asarray(xw), state)
+                ref_y, h = ref(torch.from_numpy(xw), h)
+                np.testing.assert_allclose(
+                    np.asarray(ours), ref_y.numpy(), atol=2e-5,
+                    err_msg=f"{cell} window {w}")
