@@ -983,7 +983,7 @@ def build_parser():
                     help="K-window lookahead (bare flag = 1): each emitted "
                          "window's backward direction also sees the next K "
                          "windows (K+1 windows of context), cutting "
-                         "streaming-vs-offline divergence; costs ~(K+2)/2x "
+                         "streaming-vs-offline divergence; costs ~(K+2)x "
                          "compute and K windows of latency")
     st.add_argument("--streams", type=int, default=None,
                     help="multiplex N independent clients through one "
@@ -1089,7 +1089,7 @@ def build_parser():
                     help="K-window lookahead: emissions lag K windows but "
                          "each emitted window's backward direction sees K "
                          "extra windows of future context (lower "
-                         "streaming-vs-offline divergence; ~(2K+1)x "
+                         "streaming-vs-offline divergence; ~(K+2)x "
                          "compute)")
     sv.add_argument("--artifact", type=str, default="",
                     help="serve from a `cli export` deployment artifact "

@@ -302,8 +302,9 @@ class StreamingCascade:
         future context, cutting streaming-vs-offline divergence. The
         carried state still advances through the oldest window alone (a
         second, plain pass), so state threading is IDENTICAL to plain
-        windowing — lookahead changes emissions only. Cost: ~(K+2)/2 ×
-        the plain per-window compute; latency: +K windows. Buffers are
+        windowing — lookahead changes emissions only. Cost: ~(K+2) ×
+        the plain per-window compute (one (K+1)·W emission pass + one
+        W advance pass per W frames emitted); latency: +K windows. Buffers are
         PER SLOT, so ``active`` masking (dynamic batching) and per-stream
         reset compose: an idle slot's buffer and state are untouched; a
         reset slot re-warms from empty. The reference's online mode has

@@ -17,6 +17,12 @@ Protocol (JSON over HTTP):
   POST /v1/session                  → {"slot": i, "window": W}   (acquire)
   POST /v1/step {"slot", "ori" [W,54], "acc" [W,18]}
                                     → {"pose": [W,24,3,3]}
+  POST /v1/flush {"slot": i}        → {"pose": [f·W,24,3,3], "frames": f·W}
+                                      (lookahead mode: drain the slot's K
+                                      buffered windows as one continuous
+                                      chunk — call before DELETE or the
+                                      tail is discarded; the slot stays
+                                      active and re-warms from empty)
   DELETE /v1/session/<slot>         → {}                  (reset + release)
   GET  /v1/stats                    → tick/request counters, tick latency
   POST /v1/reload                   → re-discover + hot-swap checkpoints
@@ -64,6 +70,8 @@ class _Batcher:
         self.pending = {}           # slot -> (ori, acc)
         self.results = {}           # slot -> pose | ("error", msg)
         self.releasing = set()      # slots whose reset the dispatcher owes
+        self.flushing = set()       # slots whose lookahead-tail drain the
+                                    # dispatcher owes (see flush())
         self.reload_queue = []      # [(params3, applied_event)] FIFO: each
                                     # requester waits on ITS OWN event, so
                                     # concurrent reloads can't report a
@@ -106,6 +114,31 @@ class _Batcher:
                     or slot in self.releasing:
                 raise ValueError(f"slot {slot} is not an active session")
             self.pending[slot] = (ori, acc)
+            self.cond.notify_all()
+            while slot not in self.results:
+                self.cond.wait(timeout=0.1)
+                if self.stop:
+                    raise RuntimeError("server shutting down")
+            out = self.results.pop(slot)
+            if isinstance(out, tuple) and out[0] == "error":
+                raise RuntimeError(out[1])
+            return out
+
+    def flush(self, slot: int):
+        r"""Drain slot's buffered lookahead tail: one offline-equivalent
+        cascade pass over its un-emitted windows from the carried state
+        (see ``StreamingCascade.flush``). Runs ON the dispatcher thread,
+        serialized with device steps. Returns the tail pose array
+        [f·W, 24, 3, 3] (f ≤ K windows) or None if nothing is buffered
+        (plain-windowed servers, or a slot still warming up after 0
+        windows). The slot stays active and re-warms from empty."""
+        with self.cond:
+            if not (0 <= slot < self.S) or slot in self.free \
+                    or slot in self.releasing:
+                raise ValueError(f"slot {slot} is not an active session")
+            if slot in self.pending or slot in self.flushing:
+                raise ValueError(f"slot {slot} has a request in flight")
+            self.flushing.add(slot)
             self.cond.notify_all()
             while slot not in self.results:
                 self.cond.wait(timeout=0.1)
@@ -169,7 +202,8 @@ class _Batcher:
         while True:
             with self.cond:
                 while (not self.pending and not self.releasing
-                       and not self.reload_queue and not self.stop):
+                       and not self.flushing and not self.reload_queue
+                       and not self.stop):
                     self.cond.wait(timeout=0.1)
                 if self.stop:
                     return
@@ -187,13 +221,31 @@ class _Batcher:
                 # same thread as device steps — no state/result races
                 for slot in sorted(self.releasing):
                     self.sess.reset(stream=slot)
-                    had_pending = self.pending.pop(slot, None) is not None
+                    had_req = self.pending.pop(slot, None) is not None
+                    had_req |= slot in self.flushing
+                    self.flushing.discard(slot)
                     self.results.pop(slot, None)
-                    if had_pending:   # un-hang a step racing the release
+                    if had_req:  # un-hang a step/flush racing the release
                         self.results[slot] = ("error", "session released")
                     self.free.add(slot)
                 if self.releasing:
                     self.releasing.clear()
+                    self.cond.notify_all()
+                # owed lookahead-tail drains: like resets, these run here
+                # (serialized with device steps) so a flush can neither
+                # race a tick on the carried state nor see a mid-swap
+                # param mix; other slots' buffers/state are untouched
+                if self.flushing:
+                    for slot in sorted(self.flushing):
+                        try:
+                            tail = self.sess.flush(stream=slot)
+                        except Exception as e:  # transient device errors
+                            self.results[slot] = (
+                                "error", f"flush failed: {e!r}")
+                        else:
+                            self.results[slot] = tail
+                        self.n_requests += 1
+                    self.flushing.clear()
                     self.cond.notify_all()
                 if not self.pending:
                     continue
@@ -322,6 +374,42 @@ class PoseServer:
                             "error": "server shutting down; reload not "
                                      "applied"})
                     return self._json(200, {"reloaded": True})
+                if self.path == "/v1/flush":
+                    # drain a slot's buffered lookahead tail (the last K
+                    # windows would otherwise be discarded by DELETE)
+                    n = int(self.headers.get("Content-Length", 0))
+                    binary = (self.headers.get("Content-Type", "")
+                              == "application/octet-stream")
+                    try:
+                        raw = self.rfile.read(n)
+                        if binary:
+                            if len(raw) != 4:
+                                raise ValueError("need 4 bytes: uint32 slot")
+                            slot = int(np.frombuffer(raw, "<u4", 1)[0])
+                        else:
+                            slot = int(json.loads(raw)["slot"])
+                        tail = (batcher.flush(slot) if batcher.lookahead
+                                else None)   # plain windowing buffers nothing
+                    except (KeyError, ValueError, TypeError) as e:
+                        return self._json(400, {"error": str(e)})
+                    except RuntimeError as e:
+                        return self._json(500, {"error": str(e)})
+                    if binary:
+                        body = (b"" if tail is None else
+                                np.ascontiguousarray(
+                                    tail, dtype="<f4").tobytes())
+                        self.send_response(200)
+                        self.send_header("Content-Type",
+                                         "application/octet-stream")
+                        self.send_header("X-Frames", str(
+                            0 if tail is None else len(tail)))
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
+                    return self._json(200, {
+                        "pose": [] if tail is None else tail.tolist(),
+                        "frames": 0 if tail is None else len(tail)})
                 if self.path == "/v1/step":
                     n = int(self.headers.get("Content-Length", 0))
                     binary = (self.headers.get("Content-Type", "")

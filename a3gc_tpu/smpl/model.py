@@ -43,10 +43,18 @@ class StaticArray:
     ``__array__``, matching how ``faces`` is consumed.
     """
 
-    __slots__ = ("a",)
+    __slots__ = ("a", "_digest", "_hash")
 
     def __init__(self, a):
         self.a = np.asarray(a)
+        # jit treedef hashing hits __hash__ on every dispatch; hashing
+        # the raw buffer there would copy ~165 KB of faces per call, so
+        # digest once up front (sha1 collisions are not a concern for
+        # cache-key equality of trusted local data)
+        import hashlib
+        self._digest = hashlib.sha1(
+            np.ascontiguousarray(self.a).tobytes()).digest()
+        self._hash = hash((self.a.shape, str(self.a.dtype), self._digest))
 
     def __array__(self, dtype=None, copy=None):
         return self.a if dtype is None else self.a.astype(dtype)
@@ -59,10 +67,10 @@ class StaticArray:
             return NotImplemented
         return (self.a.shape == other.a.shape
                 and self.a.dtype == other.a.dtype
-                and self.a.tobytes() == other.a.tobytes())
+                and self._digest == other._digest)
 
     def __hash__(self):
-        return hash((self.a.shape, self.a.tobytes()))
+        return self._hash
 
 
 @struct.dataclass

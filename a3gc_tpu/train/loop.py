@@ -220,6 +220,18 @@ def stage_inputs_flat(batch, stage: int, train: bool):
 # per-stage runner
 # ---------------------------------------------------------------------------
 
+def _mesh_eval_chunk(eval_b: int, mesh) -> int:
+    r"""Eval chunks flow through ``shard_batch``: their leading axis must
+    divide evenly over the mesh 'data' axis, so round the chunk size down
+    to a multiple of it (minimum one sample per data shard). Without this
+    a ``--mesh --eval_batch`` run would crash at the first validation
+    pass — after a full training epoch's work."""
+    if mesh is None:
+        return eval_b
+    d = mesh.shape.get("data", 1)
+    return max(d, eval_b // d * d)
+
+
 class StageRunner:
     r"""Owns the jitted train/eval steps of one cascade stage."""
 
@@ -281,6 +293,11 @@ class StageRunner:
         assert train_cfg.batch_size % train_cfg.accum_steps == 0, (
             f"accum_steps={train_cfg.accum_steps} must divide "
             f"batch_size={train_cfg.batch_size}")
+        if mesh is not None:
+            d = mesh.shape.get("data", 1)
+            assert train_cfg.batch_size % d == 0, (
+                f"batch_size={train_cfg.batch_size} must divide evenly "
+                f"over the mesh data axis ({d} devices)")
         self.train_step = _make_train_step(loss_fn, self.optimizer,
                                            train_cfg.accum_steps)
 
@@ -299,8 +316,9 @@ class StageRunner:
                 sample_weight=weight)
 
         self.eval_step = eval_step
-        self._eval_b = (train_cfg.eval_batch_size
-                        or min(train_cfg.batch_size, 128))
+        self._eval_b = _mesh_eval_chunk(
+            train_cfg.eval_batch_size or min(train_cfg.batch_size, 128),
+            mesh)
 
     def _put(self, raw: Dict[str, np.ndarray]):
         if self.mesh is not None:
@@ -417,6 +435,11 @@ class DIPRunner:
         assert train_cfg.batch_size % train_cfg.accum_steps == 0, (
             f"accum_steps={train_cfg.accum_steps} must divide "
             f"batch_size={train_cfg.batch_size}")
+        if mesh is not None:
+            d = mesh.shape.get("data", 1)
+            assert train_cfg.batch_size % d == 0, (
+                f"batch_size={train_cfg.batch_size} must divide evenly "
+                f"over the mesh data axis ({d} devices)")
         self.train_step = _make_train_step(loss_fn, self.optimizer,
                                            train_cfg.accum_steps)
 
@@ -433,8 +456,9 @@ class DIPRunner:
                 sample_weight=weight)
 
         self.eval_step = eval_step
-        self._eval_b = (train_cfg.eval_batch_size
-                        or min(train_cfg.batch_size, 128))
+        self._eval_b = _mesh_eval_chunk(
+            train_cfg.eval_batch_size or min(train_cfg.batch_size, 128),
+            mesh)
 
     train_epoch = StageRunner.train_epoch
     eval_epoch = StageRunner.eval_epoch

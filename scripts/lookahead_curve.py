@@ -94,8 +94,7 @@ def main():
         rows.append({"K": K, "mean_deg": round(float(a.mean()), 3),
                      "p95_deg": round(float(np.percentile(a, 95)), 3),
                      "max_deg": round(float(a.max()), 3),
-                     "relative_compute": round((K + 2) / 2, 1) if K
-                     else 1.0})
+                     "relative_compute": float(K + 2) if K else 1.0})
         print(rows[-1])
 
     os.makedirs(OUT, exist_ok=True)

@@ -32,7 +32,7 @@ TRAINED = "/root/reference/trained_models"
 
 T = 600
 N_SEQ = 4
-# (S, K) grid: latency = (K+1)*S frames, compute = (K+1)x.
+# (S, K) grid: latency = (K+1)*S frames, compute = (K+2)x for K>0.
 GRID = (
     (60, 0),            # plain 1-second windowing (the serving default)
     (120, 0),           # bigger windows, same 1x compute

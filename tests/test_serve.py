@@ -441,3 +441,70 @@ class TestLookaheadServing:
             assert st["lookahead"] == K
         finally:
             srv.shutdown()
+
+    def test_flush_drains_buffered_tail(self, setup, model):
+        """POST /v1/flush returns the K buffered windows as one chunk ==
+        an independent session's flush(); the slot then re-warms from
+        empty. A plain-windowed server answers flush with 0 frames."""
+        from a3gc_tpu.eval.streaming import StreamingCascade
+        from a3gc_tpu.serve import PoseServer
+        from scipy.spatial.transform import Rotation
+
+        cfg, params3 = setup
+        W, K, n_windows = 5, 2, 4
+        srv = PoseServer(params3, cfg, model, window=W, streams=2, port=0,
+                         max_wait_ms=2.0, lookahead=K)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        addr = srv.address
+        try:
+            rng = np.random.default_rng(17)
+            ori = Rotation.random(n_windows * W * 6, random_state=18
+                                  ).as_matrix().reshape(
+                n_windows * W, 54).astype(np.float32)
+            acc = rng.normal(scale=0.5, size=(n_windows * W, 18)
+                             ).astype(np.float32)
+
+            ref = StreamingCascade(params3, cfg, model, window=W,
+                                   lookahead=K)
+            _, info = _request(addr, "POST", "/v1/session")
+            slot = info["slot"]
+            for w in range(n_windows):
+                sl = slice(w * W, (w + 1) * W)
+                _request(addr, "POST", "/v1/step", {
+                    "slot": slot, "ori": ori[sl].tolist(),
+                    "acc": acc[sl].tolist()})
+                ref.step(ori[sl], acc[sl])
+
+            st, out = _request(addr, "POST", "/v1/flush", {"slot": slot})
+            assert st == 200 and out["frames"] == K * W, out
+            expect = ref.flush()
+            np.testing.assert_allclose(
+                np.asarray(out["pose"], np.float32), expect, atol=2e-5)
+
+            # drained slot stays active and re-warms from empty
+            st, out = _request(addr, "POST", "/v1/step", {
+                "slot": slot, "ori": ori[:W].tolist(),
+                "acc": acc[:W].tolist()})
+            assert st == 202 and out.get("warmup"), out
+            # second flush: only 1 window buffered -> f*W frames
+            st, out = _request(addr, "POST", "/v1/flush", {"slot": slot})
+            assert st == 200 and out["frames"] == W, out
+            st, _ = _request(addr, "DELETE", f"/v1/session/{slot}")
+            assert st == 200
+
+            # invalid slot -> 400
+            st, err = _request(addr, "POST", "/v1/flush", {"slot": 999})
+            assert st == 400 and "error" in err
+        finally:
+            srv.shutdown()
+
+        plain = PoseServer(params3, cfg, model, window=W, streams=1,
+                           port=0)
+        threading.Thread(target=plain.serve_forever, daemon=True).start()
+        try:
+            _, info = _request(plain.address, "POST", "/v1/session")
+            st, out = _request(plain.address, "POST", "/v1/flush",
+                               {"slot": info["slot"]})
+            assert st == 200 and out["frames"] == 0 and out["pose"] == []
+        finally:
+            plain.shutdown()

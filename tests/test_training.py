@@ -173,6 +173,30 @@ class TestShardedTraining:
         p2 = np.asarray(r_single.state.params.linear_in.kernel)
         np.testing.assert_allclose(p1, p2, atol=1e-5)
 
+    def test_mesh_eval_chunk_rounds_to_data_axis(self, nira, packed):
+        """--eval_batch not divisible by the mesh data axis must not crash
+        the validation pass: the chunk size rounds to a multiple of the
+        axis, and the chunked loss still equals the unsharded one."""
+        mesh = make_mesh(MeshConfig(data=8, model=1))
+        cfg, params = make_stage(1, nira, hidden=8)
+        tc = TrainConfig(batch_size=8, eval_batch_size=5)   # 5 % 8 != 0
+        r_mesh = StageRunner(1, cfg, params, tc, steps_per_epoch=1,
+                             mesh=mesh)
+        assert r_mesh._eval_b == 8          # rounded up to one per shard
+        l_mesh = r_mesh.eval_epoch(DP.Sampler(packed, 8, shuffle=False))
+        r_single = StageRunner(1, cfg, params,
+                               TrainConfig(batch_size=8, eval_batch_size=5),
+                               steps_per_epoch=1)
+        l_single = r_single.eval_epoch(DP.Sampler(packed, 8, shuffle=False))
+        assert np.isfinite(l_mesh)
+        assert abs(l_mesh - l_single) < 1e-5
+
+        # batch_size itself must divide over the data axis — caught at
+        # construction, not at the first sharded step
+        with pytest.raises(AssertionError, match="mesh data axis"):
+            StageRunner(1, cfg, params, TrainConfig(batch_size=6),
+                        steps_per_epoch=1, mesh=mesh)
+
     def test_tp_sharded_equals_single_device(self, nira, packed):
         """DP×TP (4×2) mesh: the gate kernels are split over 'model'
         (param_sharding) and the result must equal single-device training."""
