@@ -211,13 +211,24 @@ def cmd_train(args):
     os.makedirs(save_dir, exist_ok=True)
     log = JsonlLogger(os.path.join(save_dir, "train_log.jsonl"))
 
+    train_dev = valid_dev = None
+    if args.device_data:
+        assert mesh is None, (
+            "--device_data is single-device (per-batch gathers would "
+            "cross data shards) — drop it or --mesh/--tp")
+        train_dev = DPipe.put_device(train)
+        valid_dev = (train_dev if valid is train
+                     else DPipe.put_device(valid))
+
     run_cascade_training(
         runners,
         lambda salt: DPipe.Sampler(train, tc.batch_size, shuffle=True,
                                    seed=(tc.seed, salt),
-                                   pad_remainder=True),
+                                   pad_remainder=True,
+                                   device_data=train_dev),
         lambda: DPipe.Sampler(valid, tc.batch_size, shuffle=False,
-                              pad_remainder=True),
+                              pad_remainder=True,
+                              device_data=valid_dev),
         tc,
         save_fn=lambda st, ep, p: save_params(
             p, save_dir, st, ep, finetuning=tc.finetuning),
@@ -254,15 +265,21 @@ def _train_dip(args, tc, train, valid, steps):
     save_dir = os.path.join(args.save_root, args.name)
     os.makedirs(save_dir, exist_ok=True)
     log = JsonlLogger(os.path.join(save_dir, "train_log.jsonl"))
+    train_dev = valid_dev = None
+    if args.device_data:
+        train_dev = DPipe.put_device(train)
+        valid_dev = (train_dev if valid is train
+                     else DPipe.put_device(valid))
     best, tol = float("inf"), 0
     for epoch in range(tc.start_epoch, tc.max_epochs):
         train_loss = runner.train_epoch(
             DPipe.Sampler(train, tc.batch_size, shuffle=True,
-                          seed=(tc.seed, epoch), pad_remainder=True),
+                          seed=(tc.seed, epoch), pad_remainder=True,
+                          device_data=train_dev),
             jax.random.fold_in(jax.random.PRNGKey(tc.seed), epoch))
         valid_loss = runner.eval_epoch(
             DPipe.Sampler(valid, tc.batch_size, shuffle=False,
-                          pad_remainder=True))
+                          pad_remainder=True, device_data=valid_dev))
         log({"stage": 1, "epoch": epoch, "train_loss": train_loss,
              "valid_loss": valid_loss})
         if valid_loss < best:
@@ -930,6 +947,13 @@ def build_parser():
     t.add_argument("--save_root", type=str, default="trained_models")
     t.add_argument("--train_data", type=str, required=True)
     t.add_argument("--valid_data", type=str, required=True)
+    t.add_argument("--device_data", action="store_true",
+                   help="upload the train+valid corpora to device HBM "
+                        "once and gather batches by index inside the "
+                        "jitted step — removes the per-step host->device "
+                        "batch transfer (the feed-bound epoch regime at "
+                        "large B; see docs/PERFORMANCE.md). Costs "
+                        "corpus-size HBM; single-device only (no --mesh)")
     t.add_argument("--mesh", action="store_true",
                    help="shard the batch over all visible devices")
     t.add_argument("--tp", type=int, default=1,

@@ -32,7 +32,7 @@ from a3gc_tpu.ops import rotations as R
 
 __all__ = [
     "normalize_imu", "scatter_graph_inputs", "graph_batch", "flat_batch",
-    "dip_batch", "Sampler", "load_packed", "GraphBatch",
+    "dip_batch", "Sampler", "load_packed", "put_device", "GraphBatch",
 ]
 
 
@@ -181,17 +181,38 @@ def load_packed(path: str) -> Dict[str, np.ndarray]:
         return {k: z[k] for k in z.files}
 
 
+def put_device(data: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    r"""Upload a packed corpus to device memory ONCE, for device-resident
+    training (``Sampler(device_data=...)`` / ``cli train --device_data``):
+    epochs then gather batches BY INDEX inside the jitted step, so the
+    per-step host→device traffic drops from tens of MB (the whole batch)
+    to a [B] int32 index vector. This is the fix for the feed-bound epoch
+    regime measured in docs/validation/TRAIN_FULLSCALE.md (epoch wall 2-6×
+    the device-step time at B=256). Costs corpus-size HBM on top of the
+    training working set — AMASS-scale (10k × 300-frame chunks) ≈ 3.2 GB
+    fp32. Arrays already on device pass through untouched, so one upload
+    can be shared by several samplers/runners."""
+    return {k: (v if isinstance(v, jax.Array) else
+                jax.device_put(np.ascontiguousarray(v)))
+            for k, v in data.items()}
+
+
 class Sampler:
     r"""Epoch sampler over a packed dataset: shuffles sequence indices and
     yields raw [B, T, ...] numpy slices. Replaces the reference's 4-worker
     DataLoader (ref: train_a3gc_tp.py:209-211) — there is nothing to
     parallelize on host since all math moved on-device; slicing contiguous
     numpy is memory-bandwidth only.
+
+    With ``device_data`` (a :func:`put_device` upload of the SAME packed
+    dict) the epoch loops in ``train.loop`` switch to the device-resident
+    path: they draw ``iter_indices()`` and gather on device, and the host
+    arrays here are never materialized into batches.
     """
 
     def __init__(self, data: Dict[str, np.ndarray], batch_size: int,
                  shuffle: bool = True, drop_remainder: bool = True,
-                 seed=0, pad_remainder: bool = False):
+                 seed=0, pad_remainder: bool = False, device_data=None):
         # ``seed`` is anything np.random.default_rng accepts; the training
         # driver passes (base_seed, epoch_salt) so each epoch reshuffles
         # like the reference's DataLoader(shuffle=True) while staying
@@ -206,12 +227,17 @@ class Sampler:
         # reproduce the native-size mean exactly. Full batches carry all-1
         # weights so the jitted step sees ONE input structure.
         self.data = data
+        self.device_data = device_data
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.pad_remainder = pad_remainder
         self.drop_remainder = drop_remainder and not pad_remainder
         self._rng = np.random.default_rng(seed)
         self.n = len(next(iter(data.values())))
+        if device_data is not None:
+            nd = len(next(iter(device_data.values())))
+            assert nd == self.n and set(device_data) == set(data), (
+                "device_data must be put_device() of the same packed dict")
         if self.drop_remainder and self.n < batch_size:
             raise ValueError(
                 f"batch_size {batch_size} exceeds the dataset's "
@@ -225,7 +251,12 @@ class Sampler:
             return self.n // self.batch_size
         return -(-self.n // self.batch_size)
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def iter_indices(self) -> Iterator[Tuple[np.ndarray,
+                                             Optional[np.ndarray]]]:
+        r"""The epoch's batch INDEX stream: yields ``(take [B] int, weight
+        [B] f32 | None)`` with the identical permutation/padding logic as
+        ``__iter__`` (which is implemented on top of this) — the contract
+        the device-resident path relies on for host==device equality."""
         idx = np.arange(self.n)
         if self.shuffle:
             self._rng.shuffle(idx)
@@ -234,7 +265,7 @@ class Sampler:
         for s in range(0, stop, self.batch_size):
             take = idx[s:s + self.batch_size]
             if not self.pad_remainder:
-                yield {k: v[take] for k, v in self.data.items()}
+                yield take, None
                 continue
             n_real = len(take)
             if n_real < self.batch_size:
@@ -242,6 +273,11 @@ class Sampler:
                     [take, np.resize(idx, self.batch_size - n_real)])
             w = np.zeros(self.batch_size, np.float32)
             w[:n_real] = 1.0
+            yield take, w
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for take, w in self.iter_indices():
             out = {k: v[take] for k, v in self.data.items()}
-            out["_weight"] = w
+            if w is not None:
+                out["_weight"] = w
             yield out

@@ -66,7 +66,8 @@ def _donate_state():
     return () if jax.config.jax_debug_nans else (0,)
 
 
-def _make_train_step(loss_fn, optimizer, accum_steps: int = 1):
+def _make_train_step(loss_fn, optimizer, accum_steps: int = 1,
+                     gather: bool = False):
     r"""Build the jitted per-batch train step.
 
     ``accum_steps=1``: one fused program — value_and_grad + Adam update.
@@ -87,8 +88,31 @@ def _make_train_step(loss_fn, optimizer, accum_steps: int = 1):
     :class:`a3gc_tpu.data.pipeline.Sampler`) microbatch gradients combine
     weighted by their real-sample counts — the result is exactly the
     weighted-mean gradient of the whole batch, even when the pad samples
-    land unevenly across microbatches."""
+    land unevenly across microbatches.
+
+    ``gather=True`` builds the device-resident-corpus variant: signature
+    ``(state, data, take, weight, rng)`` where ``data`` is a
+    :func:`a3gc_tpu.data.pipeline.put_device` upload and ``take`` a [B]
+    index vector — the batch is gathered ON DEVICE, so the per-step
+    host→device transfer is just the indices (see ``--device_data``)."""
+    def _gathered(data, take, weight):
+        raw = {k: v[take] for k, v in data.items()}
+        if weight is not None:
+            raw["_weight"] = weight
+        return raw
+
     if accum_steps == 1:
+        if gather:
+            @partial(jax.jit, donate_argnums=_donate_state())
+            def train_step(state: TrainState, data, take, weight, rng):
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    state.params, _gathered(data, take, weight), rng)
+                updates, opt_state = optimizer.update(
+                    grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                return TrainState(params, opt_state, state.step + 1), loss
+            return train_step
+
         @partial(jax.jit, donate_argnums=_donate_state())
         def train_step(state: TrainState, raw, rng):
             loss, grads = jax.value_and_grad(loss_fn)(state.params, raw,
@@ -99,8 +123,7 @@ def _make_train_step(loss_fn, optimizer, accum_steps: int = 1):
             return TrainState(params, opt_state, state.step + 1), loss
         return train_step
 
-    @partial(jax.jit, donate_argnums=_donate_state())
-    def train_step(state: TrainState, raw, rng):
+    def _accum_step(state: TrainState, raw, rng):
         k = accum_steps
         weighted = "_weight" in raw         # static per input structure
         micro = jax.tree_util.tree_map(
@@ -128,7 +151,13 @@ def _make_train_step(loss_fn, optimizer, accum_steps: int = 1):
         params = optax.apply_updates(state.params, updates)
         return (TrainState(params, opt_state, state.step + 1),
                 loss_sum / w_sum)
-    return train_step
+
+    if gather:
+        @partial(jax.jit, donate_argnums=_donate_state())
+        def train_step(state: TrainState, data, take, weight, rng):
+            return _accum_step(state, _gathered(data, take, weight), rng)
+        return train_step
+    return partial(jax.jit, donate_argnums=_donate_state())(_accum_step)
 
 
 def _make_caster(train_cfg: TrainConfig):
@@ -300,6 +329,9 @@ class StageRunner:
                 f"over the mesh data axis ({d} devices)")
         self.train_step = _make_train_step(loss_fn, self.optimizer,
                                            train_cfg.accum_steps)
+        self.train_step_dev = _make_train_step(loss_fn, self.optimizer,
+                                               train_cfg.accum_steps,
+                                               gather=True)
 
         @jax.jit
         def eval_step(params, raw):
@@ -315,7 +347,15 @@ class StageRunner:
                 pred.reshape(target.shape).astype(jnp.float32), target,
                 sample_weight=weight)
 
+        @jax.jit
+        def eval_step_dev(params, data, take, weight):
+            raw = {k: v[take] for k, v in data.items()}
+            if weight is not None:
+                raw["_weight"] = weight
+            return eval_step(params, raw)
+
         self.eval_step = eval_step
+        self.eval_step_dev = eval_step_dev
         self._eval_b = _mesh_eval_chunk(
             train_cfg.eval_batch_size or min(train_cfg.batch_size, 128),
             mesh)
@@ -334,10 +374,23 @@ class StageRunner:
         # feed pipeline overlap compute — on a relay-attached TPU the
         # difference is the whole transfer time per step.
         losses = []
-        for i, raw in enumerate(sampler):
-            self.state, loss = self.train_step(
-                self.state, self._put(raw), jax.random.fold_in(rng, i))
-            losses.append(loss)
+        dd = getattr(sampler, "device_data", None)
+        if dd is not None:
+            # device-resident corpus: gather by index inside the step —
+            # the per-step host→device transfer is a [B] index vector
+            assert self.mesh is None, (
+                "device-resident data is single-device: per-batch gathers "
+                "would cross data shards — drop --device_data or --mesh")
+            for i, (take, w) in enumerate(sampler.iter_indices()):
+                self.state, loss = self.train_step_dev(
+                    self.state, dd, jnp.asarray(take, jnp.int32), w,
+                    jax.random.fold_in(rng, i))
+                losses.append(loss)
+        else:
+            for i, raw in enumerate(sampler):
+                self.state, loss = self.train_step(
+                    self.state, self._put(raw), jax.random.fold_in(rng, i))
+                losses.append(loss)
         if not losses:
             return 0.0
         return float(jnp.mean(jnp.stack(losses)))
@@ -353,18 +406,38 @@ class StageRunner:
         dataset's native size — the reference's drop_last=False
         validation semantics (ref: train_a3gc_tp.py:218-221)."""
         losses, weights = [], []
-        for raw in sampler:
-            B = len(next(iter(raw.values())))
-            w_all = raw.get("_weight")
-            for s in range(0, B, self._eval_b):
-                chunk = {k: v[s:s + self._eval_b] for k, v in raw.items()}
-                n = (float(w_all[s:s + self._eval_b].sum())
-                     if w_all is not None else min(self._eval_b, B - s))
-                if n == 0:
-                    continue    # all-pad chunk: nothing real to score
-                losses.append(self.eval_step(self.state.params,
-                                             self._put(chunk)))
-                weights.append(n)
+        dd = getattr(sampler, "device_data", None)
+        if dd is not None:
+            assert self.mesh is None, (
+                "device-resident data is single-device: per-batch gathers "
+                "would cross data shards — drop --device_data or --mesh")
+            for take, w_all in sampler.iter_indices():
+                B = len(take)
+                for s in range(0, B, self._eval_b):
+                    tk = take[s:s + self._eval_b]
+                    wc = None if w_all is None else w_all[s:s + self._eval_b]
+                    n = (float(wc.sum()) if wc is not None
+                         else min(self._eval_b, B - s))
+                    if n == 0:
+                        continue
+                    losses.append(self.eval_step_dev(
+                        self.state.params, dd, jnp.asarray(tk, jnp.int32),
+                        wc))
+                    weights.append(n)
+        else:
+            for raw in sampler:
+                B = len(next(iter(raw.values())))
+                w_all = raw.get("_weight")
+                for s in range(0, B, self._eval_b):
+                    chunk = {k: v[s:s + self._eval_b]
+                             for k, v in raw.items()}
+                    n = (float(w_all[s:s + self._eval_b].sum())
+                         if w_all is not None else min(self._eval_b, B - s))
+                    if n == 0:
+                        continue    # all-pad chunk: nothing real to score
+                    losses.append(self.eval_step(self.state.params,
+                                                 self._put(chunk)))
+                    weights.append(n)
         if not losses:
             return 0.0
         w = jnp.asarray(weights, jnp.float32)
@@ -442,6 +515,9 @@ class DIPRunner:
                 f"over the mesh data axis ({d} devices)")
         self.train_step = _make_train_step(loss_fn, self.optimizer,
                                            train_cfg.accum_steps)
+        self.train_step_dev = _make_train_step(loss_fn, self.optimizer,
+                                               train_cfg.accum_steps,
+                                               gather=True)
 
         @jax.jit
         def eval_step(params, raw):
@@ -455,7 +531,15 @@ class DIPRunner:
                 pred.reshape(target.shape).astype(jnp.float32), target,
                 sample_weight=weight)
 
+        @jax.jit
+        def eval_step_dev(params, data, take, weight):
+            raw = {k: v[take] for k, v in data.items()}
+            if weight is not None:
+                raw["_weight"] = weight
+            return eval_step(params, raw)
+
         self.eval_step = eval_step
+        self.eval_step_dev = eval_step_dev
         self._eval_b = _mesh_eval_chunk(
             train_cfg.eval_batch_size or min(train_cfg.batch_size, 128),
             mesh)

@@ -144,6 +144,83 @@ class TestCascadeDriver:
         assert epoch == 7
 
 
+class TestDeviceResidentData:
+    """--device_data: the corpus lives in device memory and batches are
+    gathered by index inside the jitted step — must train/evaluate
+    EXACTLY like the host-fed path (same permutations, same rng)."""
+
+    def test_train_epoch_matches_host(self, nira, packed):
+        cfg, params = make_stage(2, nira, hidden=8)   # stage 2: exercises
+        tc = TrainConfig(batch_size=3, lr=1e-3)       # teacher-forcing rng
+        dd = DP.put_device(packed)
+        r_host = StageRunner(2, cfg, params, tc, steps_per_epoch=3)
+        r_dev = StageRunner(2, cfg, params, tc, steps_per_epoch=3)
+
+        def sampler(dev):
+            return DP.Sampler(packed, 3, seed=(0, 1), pad_remainder=True,
+                              device_data=dd if dev else None)
+
+        l_h = r_host.train_epoch(sampler(False), jax.random.PRNGKey(0))
+        l_d = r_dev.train_epoch(sampler(True), jax.random.PRNGKey(0))
+        assert abs(l_h - l_d) < 1e-5           # incl. the padded tail batch
+        for a, b in zip(jax.tree_util.tree_leaves(r_host.state.params),
+                        jax.tree_util.tree_leaves(r_dev.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+    def test_eval_epoch_chunked_matches_host(self, nira, packed):
+        cfg, params = make_stage(1, nira, hidden=8)
+        tc = TrainConfig(batch_size=3, eval_batch_size=2)  # forces chunking
+        dd = DP.put_device(packed)
+        r = StageRunner(1, cfg, params, tc, steps_per_epoch=3)
+        e_h = r.eval_epoch(DP.Sampler(packed, 3, shuffle=False,
+                                      pad_remainder=True))
+        e_d = r.eval_epoch(DP.Sampler(packed, 3, shuffle=False,
+                                      pad_remainder=True, device_data=dd))
+        assert abs(e_h - e_d) < 1e-6
+
+    def test_accum_composes_with_device_data(self, nira, packed):
+        cfg, params = make_stage(1, nira, hidden=8)
+        tc = TrainConfig(batch_size=4, lr=1e-3, accum_steps=2)
+        dd = DP.put_device(packed)
+        r_host = StageRunner(1, cfg, params, tc, steps_per_epoch=2)
+        r_dev = StageRunner(1, cfg, params, tc, steps_per_epoch=2)
+        l_h = r_host.train_epoch(DP.Sampler(packed, 4, seed=7),
+                                 jax.random.PRNGKey(1))
+        l_d = r_dev.train_epoch(DP.Sampler(packed, 4, seed=7,
+                                           device_data=dd),
+                                jax.random.PRNGKey(1))
+        assert abs(l_h - l_d) < 1e-5
+        for a, b in zip(jax.tree_util.tree_leaves(r_host.state.params),
+                        jax.tree_util.tree_leaves(r_dev.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+    def test_device_data_rejects_mesh(self, nira, packed):
+        cfg, params = make_stage(1, nira, hidden=8)
+        mesh = make_mesh(MeshConfig(data=8, model=1))
+        r = StageRunner(1, cfg, params, TrainConfig(batch_size=8),
+                        steps_per_epoch=1, mesh=mesh)
+        dd = DP.put_device(packed)
+        with pytest.raises(AssertionError, match="single-device"):
+            r.train_epoch(DP.Sampler(packed, 8, device_data=dd),
+                          jax.random.PRNGKey(0))
+
+    def test_iter_indices_is_the_iteration_order(self, packed):
+        # __iter__ is built on iter_indices; same seed -> identical batches
+        a = DP.Sampler(packed, 3, seed=(5, 5), pad_remainder=True)
+        b = DP.Sampler(packed, 3, seed=(5, 5), pad_remainder=True)
+        mats = list(a)
+        idxs = list(b.iter_indices())
+        assert len(mats) == len(idxs) == 3     # 8 seqs, B=3, padded tail
+        for raw, (take, w) in zip(mats, idxs):
+            for k, v in raw.items():
+                if k == "_weight":
+                    np.testing.assert_array_equal(v, w)
+                else:
+                    np.testing.assert_array_equal(v, packed[k][take])
+
+
 class TestShardedTraining:
     def test_train_step_on_8_device_mesh(self, nira, packed):
         assert jax.device_count() >= 8, "conftest must provide 8 cpu devices"
