@@ -20,7 +20,10 @@ CPU smoke:
         JAX_PLATFORMS=cpu python scripts/onchip_device_data.py
 If the device-resident config OOMs (corpus + training working set),
 rerun with ACCUM=2 (microbatch accumulation halves the activation
-residency at identical effective batch).
+residency at identical effective batch). Measured on chip: B=256 bf16
+monolithic + the 10k-chunk corpus does NOT fit (RESOURCE_EXHAUSTED);
+ACCUM=2 fits — the committed DEVICE_DATA.md numbers use ACCUM=2 for
+both configs.
 """
 
 import json
@@ -70,8 +73,12 @@ def ensure_corpus():
 
 
 def run(name, extra, train_npz, valid_npz):
+    import shutil
+
     runs = os.path.join(WORK, "dd_runs")
     os.makedirs(runs, exist_ok=True)
+    # the JSONL logger appends: clear any prior run of this name
+    shutil.rmtree(os.path.join(runs, name), ignore_errors=True)
     log = os.path.join(runs, name, "train_log.jsonl")
     args = [sys.executable, "-m", "a3gc_tpu.cli", "train",
             "--model", "a3gc", "-b", str(B), "--dtype", DTYPE,
