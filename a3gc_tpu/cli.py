@@ -213,12 +213,16 @@ def cmd_train(args):
 
     train_dev = valid_dev = None
     if args.device_data:
-        assert mesh is None, (
-            "--device_data is single-device (per-batch gathers would "
-            "cross data shards) — drop it or --mesh/--tp")
-        train_dev = DPipe.put_device(train)
-        valid_dev = (train_dev if valid is train
-                     else DPipe.put_device(valid))
+        if mesh is not None:
+            # row-shard the corpus over the data axis: each chip holds
+            # N/D rows and gathers its own batch rows (shard_map)
+            assert tc.accum_steps == 1, (
+                "--device_data with --mesh does not compose with --accum")
+            put = lambda d: DPipe.put_device_sharded(d, mesh)
+        else:
+            put = DPipe.put_device
+        train_dev = put(train)
+        valid_dev = train_dev if valid is train else put(valid)
 
     run_cascade_training(
         runners,
@@ -951,9 +955,12 @@ def build_parser():
                    help="upload the train+valid corpora to device HBM "
                         "once and gather batches by index inside the "
                         "jitted step — removes the per-step host->device "
-                        "batch transfer (the feed-bound epoch regime at "
-                        "large B; see docs/PERFORMANCE.md). Costs "
-                        "corpus-size HBM; single-device only (no --mesh)")
+                        "batch transfer (measured 3.7x steady epoch at "
+                        "AMASS scale; see docs/PERFORMANCE.md). Costs "
+                        "corpus-size HBM (pair with --accum). With "
+                        "--mesh the corpus row-shards over the data "
+                        "axis: each chip holds 1/D of it and gathers "
+                        "its own batch rows (per-shard shuffling)")
     t.add_argument("--mesh", action="store_true",
                    help="shard the batch over all visible devices")
     t.add_argument("--tp", type=int, default=1,

@@ -32,7 +32,8 @@ from a3gc_tpu.ops import rotations as R
 
 __all__ = [
     "normalize_imu", "scatter_graph_inputs", "graph_batch", "flat_batch",
-    "dip_batch", "Sampler", "load_packed", "put_device", "GraphBatch",
+    "dip_batch", "Sampler", "load_packed", "put_device",
+    "put_device_sharded", "GraphBatch",
 ]
 
 
@@ -197,6 +198,35 @@ def put_device(data: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
             for k, v in data.items()}
 
 
+def put_device_sharded(data: Dict[str, np.ndarray], mesh
+                       ) -> Dict[str, jnp.ndarray]:
+    r"""Row-shard a packed corpus over the mesh 'data' axis for
+    device-resident MESH training: each chip holds 1/D of the corpus in
+    its own HBM (so corpus memory ALSO scales with the mesh, unlike a
+    replicated upload) and every train step gathers its local batch rows
+    with a shard_map — no per-step host feed, no cross-chip corpus
+    traffic. Row count pads up to a multiple of the axis by repeating
+    row 0; pad rows are never indexed (``Sampler.iter_indices_sharded``
+    excludes them). Pair with ``Sampler(device_data=<this>)`` under a
+    mesh runner."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    d = mesh.shape["data"]
+    n = len(next(iter(data.values())))
+    n_pad = -(-n // d) * d
+    sh = NamedSharding(mesh, P("data"))
+    out = {}
+    for k, v in data.items():
+        if isinstance(v, jax.Array):
+            out[k] = v
+            continue
+        v = np.ascontiguousarray(v)
+        if len(v) < n_pad:
+            v = np.concatenate([v, np.repeat(v[:1], n_pad - len(v), 0)])
+        out[k] = jax.device_put(v, sh)
+    return out
+
+
 class Sampler:
     r"""Epoch sampler over a packed dataset: shuffles sequence indices and
     yields raw [B, T, ...] numpy slices. Replaces the reference's 4-worker
@@ -236,8 +266,10 @@ class Sampler:
         self.n = len(next(iter(data.values())))
         if device_data is not None:
             nd = len(next(iter(device_data.values())))
-            assert nd == self.n and set(device_data) == set(data), (
-                "device_data must be put_device() of the same packed dict")
+            # put_device_sharded pads rows up to a multiple of the axis
+            assert nd >= self.n and set(device_data) == set(data), (
+                "device_data must be put_device(_sharded)() of the same "
+                "packed dict")
         if self.drop_remainder and self.n < batch_size:
             raise ValueError(
                 f"batch_size {batch_size} exceeds the dataset's "
@@ -274,6 +306,54 @@ class Sampler:
             w = np.zeros(self.batch_size, np.float32)
             w[:n_real] = 1.0
             yield take, w
+
+    def iter_indices_sharded(self, n_shards: int
+                             ) -> Iterator[Tuple[np.ndarray,
+                                                 Optional[np.ndarray]]]:
+        r"""Per-shard epoch index stream for a :func:`put_device_sharded`
+        corpus: each shard shuffles ITS OWN rows and contributes B/D rows
+        to every batch (the distributed-sampler pattern — per-shard
+        shuffling replaces the single-host global shuffle; statistically
+        equivalent, not batch-identical). Yields ``(local_idx [D, B/D]``
+        — row d holds LOCAL row numbers into shard d — ``, weight
+        [D, B/D] | None)``; the assembled batch is shard-major. With
+        ``pad_remainder`` every real row appears exactly once per epoch
+        with weight 1 and short shards cycle with weight 0; with
+        ``drop_remainder`` the epoch stops at the shortest shard's last
+        full contribution."""
+        d = n_shards
+        assert self.batch_size % d == 0, (
+            f"batch_size={self.batch_size} must divide over {d} shards")
+        assert self.pad_remainder or self.drop_remainder, (
+            "sharded sampling needs pad_remainder (weighted tail) or "
+            "drop_remainder — a bare variable-size tail can't shard")
+        b = self.batch_size // d
+        cap = -(-self.n // d)                  # shard row capacity
+        real = [min(cap, max(0, self.n - s * cap)) for s in range(d)]
+        perms = []
+        for s in range(d):
+            p = np.arange(real[s])
+            if self.shuffle:
+                self._rng.shuffle(p)
+            perms.append(p)
+        if self.drop_remainder:
+            steps = min(r // b for r in real)
+        else:
+            steps = max(-(-r // b) for r in real)
+        for t in range(steps):
+            idx = np.zeros((d, b), np.int64)
+            w = None if not self.pad_remainder else np.zeros((d, b),
+                                                             np.float32)
+            for s in range(d):
+                sl = perms[s][t * b:(t + 1) * b]
+                idx[s, :len(sl)] = sl
+                if w is None:
+                    continue       # drop_remainder: sl is always full
+                if len(sl) < b:    # cycle this shard's rows, weight 0
+                    idx[s, len(sl):] = (np.resize(perms[s], b - len(sl))
+                                        if len(perms[s]) else 0)
+                w[s, :len(sl)] = 1.0
+            yield idx, w
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         for take, w in self.iter_indices():

@@ -327,6 +327,7 @@ class StageRunner:
             assert train_cfg.batch_size % d == 0, (
                 f"batch_size={train_cfg.batch_size} must divide evenly "
                 f"over the mesh data axis ({d} devices)")
+        self._loss_fn = loss_fn
         self.train_step = _make_train_step(loss_fn, self.optimizer,
                                            train_cfg.accum_steps)
         self.train_step_dev = _make_train_step(loss_fn, self.optimizer,
@@ -366,6 +367,54 @@ class StageRunner:
             return shard_batch(raw, self.mesh)
         return raw
 
+    def _device_sharded_steps(self):
+        r"""Jitted steps for a :func:`put_device_sharded` corpus on a
+        mesh: a shard_map gathers each shard's B/D batch rows from ITS
+        OWN corpus shard (local [N/D] rows, local indices — no
+        cross-chip corpus traffic), producing the [B]-over-'data' batch
+        layout the mesh loss path already expects. Built lazily, cached."""
+        if getattr(self, "_dev_sharded", None) is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from a3gc_tpu.parallel import shard_map_compat
+
+            mesh = self.mesh
+            idx_sh = NamedSharding(mesh, P("data"))
+
+            def gather(data, idx):
+                def local(blk, i):
+                    return jax.tree_util.tree_map(lambda v: v[i[0]], blk)
+                return shard_map_compat(
+                    local, mesh, in_specs=(P("data"), P("data")),
+                    out_specs=P("data"))(data, idx)
+
+            loss_fn, optimizer = self._loss_fn, self.optimizer
+
+            @partial(jax.jit, donate_argnums=_donate_state())
+            def train_step(state, data, idx, weight, rng):
+                raw = gather(data, idx)
+                if weight is not None:
+                    raw["_weight"] = weight
+                loss, grads = jax.value_and_grad(loss_fn)(state.params,
+                                                          raw, rng)
+                updates, opt_state = optimizer.update(
+                    grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                return (TrainState(params, opt_state, state.step + 1),
+                        loss)
+
+            eval_core = self.eval_step
+
+            @jax.jit
+            def eval_step(params, data, idx, weight):
+                raw = gather(data, idx)
+                if weight is not None:
+                    raw["_weight"] = weight
+                return eval_core(params, raw)
+
+            self._dev_sharded = (train_step, eval_step, idx_sh)
+        return self._dev_sharded
+
     def train_epoch(self, sampler: DP.Sampler, rng: jax.Array) -> float:
         # losses stay on device until the epoch ends: a per-step float()
         # would block the host on every step, serializing the next batch's
@@ -375,12 +424,29 @@ class StageRunner:
         # difference is the whole transfer time per step.
         losses = []
         dd = getattr(sampler, "device_data", None)
-        if dd is not None:
+        if dd is not None and self.mesh is not None:
+            # sharded device-resident corpus (put_device_sharded): each
+            # chip holds N/D rows and gathers its own B/D batch rows
+            assert self.cfg.accum_steps == 1, (
+                "--device_data with --mesh does not compose with --accum "
+                "(the sharded gather feeds the monolithic step)")
+            spec = getattr(next(iter(dd.values())).sharding, "spec", ())
+            assert len(spec) and spec[0] == "data", (
+                "a mesh runner needs a put_device_sharded(...) corpus "
+                "(row-sharded over the 'data' axis); an unsharded "
+                "put_device upload would be re-sharded on every step")
+            d = self.mesh.shape.get("data", 1)
+            tstep, _, idx_sh = self._device_sharded_steps()
+            for i, (idx, w) in enumerate(sampler.iter_indices_sharded(d)):
+                self.state, loss = tstep(
+                    self.state, dd,
+                    jax.device_put(jnp.asarray(idx, jnp.int32), idx_sh),
+                    None if w is None else w.reshape(-1),
+                    jax.random.fold_in(rng, i))
+                losses.append(loss)
+        elif dd is not None:
             # device-resident corpus: gather by index inside the step —
             # the per-step host→device transfer is a [B] index vector
-            assert self.mesh is None, (
-                "device-resident data is single-device: per-batch gathers "
-                "would cross data shards — drop --device_data or --mesh")
             for i, (take, w) in enumerate(sampler.iter_indices()):
                 self.state, loss = self.train_step_dev(
                     self.state, dd, jnp.asarray(take, jnp.int32), w,
@@ -407,10 +473,27 @@ class StageRunner:
         validation semantics (ref: train_a3gc_tp.py:218-221)."""
         losses, weights = [], []
         dd = getattr(sampler, "device_data", None)
-        if dd is not None:
-            assert self.mesh is None, (
-                "device-resident data is single-device: per-batch gathers "
-                "would cross data shards — drop --device_data or --mesh")
+        if dd is not None and self.mesh is not None:
+            d = self.mesh.shape.get("data", 1)
+            _, estep, idx_sh = self._device_sharded_steps()
+            ebl = max(1, self._eval_b // d)    # per-shard chunk rows
+            for idx, w_all in sampler.iter_indices_sharded(d):
+                b = idx.shape[1]
+                for s in range(0, b, ebl):
+                    tk = idx[:, s:s + ebl]
+                    wc = (None if w_all is None
+                          else w_all[:, s:s + ebl])
+                    n = (float(wc.sum()) if wc is not None
+                         else tk.shape[1] * d)
+                    if n == 0:
+                        continue
+                    losses.append(estep(
+                        self.state.params, dd,
+                        jax.device_put(jnp.asarray(tk, jnp.int32),
+                                       idx_sh),
+                        None if wc is None else wc.reshape(-1)))
+                    weights.append(n)
+        elif dd is not None:
             for take, w_all in sampler.iter_indices():
                 B = len(take)
                 for s in range(0, B, self._eval_b):
@@ -513,6 +596,7 @@ class DIPRunner:
             assert train_cfg.batch_size % d == 0, (
                 f"batch_size={train_cfg.batch_size} must divide evenly "
                 f"over the mesh data axis ({d} devices)")
+        self._loss_fn = loss_fn
         self.train_step = _make_train_step(loss_fn, self.optimizer,
                                            train_cfg.accum_steps)
         self.train_step_dev = _make_train_step(loss_fn, self.optimizer,
@@ -547,6 +631,7 @@ class DIPRunner:
     train_epoch = StageRunner.train_epoch
     eval_epoch = StageRunner.eval_epoch
     _put = StageRunner._put
+    _device_sharded_steps = StageRunner._device_sharded_steps
 
 
 def run_cascade_training(

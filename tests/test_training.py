@@ -196,15 +196,97 @@ class TestDeviceResidentData:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6)
 
-    def test_device_data_rejects_mesh(self, nira, packed):
+    def test_mesh_device_data_guards(self, nira, packed):
+        """A mesh runner demands a put_device_sharded corpus (an
+        unsharded upload would silently reshard every step) and does not
+        compose with --accum."""
         cfg, params = make_stage(1, nira, hidden=8)
         mesh = make_mesh(MeshConfig(data=8, model=1))
         r = StageRunner(1, cfg, params, TrainConfig(batch_size=8),
                         steps_per_epoch=1, mesh=mesh)
-        dd = DP.put_device(packed)
-        with pytest.raises(AssertionError, match="single-device"):
-            r.train_epoch(DP.Sampler(packed, 8, device_data=dd),
+        dd_flat = DP.put_device(packed)
+        with pytest.raises(AssertionError, match="put_device_sharded"):
+            r.train_epoch(DP.Sampler(packed, 8, pad_remainder=True,
+                                     device_data=dd_flat),
                           jax.random.PRNGKey(0))
+        r2 = StageRunner(1, cfg, params,
+                         TrainConfig(batch_size=8, accum_steps=2),
+                         steps_per_epoch=1, mesh=mesh)
+        dd = DP.put_device_sharded(packed, mesh)
+        with pytest.raises(AssertionError, match="accum"):
+            r2.train_epoch(DP.Sampler(packed, 8, pad_remainder=True,
+                                      device_data=dd),
+                           jax.random.PRNGKey(0))
+
+    def test_sharded_device_corpus_on_mesh(self, nira, packed):
+        """put_device_sharded + iter_indices_sharded on an 8-device mesh:
+        the sharded-gather step must equal a host-fed mesh step given the
+        SAME batch composition (shard-major assembly oracle), and every
+        real sample appears exactly once per epoch with weight 1."""
+        mesh = make_mesh(MeshConfig(data=8, model=1))
+        cfg, params = make_stage(1, nira, hidden=8)
+        tc = TrainConfig(batch_size=8, lr=1e-3)
+        dd = DP.put_device_sharded(packed, mesh)
+        r_dev = StageRunner(1, cfg, params, tc, steps_per_epoch=1,
+                            mesh=mesh)
+        r_host = StageRunner(1, cfg, params, tc, steps_per_epoch=1,
+                             mesh=mesh)
+
+        # device-resident sharded epoch
+        s_dev = DP.Sampler(packed, 8, seed=(3, 3), pad_remainder=True,
+                           device_data=dd)
+        l_dev = r_dev.train_epoch(s_dev, jax.random.PRNGKey(2))
+
+        # oracle: materialize the SAME shard-major batches on host and
+        # feed them through the plain mesh step
+        s_idx = DP.Sampler(packed, 8, seed=(3, 3), pad_remainder=True)
+        n, d = 8, 8
+        cap = -(-n // d)
+        losses = []
+        for i, (idx, w) in enumerate(s_idx.iter_indices_sharded(d)):
+            # local -> global rows (local indices never touch pad rows)
+            glob = (idx + cap * np.arange(d)[:, None]).reshape(-1)
+            raw = {k: v[glob] for k, v in packed.items()}
+            raw["_weight"] = w.reshape(-1)
+            r_host.state, loss = r_host.train_step(
+                r_host.state, r_host._put(raw),
+                jax.random.fold_in(jax.random.PRNGKey(2), i))
+            losses.append(loss)
+        l_host = float(jnp.mean(jnp.stack(losses)))
+        assert abs(l_dev - l_host) < 1e-5
+        for a, b in zip(jax.tree_util.tree_leaves(r_dev.state.params),
+                        jax.tree_util.tree_leaves(r_host.state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+        # sharded eval == sharded-oracle eval loss is covered by the same
+        # gather; here check epoch accounting: every real row exactly
+        # once at weight 1 across the epoch (uneven shards: 10 rows / 4)
+        ten = {k: np.concatenate([v, v[:2]]) for k, v in packed.items()}
+        s = DP.Sampler(ten, 8, seed=1, pad_remainder=True)
+        seen = []
+        for idx, w in s.iter_indices_sharded(4):
+            cap = -(-10 // 4)     # 3 rows per shard, last shard has 1
+            glob = (idx + cap * np.arange(4)[:, None]).reshape(-1)
+            seen += [g for g, wi in zip(glob, w.reshape(-1)) if wi == 1.0]
+        assert sorted(seen) == list(range(10))
+
+    def test_sharded_eval_matches_unsharded(self, nira, packed):
+        mesh = make_mesh(MeshConfig(data=8, model=1))
+        cfg, params = make_stage(1, nira, hidden=8)
+        tc = TrainConfig(batch_size=8, eval_batch_size=8)
+        dd = DP.put_device_sharded(packed, mesh)
+        r_mesh = StageRunner(1, cfg, params, tc, steps_per_epoch=1,
+                             mesh=mesh)
+        r_single = StageRunner(1, cfg, params, tc, steps_per_epoch=1)
+        e_dev = r_mesh.eval_epoch(DP.Sampler(packed, 8, shuffle=False,
+                                             pad_remainder=True,
+                                             device_data=dd))
+        # shuffle=False: shard-major order is a permutation of the rows;
+        # the weighted mean is permutation-invariant
+        e_ref = r_single.eval_epoch(DP.Sampler(packed, 8, shuffle=False,
+                                               pad_remainder=True))
+        assert abs(e_dev - e_ref) < 1e-5
 
     def test_iter_indices_is_the_iteration_order(self, packed):
         # __iter__ is built on iter_indices; same seed -> identical batches
