@@ -193,9 +193,29 @@ def put_device(data: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
     training working set — AMASS-scale (10k × 300-frame chunks) ≈ 3.2 GB
     fp32. Arrays already on device pass through untouched, so one upload
     can be shared by several samplers/runners."""
+    _hbm_advisory(data)
     return {k: (v if isinstance(v, jax.Array) else
                 jax.device_put(np.ascontiguousarray(v)))
             for k, v in data.items()}
+
+
+def _hbm_advisory(data, shards: int = 1):
+    r"""Print a heads-up when a device-resident corpus will occupy a
+    large fraction of HBM: the first OOM then shows up mid-epoch as an
+    opaque RESOURCE_EXHAUSTED (measured: 10k-chunk corpus + monolithic
+    B=256 bf16 does not fit a 16 GB chip; ``--accum 2`` does)."""
+    import sys
+
+    gb = sum(getattr(v, "nbytes", 0) for v in data.values()) / shards / 1e9
+    try:
+        limit = jax.local_devices()[0].memory_stats().get("bytes_limit", 0)
+    except Exception:
+        limit = 0
+    if limit and gb > 0.15 * limit / 1e9:
+        print(f"[a3gc_tpu] device-resident corpus ≈ {gb:.1f} GB of "
+              f"{limit / 1e9:.1f} GB HBM per device; if the train step "
+              f"OOMs, add --accum 2 (halves activation residency)",
+              file=sys.stderr)
 
 
 def put_device_sharded(data: Dict[str, np.ndarray], mesh
@@ -212,6 +232,7 @@ def put_device_sharded(data: Dict[str, np.ndarray], mesh
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     d = mesh.shape["data"]
+    _hbm_advisory(data, shards=d)
     n = len(next(iter(data.values())))
     n_pad = -(-n // d) * d
     sh = NamedSharding(mesh, P("data"))
