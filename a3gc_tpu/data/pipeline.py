@@ -359,6 +359,12 @@ class Sampler:
             perms.append(p)
         if self.drop_remainder:
             steps = min(r // b for r in real)
+            if steps == 0:
+                raise ValueError(
+                    f"sharded epoch is empty: the shortest shard holds "
+                    f"fewer than batch_size/{d}={b} rows (shard rows "
+                    f"{real}) — every epoch would be a silent no-op. "
+                    f"Lower the batch size or use pad_remainder=True.")
         else:
             steps = max(-(-r // b) for r in real)
         for t in range(steps):

@@ -72,6 +72,7 @@ class _Batcher:
         self.releasing = set()      # slots whose reset the dispatcher owes
         self.flushing = set()       # slots whose lookahead-tail drain the
                                     # dispatcher owes (see flush())
+        self.flush_inflight = set()  # drains executing outside the lock
         self.reload_queue = []      # [(params3, applied_event)] FIFO: each
                                     # requester waits on ITS OWN event, so
                                     # concurrent reloads can't report a
@@ -113,6 +114,10 @@ class _Batcher:
             if not (0 <= slot < self.S) or slot in self.free \
                     or slot in self.releasing:
                 raise ValueError(f"slot {slot} is not an active session")
+            if slot in self.flushing or slot in self.flush_inflight:
+                # both waiters share the results[slot] mailbox — a step
+                # racing a flush would cross-wire the two responses
+                raise ValueError(f"slot {slot} has a flush in flight")
             self.pending[slot] = (ori, acc)
             self.cond.notify_all()
             while slot not in self.results:
@@ -128,15 +133,20 @@ class _Batcher:
         r"""Drain slot's buffered lookahead tail: one offline-equivalent
         cascade pass over its un-emitted windows from the carried state
         (see ``StreamingCascade.flush``). Runs ON the dispatcher thread,
-        serialized with device steps. Returns the tail pose array
-        [f·W, 24, 3, 3] (f ≤ K windows) or None if nothing is buffered
-        (plain-windowed servers, or a slot still warming up after 0
-        windows). The slot stays active and re-warms from empty."""
+        serialized with device steps (but OUTSIDE the batcher lock, like
+        ticks — the first flush compiles its own jit specialization).
+        Returns the tail pose array [f·W, 24, 3, 3] (f ≤ K windows) or
+        None if nothing is buffered (plain-windowed servers, or a slot
+        still warming up after 0 windows). The slot stays active and
+        re-warms from empty."""
         with self.cond:
             if not (0 <= slot < self.S) or slot in self.free \
                     or slot in self.releasing:
                 raise ValueError(f"slot {slot} is not an active session")
-            if slot in self.pending or slot in self.flushing:
+            if not self.lookahead:
+                return None     # plain windowing buffers nothing
+            if slot in self.pending or slot in self.flushing \
+                    or slot in self.flush_inflight:
                 raise ValueError(f"slot {slot} has a request in flight")
             self.flushing.add(slot)
             self.cond.notify_all()
@@ -219,42 +229,55 @@ class _Batcher:
                     self.cond.notify_all()
                 # process owed releases first: reset happens here, on the
                 # same thread as device steps — no state/result races
+                _gone = object()
                 for slot in sorted(self.releasing):
                     self.sess.reset(stream=slot)
                     had_req = self.pending.pop(slot, None) is not None
                     had_req |= slot in self.flushing
                     self.flushing.discard(slot)
-                    self.results.pop(slot, None)
+                    # an un-consumed result (its waiter hasn't woken yet)
+                    # must become an error, not vanish — else that waiter
+                    # blocks forever on the emptied mailbox
+                    had_req |= self.results.pop(slot, _gone) is not _gone
                     if had_req:  # un-hang a step/flush racing the release
                         self.results[slot] = ("error", "session released")
                     self.free.add(slot)
                 if self.releasing:
                     self.releasing.clear()
                     self.cond.notify_all()
-                # owed lookahead-tail drains: like resets, these run here
-                # (serialized with device steps) so a flush can neither
-                # race a tick on the carried state nor see a mid-swap
-                # param mix; other slots' buffers/state are untouched
-                if self.flushing:
-                    for slot in sorted(self.flushing):
-                        try:
-                            tail = self.sess.flush(stream=slot)
-                        except Exception as e:  # transient device errors
-                            self.results[slot] = (
-                                "error", f"flush failed: {e!r}")
-                        else:
-                            self.results[slot] = tail
-                        self.n_requests += 1
+                # owed lookahead-tail drains run on this thread too
+                # (serialized with ticks and param swaps — no state
+                # races), but OUTSIDE the lock like ticks: the first
+                # flush pays a jit compile that must not block
+                # acquire/stats/step registration
+                flush_now = sorted(self.flushing)
+                if flush_now:
+                    self.flush_inflight.update(flush_now)
                     self.flushing.clear()
-                    self.cond.notify_all()
-                if not self.pending:
+                if not self.pending and not flush_now:
                     continue
-                # brief coalescing window: let concurrent clients join
-                # this tick (bounded, so a lone client keeps low latency)
-                n_busy = self.S - len(self.free)
-                if len(self.pending) < n_busy:
-                    self.cond.wait(timeout=self.max_wait)
-                batch, self.pending = self.pending, {}
+                if not flush_now:
+                    # brief coalescing window: let concurrent clients
+                    # join this tick (bounded for lone-client latency)
+                    n_busy = self.S - len(self.free)
+                    if len(self.pending) < n_busy:
+                        self.cond.wait(timeout=self.max_wait)
+                    batch, self.pending = self.pending, {}
+            if flush_now:
+                # drains execute lock-free; the next loop iteration
+                # serves any steps that queued meanwhile
+                outs = {}
+                for slot in flush_now:
+                    try:
+                        outs[slot] = self.sess.flush(stream=slot)
+                    except Exception as e:  # transient device errors
+                        outs[slot] = ("error", f"flush failed: {e!r}")
+                with self.cond:
+                    self.results.update(outs)
+                    self.n_requests += len(outs)
+                    self.flush_inflight.difference_update(flush_now)
+                    self.cond.notify_all()
+                continue
             ori = np.stack([batch.get(i, (zero_o, zero_a))[0]
                             for i in range(self.S)])
             acc = np.stack([batch.get(i, (zero_o, zero_a))[1]
@@ -388,8 +411,9 @@ class PoseServer:
                             slot = int(np.frombuffer(raw, "<u4", 1)[0])
                         else:
                             slot = int(json.loads(raw)["slot"])
-                        tail = (batcher.flush(slot) if batcher.lookahead
-                                else None)   # plain windowing buffers nothing
+                        # validates the slot either way; plain-windowed
+                        # servers return None without enqueueing
+                        tail = batcher.flush(slot)
                     except (KeyError, ValueError, TypeError) as e:
                         return self._json(400, {"error": str(e)})
                     except RuntimeError as e:

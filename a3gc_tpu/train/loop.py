@@ -66,6 +66,26 @@ def _donate_state():
     return () if jax.config.jax_debug_nans else (0,)
 
 
+def _gather_batch(data, take, weight):
+    r"""Assemble a raw batch from a device-resident corpus: gather rows
+    by index, attach the padded-tail weight when present. The ONE place
+    the device-resident batch structure is defined — train, eval, and
+    sharded paths all reuse it."""
+    raw = {k: v[take] for k, v in data.items()}
+    if weight is not None:
+        raw["_weight"] = weight
+    return raw
+
+
+def _make_eval_step_dev(eval_step):
+    r"""Device-resident eval step: gather-by-index wrapper around a
+    runner's jitted ``eval_step``."""
+    @jax.jit
+    def eval_step_dev(params, data, take, weight):
+        return eval_step(params, _gather_batch(data, take, weight))
+    return eval_step_dev
+
+
 def _make_train_step(loss_fn, optimizer, accum_steps: int = 1,
                      gather: bool = False):
     r"""Build the jitted per-batch train step.
@@ -95,18 +115,12 @@ def _make_train_step(loss_fn, optimizer, accum_steps: int = 1,
     :func:`a3gc_tpu.data.pipeline.put_device` upload and ``take`` a [B]
     index vector — the batch is gathered ON DEVICE, so the per-step
     host→device transfer is just the indices (see ``--device_data``)."""
-    def _gathered(data, take, weight):
-        raw = {k: v[take] for k, v in data.items()}
-        if weight is not None:
-            raw["_weight"] = weight
-        return raw
-
     if accum_steps == 1:
         if gather:
             @partial(jax.jit, donate_argnums=_donate_state())
             def train_step(state: TrainState, data, take, weight, rng):
                 loss, grads = jax.value_and_grad(loss_fn)(
-                    state.params, _gathered(data, take, weight), rng)
+                    state.params, _gather_batch(data, take, weight), rng)
                 updates, opt_state = optimizer.update(
                     grads, state.opt_state, state.params)
                 params = optax.apply_updates(state.params, updates)
@@ -155,7 +169,7 @@ def _make_train_step(loss_fn, optimizer, accum_steps: int = 1,
     if gather:
         @partial(jax.jit, donate_argnums=_donate_state())
         def train_step(state: TrainState, data, take, weight, rng):
-            return _accum_step(state, _gathered(data, take, weight), rng)
+            return _accum_step(state, _gather_batch(data, take, weight), rng)
         return train_step
     return partial(jax.jit, donate_argnums=_donate_state())(_accum_step)
 
@@ -348,15 +362,8 @@ class StageRunner:
                 pred.reshape(target.shape).astype(jnp.float32), target,
                 sample_weight=weight)
 
-        @jax.jit
-        def eval_step_dev(params, data, take, weight):
-            raw = {k: v[take] for k, v in data.items()}
-            if weight is not None:
-                raw["_weight"] = weight
-            return eval_step(params, raw)
-
         self.eval_step = eval_step
-        self.eval_step_dev = eval_step_dev
+        self.eval_step_dev = _make_eval_step_dev(eval_step)
         self._eval_b = _mesh_eval_chunk(
             train_cfg.eval_batch_size or min(train_cfg.batch_size, 128),
             mesh)
@@ -440,7 +447,7 @@ class StageRunner:
             for i, (idx, w) in enumerate(sampler.iter_indices_sharded(d)):
                 self.state, loss = tstep(
                     self.state, dd,
-                    jax.device_put(jnp.asarray(idx, jnp.int32), idx_sh),
+                    jax.device_put(np.asarray(idx, np.int32), idx_sh),
                     None if w is None else w.reshape(-1),
                     jax.random.fold_in(rng, i))
                 losses.append(loss)
@@ -474,6 +481,11 @@ class StageRunner:
         losses, weights = [], []
         dd = getattr(sampler, "device_data", None)
         if dd is not None and self.mesh is not None:
+            spec = getattr(next(iter(dd.values())).sharding, "spec", ())
+            assert len(spec) and spec[0] == "data", (
+                "a mesh runner needs a put_device_sharded(...) corpus "
+                "(row-sharded over the 'data' axis); an unsharded "
+                "put_device upload would be re-sharded on every chunk")
             d = self.mesh.shape.get("data", 1)
             _, estep, idx_sh = self._device_sharded_steps()
             ebl = max(1, self._eval_b // d)    # per-shard chunk rows
@@ -489,7 +501,7 @@ class StageRunner:
                         continue
                     losses.append(estep(
                         self.state.params, dd,
-                        jax.device_put(jnp.asarray(tk, jnp.int32),
+                        jax.device_put(np.asarray(tk, np.int32),
                                        idx_sh),
                         None if wc is None else wc.reshape(-1)))
                     weights.append(n)
@@ -615,15 +627,8 @@ class DIPRunner:
                 pred.reshape(target.shape).astype(jnp.float32), target,
                 sample_weight=weight)
 
-        @jax.jit
-        def eval_step_dev(params, data, take, weight):
-            raw = {k: v[take] for k, v in data.items()}
-            if weight is not None:
-                raw["_weight"] = weight
-            return eval_step(params, raw)
-
         self.eval_step = eval_step
-        self.eval_step_dev = eval_step_dev
+        self.eval_step_dev = _make_eval_step_dev(eval_step)
         self._eval_b = _mesh_eval_chunk(
             train_cfg.eval_batch_size or min(train_cfg.batch_size, 128),
             mesh)

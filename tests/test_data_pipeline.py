@@ -110,6 +110,21 @@ class TestSampler:
         b = next(iter(s))["acc"]
         assert not np.allclose(a, b)
 
+    def test_sharded_empty_epoch_raises(self, packed):
+        # 6 rows over 4 shards: cap=2, real=[2,2,2,0] — shard 3 can't
+        # contribute a full drop_remainder share; must raise, not yield
+        # a silent zero-batch epoch (train loss 0.0)
+        s = DP.Sampler(packed, batch_size=4, shuffle=False)
+        with pytest.raises(ValueError, match="sharded epoch is empty"):
+            list(s.iter_indices_sharded(4))
+        # pad_remainder covers the same shape with weighted pads
+        s = DP.Sampler(packed, batch_size=4, shuffle=False,
+                       pad_remainder=True)
+        batches = list(s.iter_indices_sharded(4))
+        assert len(batches) == 2
+        w = np.stack([w for _, w in batches])
+        assert w.sum() == 6                  # every real row exactly once
+
 
 class TestStats:
     def test_compute_matches_torch_semantics(self):

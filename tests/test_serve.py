@@ -506,5 +506,9 @@ class TestLookaheadServing:
             st, out = _request(plain.address, "POST", "/v1/flush",
                                {"slot": info["slot"]})
             assert st == 200 and out["frames"] == 0 and out["pose"] == []
+            # invalid slots are rejected on plain servers too
+            st, err = _request(plain.address, "POST", "/v1/flush",
+                               {"slot": 999})
+            assert st == 400 and "error" in err
         finally:
             plain.shutdown()
