@@ -468,13 +468,24 @@ def cmd_stream(args):
         # stream through a `cli export` deployment artifact: geometry from
         # its manifest (--streams/--window select within a bundle); no
         # checkpoints/stats/model assets needed
-        from a3gc_tpu.export import ArtifactSession, load_exported
-        session = ArtifactSession(load_exported(
-            args.artifact, streams=args.streams, window=args.window))
+        from a3gc_tpu.export import (ArtifactLookaheadSession,
+                                     ArtifactSession, ExportedBundle,
+                                     load_exported)
+        assert not args.pipelined, (
+            "--pipelined drives the live session; artifacts use plain "
+            "step()")
+        if args.lookahead:
+            session = ArtifactLookaheadSession(
+                ExportedBundle(args.artifact), streams=args.streams,
+                window=args.window, lookahead=args.lookahead)
+            assert session.streams == 1, (
+                "artifact lookahead streaming is single-stream here; "
+                "multi-client lookahead serving is `serve --artifact "
+                "--lookahead`")
+        else:
+            session = ArtifactSession(load_exported(
+                args.artifact, streams=args.streams, window=args.window))
         args.window, args.streams = session.window, session.streams
-        assert not args.pipelined and not args.lookahead, (
-            "--pipelined/--lookahead drive the live session; artifacts "
-            "use plain step()")
         if session.streams > 1:
             return _stream_multi(args, None, None, None, None, sequences,
                                  session=session)
@@ -697,6 +708,13 @@ def cmd_export(args):
     stats = _load_stats(args) if args.norm else None
 
     geometries = [(s, w) for s in args.streams for w in args.window]
+    if args.lookahead:
+        # lookahead serving needs the emission/flush window multiples
+        from a3gc_tpu.export import lookahead_geometries
+        extra = [g for w in args.window
+                 for g in lookahead_geometries(args.streams, w,
+                                               args.lookahead)]
+        geometries = sorted(set(geometries) | set(extra))
     if len(geometries) > 1:
         # multi-geometry bundle: one directory, one sub-artifact per
         # (streams, window) — a deployment serves every geometry from
@@ -740,11 +758,21 @@ def cmd_serve(args):
         # serve straight from a deployment artifact: no checkpoints, stats
         # files, SMPL assets, or model code needed (geometry from the
         # manifest; for a bundle, --streams/--window select the geometry)
-        from a3gc_tpu.export import ArtifactSession, load_exported
-        session = ArtifactSession(load_exported(
-            args.artifact, streams=args.streams, window=args.window))
+        from a3gc_tpu.export import (ArtifactLookaheadSession,
+                                     ArtifactSession, ExportedBundle,
+                                     load_exported)
+        if args.lookahead:
+            # buffered-emission serving needs the window-multiple
+            # modules — a bundle from `export --lookahead K`
+            session = ArtifactLookaheadSession(
+                ExportedBundle(args.artifact), streams=args.streams,
+                window=args.window, lookahead=args.lookahead)
+        else:
+            session = ArtifactSession(load_exported(
+                args.artifact, streams=args.streams, window=args.window))
         srv = PoseServer(None, None, None, host=args.host, port=args.port,
-                         max_wait_ms=args.max_wait_ms, session=session)
+                         max_wait_ms=args.max_wait_ms, session=session,
+                         lookahead=args.lookahead)
         streams, window = session.streams, session.window
     else:
         args.window = args.window or 60
@@ -1052,6 +1080,11 @@ def build_parser():
     ex.add_argument("--streams", type=int, nargs="+", default=[1],
                     help="serving slots compiled into the program "
                          "(several values -> bundle)")
+    ex.add_argument("--lookahead", type=int, default=0, metavar="K",
+                    help="also export the window multiples a lookahead-K "
+                         "deployment needs ({W..(K+1)W} per stream count) "
+                         "so `serve/stream --artifact --lookahead K` can "
+                         "run buffered emissions from the bundle")
     ex.add_argument("--backend", choices=("xla", "pallas"), default="xla",
                     help="xla = portable (cpu+tpu) under jax.export's "
                          "compatibility guarantees; pallas = bake the "

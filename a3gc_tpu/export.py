@@ -46,7 +46,9 @@ from a3gc_tpu.eval.streaming import make_window_step
 from a3gc_tpu.models.pipeline import CascadeConfig
 
 __all__ = ["export_streaming_cascade", "save_exported", "load_exported",
-           "ExportedCascade", "export_bundle", "ExportedBundle"]
+           "ExportedCascade", "export_bundle", "ExportedBundle",
+           "ArtifactSession", "ArtifactLookaheadSession",
+           "lookahead_geometries"]
 
 _MANIFEST = "manifest.json"
 _STEP = "step.jaxexport"
@@ -340,3 +342,146 @@ class ArtifactSession:
         pose, self._states = self.art.step(ori, acc, self._states, active)
         pose = np.asarray(pose)
         return pose if self.streams > 1 else pose[0]
+
+
+def lookahead_geometries(streams: Sequence[int], window: int,
+                         lookahead: int):
+    r"""The (streams, window) set a lookahead-K deployment bundle needs:
+    for each stream count, modules at windows {W, 2W, ..., (K+1)·W} —
+    the W module advances state (and flushes 1-window tails), the
+    (K+1)·W module runs buffered emissions, and the intermediate f·W
+    modules flush partial tails. ``cli export --lookahead K`` expands
+    the geometry list with this."""
+    return [(s, f * window) for s in streams
+            for f in range(1, lookahead + 2)]
+
+
+class ArtifactLookaheadSession:
+    r"""K-window-lookahead serving from a deployment BUNDLE — the
+    artifact counterpart of ``StreamingCascade(lookahead=K)`` (same
+    ``step``/``flush``/``reset`` contract; equality pinned by an oracle
+    test against the live session, tests/test_export.py).
+
+    Each slot buffers its last K+1 windows. Once full, the oldest
+    window's pose is computed by the (K+1)·W-window module from the
+    carried state (the returned state is DISCARDED — artifact steps are
+    functional, so a read-only pass is just not threading the state
+    back), then the W-window module advances the carried state through
+    the oldest window alone. ``flush`` drains each slot's f·W-frame
+    tail as one continuous chunk via the f·W module, grouping slots by
+    fill count (disjoint masked groups — state advance identical to the
+    live session's single per-frame-masked pass).
+
+    Needs the bundle geometries from :func:`lookahead_geometries`; a
+    missing window raises with the re-export command."""
+
+    def __init__(self, bundle: ExportedBundle,
+                 streams: Optional[int] = None,
+                 window: Optional[int] = None, lookahead: int = 1):
+        import collections
+
+        if lookahead < 1:
+            raise ValueError("lookahead must be >= 1 (use ArtifactSession"
+                             " for plain windowing)")
+        base = bundle.select(streams, window)
+        S, W, K = base.streams, base.window, lookahead
+        self.streams, self.window, self.lookahead = S, W, K
+        self._mods, missing = {}, []
+        for f in range(1, K + 2):
+            try:
+                self._mods[f] = bundle.select(S, f * W)
+            except KeyError:
+                missing.append((S, f * W))
+        if missing:
+            raise KeyError(
+                f"lookahead={K} needs bundle geometries {missing} — "
+                f"re-export with `cli export --streams {S} --window {W} "
+                f"--lookahead {K}`")
+        self._zero_states = base.zero_states()
+        self._states = self._zero_states
+        self._buffers = [collections.deque() for _ in range(S)]
+
+    def reset(self, stream: Optional[int] = None):
+        if stream is None:
+            self._states = self._zero_states
+            for b in self._buffers:
+                b.clear()
+        else:
+            self._states = jax.tree_util.tree_map(
+                lambda s: s.at[:, stream].set(0.0), self._states)
+            self._buffers[stream].clear()
+
+    def step(self, ori, acc, active=None):
+        r"""Same contract as ``StreamingCascade.step`` with lookahead:
+        streams=1 returns the lagged pose (None while warming up); S>1
+        returns ``(pose [S, W, ...] | None, emitted [S] bool)``."""
+        S, W, K = self.streams, self.window, self.lookahead
+        ori = np.asarray(ori, np.float32).reshape(S, -1, 54)
+        acc = np.asarray(acc, np.float32).reshape(S, -1, 18)
+        if ori.shape[1] != W:
+            raise ValueError(
+                f"window size {ori.shape[1]} != configured {W}")
+        act = (np.ones(S, bool) if active is None
+               else np.asarray(active).astype(bool).reshape(S))
+        for i in range(S):
+            if act[i]:
+                self._buffers[i].append((ori[i].copy(), acc[i].copy()))
+        emitted = np.array([act[i] and len(self._buffers[i]) == K + 1
+                            for i in range(S)])
+        pose = None
+        if emitted.any():
+            Tc = (K + 1) * W
+            ctx_o = np.zeros((S, Tc, 54), np.float32)
+            ctx_a = np.zeros((S, Tc, 18), np.float32)
+            adv_o = np.zeros((S, W, 54), np.float32)
+            adv_a = np.zeros((S, W, 18), np.float32)
+            for i in range(S):
+                if emitted[i]:
+                    ctx_o[i] = np.concatenate([o for o, _ in
+                                               self._buffers[i]])
+                    ctx_a[i] = np.concatenate([a for _, a in
+                                               self._buffers[i]])
+                    adv_o[i], adv_a[i] = self._buffers[i].popleft()
+            em = emitted.astype(np.float32)
+            # emission: read-only on the state (returned state dropped)
+            full, _ = self._mods[K + 1].step(ctx_o, ctx_a, self._states,
+                                             em)
+            pose = np.asarray(full)[:, :W]
+            # advance: carried state moves through the oldest window
+            _, self._states = self._mods[1].step(adv_o, adv_a,
+                                                 self._states, em)
+        if S == 1:
+            return pose[0] if emitted[0] else None
+        return pose, emitted
+
+    def flush(self, stream: Optional[int] = None):
+        r"""Drain buffered tails as continuous chunks (the live
+        session's flush semantics): slot i's remaining f·W frames run as
+        ONE pass from the carried state via the f·W module; slots are
+        grouped by fill count and flushed group-by-group with activity
+        masks (disjoint groups — carried slots untouched)."""
+        S, W = self.streams, self.window
+        sel = [stream] if stream is not None else list(range(S))
+        fills = [len(self._buffers[i]) if i in sel else 0
+                 for i in range(S)]
+        if not any(fills):
+            return None if (S == 1 or stream is not None) else [None] * S
+        tails = [None] * S
+        for f in sorted({x for x in fills if x}):
+            group = [i for i in range(S) if fills[i] == f]
+            o = np.zeros((S, f * W, 54), np.float32)
+            a = np.zeros((S, f * W, 18), np.float32)
+            for i in group:
+                o[i] = np.concatenate([x for x, _ in self._buffers[i]])
+                a[i] = np.concatenate([y for _, y in self._buffers[i]])
+                self._buffers[i].clear()
+            act = np.zeros(S, np.float32)
+            act[group] = 1.0
+            full, self._states = self._mods[f].step(o, a, self._states,
+                                                    act)
+            full = np.asarray(full)
+            for i in group:
+                tails[i] = full[i]
+        if stream is not None:
+            return tails[stream]
+        return tails[0] if S == 1 else tails

@@ -338,11 +338,14 @@ class PoseServer:
                                        streams=streams, mesh=mesh,
                                        lookahead=lookahead)
         else:
-            # e.g. an export.ArtifactSession serving a deployment artifact
+            # e.g. an export.ArtifactSession / ArtifactLookaheadSession
+            # serving a deployment artifact (bundle)
             window, streams = session.window, session.streams
-            assert not lookahead, (
-                "lookahead serving needs a live session (per-slot window "
-                "buffers); artifacts bake the plain windowed step")
+            assert getattr(session, "lookahead", 0) == lookahead, (
+                f"session lookahead ({getattr(session, 'lookahead', 0)}) "
+                f"!= requested ({lookahead}); lookahead serving from an "
+                f"artifact needs an ArtifactLookaheadSession over a "
+                f"bundle exported with --lookahead")
         sess = session
         # compile outside the serving path (lookahead reaches its
         # emission program only on the (K+1)-th window)

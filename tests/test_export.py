@@ -309,6 +309,107 @@ class TestBundle:
             np.testing.assert_allclose(
                 np.asarray(pose).reshape(want.shape), want, atol=2e-5)
 
+    def test_artifact_lookahead_matches_live_session(self, model,
+                                                     tmp_path):
+        """ArtifactLookaheadSession over a --lookahead bundle ==
+        StreamingCascade(lookahead=K): warmup, emissions + emitted
+        masks, active-slot masking, per-slot reset re-warm, and the
+        grouped flush (distinct fill counts across slots)."""
+        from a3gc_tpu.eval.streaming import StreamingCascade
+        from a3gc_tpu.export import (ArtifactLookaheadSession,
+                                     ExportedBundle, export_bundle,
+                                     lookahead_geometries)
+
+        cfg, params3 = _graph_setup()
+        S, W, K, n = 2, 4, 2, 5
+        d = export_bundle(str(tmp_path / "la_bundle"), params3, cfg,
+                          model,
+                          geometries=lookahead_geometries([S], W, K))
+        art = ArtifactLookaheadSession(ExportedBundle(d), streams=S,
+                                       lookahead=K)
+        live = StreamingCascade(params3, cfg, model, window=W, streams=S,
+                                lookahead=K)
+
+        rng = np.random.RandomState(11)
+        for w in range(n):
+            ori = rng.randn(S, W, 54).astype(np.float32)
+            acc = rng.randn(S, W, 18).astype(np.float32)
+            active = None
+            if w == 2:
+                active = np.array([1.0, 0.0], np.float32)  # slot 1 idles
+            if w == 3:
+                art.reset(stream=1)     # slot 1 re-warms from empty
+                live.reset(stream=1)
+            pa, ea = art.step(ori, acc, active=active)
+            pl, el = live.step(ori, acc, active=active)
+            np.testing.assert_array_equal(ea, el, err_msg=f"window {w}")
+            if el.any():
+                np.testing.assert_allclose(pa[el], pl[el], atol=2e-5,
+                                           err_msg=f"window {w}")
+        # slots now hold DIFFERENT fill counts (slot 1 re-warmed) —
+        # exercises the grouped per-fill flush passes
+        ta, tl = art.flush(), live.flush()
+        for i in range(S):
+            if tl[i] is None:
+                assert ta[i] is None, i
+            else:
+                assert ta[i].shape == tl[i].shape
+                np.testing.assert_allclose(ta[i], tl[i], atol=2e-5,
+                                           err_msg=f"tail {i}")
+        # missing geometry -> actionable error
+        d2 = export_bundle(str(tmp_path / "short"), params3, cfg, model,
+                           geometries=[(S, W)])
+        with pytest.raises(KeyError, match="--lookahead"):
+            ArtifactLookaheadSession(ExportedBundle(d2), streams=S,
+                                     lookahead=1)
+
+    def test_serve_artifact_lookahead(self, model, tmp_path):
+        """PoseServer over an ArtifactLookaheadSession: 202 warmup, then
+        lagged emissions; POST /v1/flush drains the buffered tail — the
+        full lookahead serving stack with no checkpoints or model
+        assets."""
+        from a3gc_tpu.export import (ArtifactLookaheadSession,
+                                     ExportedBundle, export_bundle,
+                                     lookahead_geometries)
+        from a3gc_tpu.serve import PoseServer
+
+        cfg, params3 = _graph_setup()
+        W, K = 4, 1
+        d = export_bundle(str(tmp_path / "srv_la"), params3, cfg, model,
+                          geometries=lookahead_geometries([1], W, K))
+        session = ArtifactLookaheadSession(ExportedBundle(d), lookahead=K)
+        srv = PoseServer(None, None, None, port=0, session=session,
+                         lookahead=K)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        addr = srv.httpd.server_address
+        try:
+            def req(method, path, body=None):
+                conn = http.client.HTTPConnection(*addr, timeout=30)
+                conn.request(method, path,
+                             body=None if body is None
+                             else json.dumps(body),
+                             headers={"Content-Type": "application/json"})
+                r = conn.getresponse()
+                out = json.loads(r.read())
+                conn.close()
+                return r.status, out
+
+            rng = np.random.RandomState(5)
+            _, sess_info = req("POST", "/v1/session")
+            slot = sess_info["slot"]
+            body = {"slot": slot,
+                    "ori": rng.randn(W, 54).astype(np.float32).tolist(),
+                    "acc": rng.randn(W, 18).astype(np.float32).tolist()}
+            st, out = req("POST", "/v1/step", body)
+            assert st == 202 and out.get("warmup"), out
+            st, out = req("POST", "/v1/step", body)
+            assert st == 200 and np.isfinite(
+                np.asarray(out["pose"])).all()
+            st, out = req("POST", "/v1/flush", {"slot": slot})
+            assert st == 200 and out["frames"] == K * W, out
+        finally:
+            srv.shutdown()
+
     def test_bundle_selection_errors(self, model, tmp_path):
         from a3gc_tpu.export import export_bundle, load_exported
 
