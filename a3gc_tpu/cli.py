@@ -709,12 +709,14 @@ def cmd_export(args):
 
     geometries = [(s, w) for s in args.streams for w in args.window]
     if args.lookahead:
-        # lookahead serving needs the emission/flush window multiples
+        # lookahead serving needs the emission/flush window multiples;
+        # APPEND them — the bundle's first entry stays the user's first
+        # (streams, window), which select()/load_exported default to
         from a3gc_tpu.export import lookahead_geometries
         extra = [g for w in args.window
                  for g in lookahead_geometries(args.streams, w,
                                                args.lookahead)]
-        geometries = sorted(set(geometries) | set(extra))
+        geometries += [g for g in extra if g not in set(geometries)]
     if len(geometries) > 1:
         # multi-geometry bundle: one directory, one sub-artifact per
         # (streams, window) — a deployment serves every geometry from

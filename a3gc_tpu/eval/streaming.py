@@ -293,6 +293,41 @@ class StreamingCascade:
             return self._step_lookahead(ori_window, acc_window, active)
         return np.asarray(self._dispatch(ori_window, acc_window, active))
 
+    # -- shared lookahead buffer mechanics (also used by
+    #    export.ArtifactLookaheadSession, its oracle-equal counterpart) --
+
+    @staticmethod
+    def assemble_lookahead(buffers, act, W, K):
+        r"""Peek-assemble the emission/advance inputs WITHOUT mutating
+        the buffers: ``(emitted [S] bool, ctx_o, ctx_a [S,(K+1)W,*],
+        adv_o, adv_a [S,W,*])``. Mutation happens in
+        :meth:`commit_lookahead` only after the device passes succeed,
+        so a transient device/relay error (which serving catches and
+        survives) cannot leave the buffer and the carried state
+        desynced — a retry of the same window recomputes identically."""
+        S = len(buffers)
+        emitted = np.array([act[i] and len(buffers[i]) == K + 1
+                            for i in range(S)])
+        Tc = (K + 1) * W
+        ctx_o = np.zeros((S, Tc, 54), np.float32)
+        ctx_a = np.zeros((S, Tc, 18), np.float32)
+        adv_o = np.zeros((S, W, 54), np.float32)
+        adv_a = np.zeros((S, W, 18), np.float32)
+        for i in range(S):
+            if emitted[i]:
+                ctx_o[i] = np.concatenate([o for o, _ in buffers[i]])
+                ctx_a[i] = np.concatenate([a for _, a in buffers[i]])
+                adv_o[i], adv_a[i] = buffers[i][0]
+        return emitted, ctx_o, ctx_a, adv_o, adv_a
+
+    @staticmethod
+    def commit_lookahead(buffers, emitted):
+        r"""Drop each emitted slot's oldest window (the carried state
+        just advanced through it)."""
+        for i, e in enumerate(emitted):
+            if e:
+                buffers[i].popleft()
+
     def _step_lookahead(self, ori_window, acc_window, active=None):
         r"""K-window-lookahead emission: each slot buffers its last K+1
         windows; once full, the oldest window's pose is computed by
@@ -317,39 +352,39 @@ class StreamingCascade:
             f"window size {ori.shape[1]} != configured {W}")
         act = (np.ones(S, bool) if active is None
                else np.asarray(active).astype(bool).reshape(S))
-        for i in range(S):
-            if act[i]:
-                # copies: np.asarray is a no-op view for float32 input,
-                # and the buffer must survive the caller reusing arrays
-                self._buffers[i].append((ori[i].copy(), acc[i].copy()))
-        emitted = np.array([act[i] and len(self._buffers[i]) == K + 1
-                            for i in range(S)])
+        appended = [i for i in range(S) if act[i]]
+        for i in appended:
+            # copies: np.asarray is a no-op view for float32 input,
+            # and the buffer must survive the caller reusing arrays
+            self._buffers[i].append((ori[i].copy(), acc[i].copy()))
+        emitted, ctx_o, ctx_a, adv_o, adv_a = self.assemble_lookahead(
+            self._buffers, act, W, K)
         pose = None
         if emitted.any():
-            Tc = (K + 1) * W
-            ctx_o = np.zeros((S, Tc, 54), np.float32)
-            ctx_a = np.zeros((S, Tc, 18), np.float32)
-            adv_o = np.zeros((S, W, 54), np.float32)
-            adv_a = np.zeros((S, W, 18), np.float32)
-            for i in range(S):
-                if emitted[i]:
-                    ctx_o[i] = np.concatenate([o for o, _ in
-                                               self._buffers[i]])
-                    ctx_a[i] = np.concatenate([a for _, a in
-                                               self._buffers[i]])
-                    adv_o[i], adv_a[i] = self._buffers[i].popleft()
             em = jnp.asarray(emitted, jnp.float32)
             s1, s2, s3 = self._states   # state at start of oldest window
-            # emission pass over the K+1 buffered windows (read-only on
-            # the state; its own jit specialization at (K+1)·W frames)
-            full, _, _, _ = self._fn(self.params3, jnp.asarray(ctx_o),
-                                     jnp.asarray(ctx_a), s1, s2, s3, em)
-            full = full.reshape((S, Tc) + full.shape[1:])
-            pose = np.asarray(full[:, :W])
-            # advance pass over the oldest window alone: carried state
-            _, s1, s2, s3 = self._fn(self.params3, jnp.asarray(adv_o),
-                                     jnp.asarray(adv_a), s1, s2, s3, em)
+            try:
+                # emission pass over the K+1 buffered windows (read-only
+                # on the state; own jit specialization at (K+1)·W frames)
+                full, _, _, _ = self._fn(self.params3, jnp.asarray(ctx_o),
+                                         jnp.asarray(ctx_a), s1, s2, s3,
+                                         em)
+                full = full.reshape((S, (K + 1) * W) + full.shape[1:])
+                pose = np.asarray(full[:, :W])
+                # advance pass over the oldest window alone: the fetch
+                # above already fenced; a failure before this line leaves
+                # self._states untouched
+                _, s1, s2, s3 = self._fn(self.params3, jnp.asarray(adv_o),
+                                         jnp.asarray(adv_a), s1, s2, s3,
+                                         em)
+            except Exception:
+                # transactional: un-buffer this window so a caller that
+                # catches (e.g. serving) can retry it without skew
+                for i in appended:
+                    self._buffers[i].pop()
+                raise
             self._states = (s1, s2, s3)
+            self.commit_lookahead(self._buffers, emitted)
         if S == 1:
             return pose[0] if emitted[0] else None
         return pose, emitted
@@ -409,7 +444,6 @@ class StreamingCascade:
                 ctx_a[i, :fills[i] * W] = np.concatenate(
                     [a for _, a in self._buffers[i]])
                 mask[i, :fills[i] * W] = 1.0
-                self._buffers[i].clear()
         s1, s2, s3 = self._states
         # one pass: emits all remaining frames AND advances the state
         # through them (masked steps carry non-flushed slots unchanged)
@@ -418,6 +452,9 @@ class StreamingCascade:
                                     jnp.asarray(mask))
         self._states = (s1, s2, s3)
         full = np.asarray(full.reshape((S, Tc) + full.shape[1:]))
+        for i in sel:   # buffers drop only once the fetched pass succeeded
+            if fills[i]:
+                self._buffers[i].clear()
         tails = [full[i, :fills[i] * W] if fills[i] else None
                  for i in range(S)]
         if stream is not None:

@@ -423,33 +423,34 @@ class ArtifactLookaheadSession:
                 f"window size {ori.shape[1]} != configured {W}")
         act = (np.ones(S, bool) if active is None
                else np.asarray(active).astype(bool).reshape(S))
-        for i in range(S):
-            if act[i]:
-                self._buffers[i].append((ori[i].copy(), acc[i].copy()))
-        emitted = np.array([act[i] and len(self._buffers[i]) == K + 1
-                            for i in range(S)])
+        appended = [i for i in range(S) if act[i]]
+        for i in appended:
+            self._buffers[i].append((ori[i].copy(), acc[i].copy()))
+        # shared peek-assembly/commit with the live session (the oracle
+        # pair share their buffer mechanics by construction); mutation
+        # commits only after the device passes succeed — see
+        # StreamingCascade.assemble_lookahead
+        from a3gc_tpu.eval.streaming import StreamingCascade as _SC
+        emitted, ctx_o, ctx_a, adv_o, adv_a = _SC.assemble_lookahead(
+            self._buffers, act, W, K)
         pose = None
         if emitted.any():
-            Tc = (K + 1) * W
-            ctx_o = np.zeros((S, Tc, 54), np.float32)
-            ctx_a = np.zeros((S, Tc, 18), np.float32)
-            adv_o = np.zeros((S, W, 54), np.float32)
-            adv_a = np.zeros((S, W, 18), np.float32)
-            for i in range(S):
-                if emitted[i]:
-                    ctx_o[i] = np.concatenate([o for o, _ in
-                                               self._buffers[i]])
-                    ctx_a[i] = np.concatenate([a for _, a in
-                                               self._buffers[i]])
-                    adv_o[i], adv_a[i] = self._buffers[i].popleft()
             em = emitted.astype(np.float32)
-            # emission: read-only on the state (returned state dropped)
-            full, _ = self._mods[K + 1].step(ctx_o, ctx_a, self._states,
-                                             em)
-            pose = np.asarray(full)[:, :W]
-            # advance: carried state moves through the oldest window
-            _, self._states = self._mods[1].step(adv_o, adv_a,
+            try:
+                # emission: read-only on the state (returned state
+                # dropped — artifact steps are functional)
+                full, _ = self._mods[K + 1].step(ctx_o, ctx_a,
                                                  self._states, em)
+                pose = np.asarray(full)[:, :W]
+                # advance: carried state moves through the oldest window
+                _, states = self._mods[1].step(adv_o, adv_a,
+                                               self._states, em)
+            except Exception:
+                for i in appended:  # transactional: undo this window
+                    self._buffers[i].pop()
+                raise
+            self._states = states
+            _SC.commit_lookahead(self._buffers, emitted)
         if S == 1:
             return pose[0] if emitted[0] else None
         return pose, emitted
@@ -474,13 +475,13 @@ class ArtifactLookaheadSession:
             for i in group:
                 o[i] = np.concatenate([x for x, _ in self._buffers[i]])
                 a[i] = np.concatenate([y for _, y in self._buffers[i]])
-                self._buffers[i].clear()
             act = np.zeros(S, np.float32)
             act[group] = 1.0
-            full, self._states = self._mods[f].step(o, a, self._states,
-                                                    act)
-            full = np.asarray(full)
-            for i in group:
+            full, states = self._mods[f].step(o, a, self._states, act)
+            full = np.asarray(full)     # fetch before committing state
+            self._states = states
+            for i in group:     # buffers drop only after the pass landed
+                self._buffers[i].clear()
                 tails[i] = full[i]
         if stream is not None:
             return tails[stream]

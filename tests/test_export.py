@@ -331,23 +331,28 @@ class TestBundle:
                                 lookahead=K)
 
         rng = np.random.RandomState(11)
+        emitted_slots = set()
         for w in range(n):
             ori = rng.randn(S, W, 54).astype(np.float32)
             acc = rng.randn(S, W, 18).astype(np.float32)
             active = None
             if w == 2:
                 active = np.array([1.0, 0.0], np.float32)  # slot 1 idles
-            if w == 3:
+            if w == 4:
                 art.reset(stream=1)     # slot 1 re-warms from empty
                 live.reset(stream=1)
             pa, ea = art.step(ori, acc, active=active)
             pl, el = live.step(ori, acc, active=active)
             np.testing.assert_array_equal(ea, el, err_msg=f"window {w}")
             if el.any():
+                emitted_slots |= set(np.flatnonzero(el))
                 np.testing.assert_allclose(pa[el], pl[el], atol=2e-5,
                                            err_msg=f"window {w}")
-        # slots now hold DIFFERENT fill counts (slot 1 re-warmed) —
-        # exercises the grouped per-fill flush passes
+        assert emitted_slots == {0, 1}   # both slots' emissions compared
+        # slots hold DIFFERENT fill counts (slot 1 re-warmed on the last
+        # window: fills [2, 1]) — exercises the grouped per-fill flush
+        # passes and their activity masking of non-group slots
+        assert sorted(len(b) for b in art._buffers) == [1, 2]
         ta, tl = art.flush(), live.flush()
         for i in range(S):
             if tl[i] is None:
