@@ -486,9 +486,19 @@ class TestLookaheadServing:
                 "slot": slot, "ori": ori[:W].tolist(),
                 "acc": acc[:W].tolist()})
             assert st == 202 and out.get("warmup"), out
-            # second flush: only 1 window buffered -> f*W frames
-            st, out = _request(addr, "POST", "/v1/flush", {"slot": slot})
-            assert st == 200 and out["frames"] == W, out
+            # second flush via the BINARY protocol: only 1 window
+            # buffered -> f*W frames of raw f32 + X-Frames header
+            conn = http.client.HTTPConnection(*addr, timeout=30)
+            conn.request("POST", "/v1/flush",
+                         body=np.asarray([slot], "<u4").tobytes(),
+                         headers={"Content-Type":
+                                  "application/octet-stream"})
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert resp.getheader("X-Frames") == str(W)
+            tail_b = np.frombuffer(resp.read(), "<f4")
+            conn.close()
+            assert tail_b.shape[0] == W * 24 * 3 * 3
             st, _ = _request(addr, "DELETE", f"/v1/session/{slot}")
             assert st == 200
 
