@@ -47,6 +47,8 @@ EPOCHS = int(os.environ.get("EPOCHS", 3))
 DTYPE = os.environ.get("DTYPE", "bfloat16")
 ACCUM = os.environ.get("ACCUM", "1")
 HU = os.environ.get("HU", "")      # CPU smoke: HU=8 shrinks the nets
+TAG = os.environ.get("TAG", "")    # suffix for the output artifacts
+                                   # (e.g. TAG=_b16 for a second config)
 
 
 def ensure_corpus():
@@ -75,7 +77,7 @@ def ensure_corpus():
 def run(name, extra, train_npz, valid_npz):
     import shutil
 
-    runs = os.path.join(WORK, "dd_runs")
+    runs = os.path.join(WORK, "dd_runs" + TAG)
     os.makedirs(runs, exist_ok=True)
     # the JSONL logger appends: clear any prior run of this name
     shutil.rmtree(os.path.join(runs, name), ignore_errors=True)
@@ -138,7 +140,7 @@ def main():
         abs(a["valid_loss"] - b["valid_loss"]) for a, b in pairs)
 
     os.makedirs(OUT, exist_ok=True)
-    with open(os.path.join(OUT, "DEVICE_DATA.json"), "w") as f:
+    with open(os.path.join(OUT, "DEVICE_DATA" + TAG + ".json"), "w") as f:
         json.dump(report, f, indent=1)
     lines = [
         "# Device-resident corpus training (`--device_data`) on chip",
@@ -159,7 +161,7 @@ def main():
         f"{report['max_valid_loss_delta']:.2e} (same permutations and rng "
         "by construction — the paths are oracle-tested equal on CPU).",
     ]
-    with open(os.path.join(OUT, "DEVICE_DATA.md"), "w") as f:
+    with open(os.path.join(OUT, "DEVICE_DATA" + TAG + ".md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({k: v for k, v in report.items() if k != "configs"}))
 

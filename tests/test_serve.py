@@ -161,6 +161,73 @@ class TestPoseServer:
             srv.shutdown()
 
 
+class TestFlushConcurrency:
+    def test_random_step_flush_release_interleavings(self, setup, model):
+        """Threaded fuzz of the lookahead batcher: concurrent clients
+        randomly step / flush / release+reacquire their own slots. No
+        response may hang, every 200-step returns a [W,24,3,3] pose and
+        every 200-flush f*W frames (the mailbox cross-wire the guards
+        prevent would surface as a shape mismatch), and transient 4xx
+        are only the documented races (released slot, request in
+        flight)."""
+        from a3gc_tpu.serve import PoseServer
+
+        cfg, params3 = setup
+        W, K = 4, 1
+        srv = PoseServer(params3, cfg, model, window=W, streams=3, port=0,
+                         max_wait_ms=2.0, lookahead=K)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        addr = srv.address
+        try:
+            def client(ci):
+                rng = np.random.default_rng(ci)
+                ori = np.tile(np.eye(3, dtype=np.float32).reshape(-1),
+                              (W, 6)).reshape(W, 54).tolist()
+                acc = np.zeros((W, 18), np.float32).tolist()
+                st, sess = _request(addr, "POST", "/v1/session")
+                assert st == 200, sess
+                slot = sess["slot"]
+                ok = 0
+                for _ in range(12):
+                    op = rng.choice(["step", "step", "step", "flush",
+                                     "cycle"])
+                    if op == "step":
+                        st, out = _request(addr, "POST", "/v1/step",
+                                           {"slot": slot, "ori": ori,
+                                            "acc": acc})
+                        assert st in (200, 202), (st, out)
+                        if st == 200:
+                            pose = np.asarray(out["pose"], np.float32)
+                            assert pose.shape == (W, 24, 3, 3), pose.shape
+                            assert np.isfinite(pose).all()
+                    elif op == "flush":
+                        st, out = _request(addr, "POST", "/v1/flush",
+                                           {"slot": slot})
+                        assert st == 200, (st, out)
+                        assert out["frames"] in (0, K * W), out["frames"]
+                        if out["frames"]:
+                            tail = np.asarray(out["pose"], np.float32)
+                            assert tail.shape == (K * W, 24, 3, 3)
+                    else:   # release + reacquire (slot may change)
+                        st, _ = _request(addr, "DELETE",
+                                         f"/v1/session/{slot}")
+                        assert st == 200
+                        st, sess = _request(addr, "POST", "/v1/session")
+                        assert st == 200, sess
+                        slot = sess["slot"]
+                    ok += 1
+                _request(addr, "DELETE", f"/v1/session/{slot}")
+                return ok
+
+            with ThreadPoolExecutor(3) as ex:
+                results = list(ex.map(client, range(3)))
+            assert results == [12, 12, 12]
+            st, stats = _request(addr, "GET", "/v1/stats")
+            assert st == 200 and stats["errors"] == 0
+        finally:
+            srv.shutdown()
+
+
 class TestBinaryProtocol:
     def test_binary_step_matches_json(self, setup, model):
         from a3gc_tpu.serve import PoseServer
