@@ -474,14 +474,15 @@ def cmd_stream(args):
         assert not args.pipelined, (
             "--pipelined drives the live session; artifacts use plain "
             "step()")
-        if args.lookahead:
+        if args.lookahead or args.history:
             session = ArtifactLookaheadSession(
                 ExportedBundle(args.artifact), streams=args.streams,
-                window=args.window, lookahead=args.lookahead)
+                window=args.window, lookahead=args.lookahead,
+                history=args.history)
             assert session.streams == 1, (
-                "artifact lookahead streaming is single-stream here; "
-                "multi-client lookahead serving is `serve --artifact "
-                "--lookahead`")
+                "artifact lookahead/history streaming is single-stream "
+                "here; multi-client buffered serving is `serve "
+                "--artifact --lookahead/--history`")
         else:
             session = ArtifactSession(load_exported(
                 args.artifact, streams=args.streams, window=args.window))
@@ -511,11 +512,13 @@ def cmd_stream(args):
                                  sequences, mesh=mesh)
         sess = StreamingCascade(params3, cascade, model, window=args.window,
                                 stats=stats, normalize=args.norm,
-                                lookahead=args.lookahead, mesh=mesh)
+                                lookahead=args.lookahead,
+                                history=args.history, mesh=mesh)
 
-    # warm up (compile) outside the timed region; lookahead needs K+1
-    # steps to reach the (K+1)W emission program (earlier steps buffer)
-    for _ in range(args.lookahead + 1):
+    # warm up (compile) outside the timed region; buffered modes need
+    # P+K+1 steps to reach the steady-state emission program (earlier
+    # steps compile the warmup-fill programs)
+    for _ in range(args.lookahead + args.history + 1):
         sess.step(sequences[0]["ori"][:W], sequences[0]["acc"][:W])
     if args.lookahead:
         sess.flush()
@@ -560,6 +563,7 @@ def cmd_stream(args):
         "window": W,
         "pipelined": bool(args.pipelined),
         "lookahead": int(args.lookahead),
+        "history": int(args.history),
         "windows": int(lat.size),
         "latency_ms_mean": round(float(lat.mean()), 3),
         "latency_ms_p50": round(float(np.percentile(lat, 50)), 3),
@@ -588,7 +592,8 @@ def _stream_multi(args, params3, cascade, model, stats, sequences,
     sess = session if session is not None else StreamingCascade(
         params3, cascade, model, window=W, stats=stats,
         normalize=args.norm, streams=S, mesh=mesh,
-        lookahead=getattr(args, "lookahead", 0))
+        lookahead=getattr(args, "lookahead", 0),
+        history=getattr(args, "history", 0))
 
     def slot_feed(playlist):
         for seq in playlist:
@@ -602,9 +607,11 @@ def _stream_multi(args, params3, cascade, model, stats, sequences,
                                                              np.float32)
 
     lookahead = getattr(args, "lookahead", 0)
-    # warm up (compile) outside the timed region; lookahead needs K+1
-    # steps to reach the emission program, plus the flush program
-    for _ in range(lookahead + 1):
+    history = getattr(args, "history", 0)
+    # warm up (compile) outside the timed region; buffered modes need
+    # P+K+1 steps to reach the steady-state emission program, plus the
+    # flush program
+    for _ in range(lookahead + history + 1):
         sess.step(np.zeros((S, W, 54), np.float32),
                   np.zeros((S, W, 18), np.float32))
     if lookahead:
@@ -640,7 +647,7 @@ def _stream_multi(args, params3, cascade, model, stats, sequences,
             # window's host work (see StreamingCascade.step_async)
             sess.step_async(ori, acc)
             total_frames += active * W
-        elif lookahead:
+        elif lookahead or history:
             # per-slot buffered emission: count only EMITTED frames (the
             # warmup ticks of each slot produce none)
             _, emitted = sess.step(ori, acc, active=act_vec)
@@ -677,6 +684,7 @@ def _stream_multi(args, params3, cascade, model, stats, sequences,
         "window": W,
         "pipelined": bool(args.pipelined),   # latency = submit-side then
         "lookahead": lookahead,
+        "history": history,
         "windows": ticks,
         "latency_ms_mean": round(float(lat.mean()), 3),
         "latency_ms_p50": round(float(np.percentile(lat, 50)), 3),
@@ -708,14 +716,16 @@ def cmd_export(args):
     stats = _load_stats(args) if args.norm else None
 
     geometries = [(s, w) for s in args.streams for w in args.window]
-    if args.lookahead:
-        # lookahead serving needs the emission/flush window multiples;
-        # APPEND them — the bundle's first entry stays the user's first
-        # (streams, window), which select()/load_exported default to
+    if args.lookahead or args.history:
+        # lookahead/history serving needs the emission/flush window
+        # multiples; APPEND them — the bundle's first entry stays the
+        # user's first (streams, window), which select()/load_exported
+        # default to
         from a3gc_tpu.export import lookahead_geometries
         extra = [g for w in args.window
                  for g in lookahead_geometries(args.streams, w,
-                                               args.lookahead)]
+                                               args.lookahead,
+                                               args.history)]
         geometries += [g for g in extra if g not in set(geometries)]
     if len(geometries) > 1:
         # multi-geometry bundle: one directory, one sub-artifact per
@@ -763,18 +773,19 @@ def cmd_serve(args):
         from a3gc_tpu.export import (ArtifactLookaheadSession,
                                      ArtifactSession, ExportedBundle,
                                      load_exported)
-        if args.lookahead:
+        if args.lookahead or args.history:
             # buffered-emission serving needs the window-multiple
-            # modules — a bundle from `export --lookahead K`
+            # modules — a bundle from `export --lookahead K --history P`
             session = ArtifactLookaheadSession(
                 ExportedBundle(args.artifact), streams=args.streams,
-                window=args.window, lookahead=args.lookahead)
+                window=args.window, lookahead=args.lookahead,
+                history=args.history)
         else:
             session = ArtifactSession(load_exported(
                 args.artifact, streams=args.streams, window=args.window))
         srv = PoseServer(None, None, None, host=args.host, port=args.port,
                          max_wait_ms=args.max_wait_ms, session=session,
-                         lookahead=args.lookahead)
+                         lookahead=args.lookahead, history=args.history)
         streams, window = session.streams, session.window
     else:
         args.window = args.window or 60
@@ -798,6 +809,7 @@ def cmd_serve(args):
                          normalize=args.norm, host=args.host,
                          port=args.port, max_wait_ms=args.max_wait_ms,
                          mesh=mesh, lookahead=args.lookahead,
+                         history=args.history,
                          # POST /v1/reload re-discovers the latest
                          # checkpoints (training can keep writing to
                          # --path) and hot-swaps them into live sessions
@@ -1046,6 +1058,13 @@ def build_parser():
                          "windows (K+1 windows of context), cutting "
                          "streaming-vs-offline divergence; costs ~(K+2)x "
                          "compute and K windows of latency")
+    st.add_argument("--history", type=int, nargs="?", const=1, default=0,
+                    metavar="P",
+                    help="P-window history (bare flag = 1): each emission "
+                         "re-runs up to P already-emitted past windows as "
+                         "leading attention context — cuts divergence at "
+                         "ZERO added latency (composes with --lookahead; "
+                         "~(P+K+2)x compute)")
     st.add_argument("--streams", type=int, default=None,
                     help="multiplex N independent clients through one "
                          "compiled multi-stream program (per-client state, "
@@ -1087,6 +1106,10 @@ def build_parser():
                          "deployment needs ({W..(K+1)W} per stream count) "
                          "so `serve/stream --artifact --lookahead K` can "
                          "run buffered emissions from the bundle")
+    ex.add_argument("--history", type=int, default=0, metavar="P",
+                    help="also export the window multiples a history-P "
+                         "deployment needs ({W..(P+K+1)W} per stream "
+                         "count) for `serve/stream --artifact --history`")
     ex.add_argument("--backend", choices=("xla", "pallas"), default="xla",
                     help="xla = portable (cpu+tpu) under jax.export's "
                          "compatibility guarantees; pallas = bake the "
@@ -1157,6 +1180,11 @@ def build_parser():
                          "extra windows of future context (lower "
                          "streaming-vs-offline divergence; ~(K+2)x "
                          "compute)")
+    sv.add_argument("--history", type=int, default=0,
+                    help="P-window history: emissions re-run up to P past "
+                         "windows as leading attention context (lower "
+                         "divergence at zero added latency; composes with "
+                         "--lookahead; ~(P+K+2)x compute)")
     sv.add_argument("--artifact", type=str, default="",
                     help="serve from a `cli export` deployment artifact "
                          "directory (geometry from its manifest; ignores "

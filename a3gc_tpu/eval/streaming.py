@@ -201,21 +201,33 @@ class StreamingCascade:
     around 16 streams (docs/PERFORMANCE.md), so past that the slots
     scale out data-parallel, each device carrying its shard's state.
     ``reset(stream=i)`` and ``active`` masking work unchanged.
+
+    Streaming-quality context: ``lookahead=K`` buffers K windows of
+    FUTURE context before emitting (adds K windows of latency);
+    ``history=P`` re-runs up to P already-emitted PAST windows as
+    attention/self-context for every emission at ZERO added latency.
+    They compose: emission for window k is computed over windows
+    [k-P, k+K] from the carried state at window k-P. Measured with the
+    reference's trained checkpoints (docs/validation/
+    STREAMING_TRADEOFF.md): P=1 alone −38% divergence vs offline at
+    unchanged latency; P=1+K=1 −79%.
     """
 
     def __init__(self, params3: Tuple, cfg: CascadeConfig, model,
                  window: int = 60,
                  stats: Optional[Dict[str, np.ndarray]] = None,
                  normalize: bool = False, streams: int = 1,
-                 lookahead: int = 0, mesh=None):
+                 lookahead: int = 0, history: int = 0, mesh=None):
         self.params3 = params3
         self.cfg = cfg
         self.window = window
         self.streams = streams
         self.lookahead = int(lookahead)     # bool True (old API) -> K=1
-        self.mesh = mesh
-        # per-slot deques of buffered (ori, acc) windows awaiting emission
-        # (lookahead mode); slot i holds at most K+1 windows
+        self.history = int(history)
+        assert self.history >= 0 and self.lookahead >= 0
+        # per-slot deques of buffered (ori, acc) windows: the newest K
+        # await emission (lookahead), up to P older ones are kept as
+        # past context (history); slot i holds at most P+K+1 windows
         self._buffers = [collections.deque() for _ in range(streams)]
         self.stats = ({k: jnp.asarray(v) for k, v in stats.items()}
                       if (normalize and stats is not None) else None)
@@ -246,8 +258,8 @@ class StreamingCascade:
         ``stream=i`` zeroes only client i's slice of every state array
         (batch axis 1 in both the graph [2, S, N, H] and DIP [2, S, H]
         layouts) — the serving primitive for one client ending its
-        sequence while the other S-1 continue. In lookahead mode the
-        slot's buffered (un-emitted) windows are dropped with it."""
+        sequence while the other S-1 continue. In lookahead/history mode
+        the slot's buffered windows are dropped with it."""
         if stream is None:
             self._states = self._zero_states
             for b in self._buffers:
@@ -282,70 +294,101 @@ class StreamingCascade:
 
         With ``lookahead=K`` (K ≥ 1) the emission lags K windows: step(k)
         returns window k-K's pose computed with windows k-K..k as
-        backward-direction context — see :meth:`_step_lookahead`. For
-        ``streams=1`` the return is the lagged pose (None while warming
-        up); for S > 1 it is ``(pose [S, T_w, ...] | None, emitted [S]
-        bool)`` — slot i's row is valid iff ``emitted[i]`` (slots warm up
-        independently, e.g. after a per-stream reset). Call :meth:`flush`
-        after a stream's last window to drain its buffered tail.
+        backward-direction context — see :meth:`_step_buffered`. With
+        ``history=P`` (P ≥ 1) every emission additionally re-runs up to P
+        already-emitted past windows as leading context (zero added
+        latency). In either buffered mode, for ``streams=1`` the return
+        is the (possibly lagged) pose (None while warming up); for S > 1
+        it is ``(pose [S, T_w, ...] | None, emitted [S] bool)`` — slot
+        i's row is valid iff ``emitted[i]`` (slots warm up independently,
+        e.g. after a per-stream reset). Call :meth:`flush` after a
+        stream's last window to drain its buffered tail (K ≥ 1 only;
+        history alone buffers nothing un-emitted).
         """
-        if self.lookahead:
-            return self._step_lookahead(ori_window, acc_window, active)
+        if self.lookahead or self.history:
+            return self._step_buffered(ori_window, acc_window, active)
         return np.asarray(self._dispatch(ori_window, acc_window, active))
 
-    # -- shared lookahead buffer mechanics (also used by
+    # -- shared history/lookahead buffer mechanics (also used by
     #    export.ArtifactLookaheadSession, its oracle-equal counterpart) --
 
     @staticmethod
-    def assemble_lookahead(buffers, act, W, K):
+    def assemble_buffered(buffers, act, W, K, P):
         r"""Peek-assemble the emission/advance inputs WITHOUT mutating
-        the buffers: ``(emitted [S] bool, ctx_o, ctx_a [S,(K+1)W,*],
-        adv_o, adv_a [S,W,*])``. Mutation happens in
-        :meth:`commit_lookahead` only after the device passes succeed,
-        so a transient device/relay error (which serving catches and
-        survives) cannot leave the buffer and the carried state
-        desynced — a retry of the same window recomputes identically."""
+        the buffers: ``(emitted [S] bool, groups {fill: (mask [S] f32,
+        ctx_o [S, fill·W, 54], ctx_a [S, fill·W, 18])}, adv [S] bool,
+        adv_o, adv_a [S, W, *])``. A slot emits once it holds K+1
+        windows (the K newest are future context); its whole buffer —
+        up to P additional PAST windows — is the emission context, so
+        slots are grouped by fill count (one device pass per distinct
+        context length; in steady state all active slots sit at the
+        P+K+1 capacity → one group). ``adv`` marks at-capacity slots
+        whose state advances through their oldest window this tick.
+        Mutation happens in :meth:`commit_buffered` only after the
+        device passes succeed, so a transient device/relay error (which
+        serving catches and survives) cannot leave the buffer and the
+        carried state desynced — a retry of the same window recomputes
+        identically."""
         S = len(buffers)
-        emitted = np.array([act[i] and len(buffers[i]) == K + 1
+        fills = [len(b) for b in buffers]
+        emitted = np.array([bool(act[i]) and fills[i] >= K + 1
                             for i in range(S)])
-        Tc = (K + 1) * W
-        ctx_o = np.zeros((S, Tc, 54), np.float32)
-        ctx_a = np.zeros((S, Tc, 18), np.float32)
+        slots_by_fill: Dict[int, list] = {}
+        for i in range(S):
+            if emitted[i]:
+                slots_by_fill.setdefault(fills[i], []).append(i)
+        groups = {}
+        for f, slots in slots_by_fill.items():
+            ctx_o = np.zeros((S, f * W, 54), np.float32)
+            ctx_a = np.zeros((S, f * W, 18), np.float32)
+            em = np.zeros(S, np.float32)
+            for i in slots:
+                ctx_o[i] = np.concatenate([o for o, _ in buffers[i]])
+                ctx_a[i] = np.concatenate([a for _, a in buffers[i]])
+                em[i] = 1.0
+            groups[f] = (em, ctx_o, ctx_a)
+        cap = P + K + 1
+        adv = np.array([bool(emitted[i]) and fills[i] == cap
+                        for i in range(S)])
         adv_o = np.zeros((S, W, 54), np.float32)
         adv_a = np.zeros((S, W, 18), np.float32)
         for i in range(S):
-            if emitted[i]:
-                ctx_o[i] = np.concatenate([o for o, _ in buffers[i]])
-                ctx_a[i] = np.concatenate([a for _, a in buffers[i]])
+            if adv[i]:
                 adv_o[i], adv_a[i] = buffers[i][0]
-        return emitted, ctx_o, ctx_a, adv_o, adv_a
+        return emitted, groups, adv, adv_o, adv_a
 
     @staticmethod
-    def commit_lookahead(buffers, emitted):
-        r"""Drop each emitted slot's oldest window (the carried state
-        just advanced through it)."""
-        for i, e in enumerate(emitted):
+    def commit_buffered(buffers, adv):
+        r"""Drop each advanced slot's oldest window (the carried state
+        just moved through it; below capacity the buffer keeps growing
+        as history)."""
+        for i, e in enumerate(adv):
             if e:
                 buffers[i].popleft()
 
-    def _step_lookahead(self, ori_window, acc_window, active=None):
-        r"""K-window-lookahead emission: each slot buffers its last K+1
-        windows; once full, the oldest window's pose is computed by
-        running the cascade over ALL K+1 buffered windows from the
-        carried state, keeping the first T_w outputs — the backward
-        direction of every bidirectional layer sees K extra windows of
-        future context, cutting streaming-vs-offline divergence. The
-        carried state still advances through the oldest window alone (a
-        second, plain pass), so state threading is IDENTICAL to plain
-        windowing — lookahead changes emissions only. Cost: ~(K+2) ×
-        the plain per-window compute (one (K+1)·W emission pass + one
-        W advance pass per W frames emitted); latency: +K windows. Buffers are
-        PER SLOT, so ``active`` masking (dynamic batching) and per-stream
-        reset compose: an idle slot's buffer and state are untouched; a
-        reset slot re-warms from empty. The reference's online mode has
-        no counterpart (its windows never see future frames,
-        ref: net_aagc.py:809-812)."""
-        S, W, K = self.streams, self.window, self.lookahead
+    def _step_buffered(self, ori_window, acc_window, active=None):
+        r"""Buffered-context emission (lookahead K and/or history P):
+        each slot buffers its last ≤ P+K+1 windows; once it holds K+1,
+        the window K-from-newest is emitted by running the cascade over
+        the ENTIRE buffer from the carried state (kept at the start of
+        the oldest buffered window) and slicing that window's T_w
+        outputs — the backward direction of every bidirectional layer
+        sees K extra windows of future context, and the attention /
+        self-context layers see up to P extra windows of past context,
+        cutting streaming-vs-offline divergence. The carried state
+        advances through the OLDEST window alone (a second, plain pass)
+        only once the buffer is at capacity, so state threading is
+        IDENTICAL to plain windowing — buffering changes emissions only.
+        Cost: ~(P+K+2) × the plain per-window compute in steady state
+        (one (P+K+1)·W emission pass + one W advance pass per W frames
+        emitted); latency: +K windows (history alone adds NONE). Buffers
+        are PER SLOT, so ``active`` masking (dynamic batching) and
+        per-stream reset compose: an idle slot's buffer and state are
+        untouched; a reset slot re-warms from empty. The reference's
+        online mode has no counterpart (its windows never see frames
+        beyond the current one, ref: net_aagc.py:809-812)."""
+        S, W = self.streams, self.window
+        K, P = self.lookahead, self.history
         ori = np.asarray(ori_window, np.float32).reshape(S, -1, 54)
         acc = np.asarray(acc_window, np.float32).reshape(S, -1, 18)
         assert ori.shape[1] == W, (
@@ -357,34 +400,43 @@ class StreamingCascade:
             # copies: np.asarray is a no-op view for float32 input,
             # and the buffer must survive the caller reusing arrays
             self._buffers[i].append((ori[i].copy(), acc[i].copy()))
-        emitted, ctx_o, ctx_a, adv_o, adv_a = self.assemble_lookahead(
-            self._buffers, act, W, K)
+        emitted, groups, adv, adv_o, adv_a = self.assemble_buffered(
+            self._buffers, act, W, K, P)
         pose = None
         if emitted.any():
-            em = jnp.asarray(emitted, jnp.float32)
             s1, s2, s3 = self._states   # state at start of oldest window
             try:
-                # emission pass over the K+1 buffered windows (read-only
-                # on the state; own jit specialization at (K+1)·W frames)
-                full, _, _, _ = self._fn(self.params3, jnp.asarray(ctx_o),
-                                         jnp.asarray(ctx_a), s1, s2, s3,
-                                         em)
-                full = full.reshape((S, (K + 1) * W) + full.shape[1:])
-                pose = np.asarray(full[:, :W])
-                # advance pass over the oldest window alone: the fetch
-                # above already fenced; a failure before this line leaves
-                # self._states untouched
-                _, s1, s2, s3 = self._fn(self.params3, jnp.asarray(adv_o),
-                                         jnp.asarray(adv_a), s1, s2, s3,
-                                         em)
+                for f in sorted(groups):
+                    # emission pass over the f buffered windows
+                    # (read-only on the state; own jit specialization
+                    # at f·W frames — steady state uses only P+K+1)
+                    em, ctx_o, ctx_a = groups[f]
+                    full, _, _, _ = self._fn(
+                        self.params3, jnp.asarray(ctx_o),
+                        jnp.asarray(ctx_a), s1, s2, s3, jnp.asarray(em))
+                    full = full.reshape((S, f * W) + full.shape[1:])
+                    lo = (f - K - 1) * W    # the emitted window's offset
+                    sl = np.asarray(full[:, lo:lo + W])   # fetch fences
+                    if pose is None:
+                        pose = np.zeros_like(sl)
+                    rows = em.astype(bool)
+                    pose[rows] = sl[rows]
+                if adv.any():
+                    # advance pass over at-capacity slots' oldest window:
+                    # the fetches above already fenced; a failure before
+                    # this line leaves self._states untouched
+                    _, s1, s2, s3 = self._fn(
+                        self.params3, jnp.asarray(adv_o),
+                        jnp.asarray(adv_a), s1, s2, s3,
+                        jnp.asarray(adv.astype(np.float32)))
+                    self._states = (s1, s2, s3)
             except Exception:
                 # transactional: un-buffer this window so a caller that
                 # catches (e.g. serving) can retry it without skew
                 for i in appended:
                     self._buffers[i].pop()
                 raise
-            self._states = (s1, s2, s3)
-            self.commit_lookahead(self._buffers, emitted)
+            self.commit_buffered(self._buffers, adv)
         if S == 1:
             return pose[0] if emitted[0] else None
         return pose, emitted
@@ -400,40 +452,46 @@ class StreamingCascade:
         in-flight execute and transfer RPCs contend on the tunnel); prefer
         synchronous :meth:`step` there. Call :meth:`flush` after the last
         window."""
-        assert not self.lookahead, (
-            "step_async (pipelined) and lookahead both lag one window; "
-            "use step() with lookahead=True")
+        assert not (self.lookahead or self.history), (
+            "step_async (pipelined) does not compose with buffered "
+            "lookahead/history emission; use step()")
         pose = self._dispatch(ori_window, acc_window)
         prev, self._pending = self._pending, pose
         return None if prev is None else np.asarray(prev)
 
     def flush(self, stream: Optional[int] = None):
         r"""Drain buffered results at end of stream. Pipelined mode: the
-        last dispatched result. Lookahead mode: emit each slot's
-        un-emitted tail as ONE continuous chunk — exactly an offline
-        cascade pass over the remaining f·W frames from the carried
-        state, so every tail window sees all remaining future context
-        (for f=1 this equals plain windowing's final window). ``stream=i``
-        flushes only slot i (its tail frames returned, other slots
-        untouched); otherwise all slots flush: returns the single slot's
-        [f·W, ...] frames for streams=1, else a per-slot list (None for
-        empty slots)."""
-        if self.lookahead:
-            return self._flush_lookahead(stream)
+        last dispatched result. Lookahead/history mode: emit each slot's
+        un-emitted tail (the newest ≤ K windows) as ONE continuous
+        chunk — exactly an offline cascade pass over the slot's whole
+        buffer from the carried state, so every tail window sees all
+        remaining future context AND the buffered past context (for
+        P=0, K=1 this equals plain windowing's final window). The
+        carried state advances to the end of the stream either way —
+        with history but no lookahead the tail is empty (everything
+        already emitted) and flush only re-synchronizes the state, so a
+        caller may keep stepping afterwards. ``stream=i`` flushes only
+        slot i (its tail frames returned, other slots untouched);
+        otherwise all slots flush: returns the single slot's [u·W, ...]
+        tail frames (or None) for streams=1, else a per-slot list (None
+        for empty tails)."""
+        if self.lookahead or self.history:
+            return self._flush_buffered(stream)
         prev, self._pending = self._pending, None
         return None if prev is None else np.asarray(prev)
 
-    def _flush_lookahead(self, stream: Optional[int]):
-        S, W, K = self.streams, self.window, self.lookahead
+    def _flush_buffered(self, stream: Optional[int]):
+        S, W = self.streams, self.window
+        K, P = self.lookahead, self.history
         sel = [stream] if stream is not None else list(range(S))
         fills = [len(self._buffers[i]) if i in sel else 0
                  for i in range(S)]
         if not any(fills):
             return None if (S == 1 or stream is not None) else [None] * S
-        Tc = (K + 1) * W
+        Tc = (P + K + 1) * W
         ctx_o = np.zeros((S, Tc, 54), np.float32)
         ctx_a = np.zeros((S, Tc, 18), np.float32)
-        # ones-prefix per-frame mask: slot i's remaining f·W frames are
+        # ones-prefix per-frame mask: slot i's f·W buffered frames are
         # real, the rest padding (distinct jit specialization from the
         # scalar-active programs — compiled only if flush is used)
         mask = np.zeros((S, Tc), np.float32)
@@ -445,8 +503,11 @@ class StreamingCascade:
                     [a for _, a in self._buffers[i]])
                 mask[i, :fills[i] * W] = 1.0
         s1, s2, s3 = self._states
-        # one pass: emits all remaining frames AND advances the state
-        # through them (masked steps carry non-flushed slots unchanged)
+        # one pass over each slot's whole buffer: emits the un-emitted
+        # tail (with its history context leading it) AND advances the
+        # state through every buffered window — including history
+        # windows the state had not yet moved through (masked steps
+        # carry non-flushed slots unchanged)
         full, s1, s2, s3 = self._fn(self.params3, jnp.asarray(ctx_o),
                                     jnp.asarray(ctx_a), s1, s2, s3,
                                     jnp.asarray(mask))
@@ -455,8 +516,14 @@ class StreamingCascade:
         for i in sel:   # buffers drop only once the fetched pass succeeded
             if fills[i]:
                 self._buffers[i].clear()
-        tails = [full[i, :fills[i] * W] if fills[i] else None
-                 for i in range(S)]
+        # un-emitted tail: everything but the newest K windows was
+        # already emitted (a slot that never reached K+1 windows emitted
+        # nothing, so its whole fill is tail)
+        tails = []
+        for i in range(S):
+            u = fills[i] if fills[i] <= K else K
+            tails.append(full[i, (fills[i] - u) * W:fills[i] * W]
+                         if u else None)
         if stream is not None:
             return tails[stream]
         return tails[0] if S == 1 else tails

@@ -345,58 +345,63 @@ class ArtifactSession:
 
 
 def lookahead_geometries(streams: Sequence[int], window: int,
-                         lookahead: int):
-    r"""The (streams, window) set a lookahead-K deployment bundle needs:
-    for each stream count, modules at windows {W, 2W, ..., (K+1)·W} —
-    the W module advances state (and flushes 1-window tails), the
-    (K+1)·W module runs buffered emissions, and the intermediate f·W
-    modules flush partial tails. ``cli export --lookahead K`` expands
-    the geometry list with this."""
+                         lookahead: int, history: int = 0):
+    r"""The (streams, window) set a lookahead-K / history-P deployment
+    bundle needs: for each stream count, modules at windows
+    {W, 2W, ..., (P+K+1)·W} — the W module advances state (and flushes
+    1-window tails), the (P+K+1)·W module runs steady-state buffered
+    emissions, and the intermediate f·W modules run warmup emissions
+    and flush partial tails. ``cli export --lookahead K --history P``
+    expands the geometry list with this."""
     return [(s, f * window) for s in streams
-            for f in range(1, lookahead + 2)]
+            for f in range(1, lookahead + history + 2)]
 
 
 class ArtifactLookaheadSession:
-    r"""K-window-lookahead serving from a deployment BUNDLE — the
-    artifact counterpart of ``StreamingCascade(lookahead=K)`` (same
+    r"""Buffered-context (lookahead-K / history-P) serving from a
+    deployment BUNDLE — the artifact counterpart of
+    ``StreamingCascade(lookahead=K, history=P)`` (same
     ``step``/``flush``/``reset`` contract; equality pinned by an oracle
     test against the live session, tests/test_export.py).
 
-    Each slot buffers its last K+1 windows. Once full, the oldest
-    window's pose is computed by the (K+1)·W-window module from the
-    carried state (the returned state is DISCARDED — artifact steps are
-    functional, so a read-only pass is just not threading the state
-    back), then the W-window module advances the carried state through
-    the oldest window alone. ``flush`` drains each slot's f·W-frame
-    tail as one continuous chunk via the f·W module, grouping slots by
-    fill count (disjoint masked groups — state advance identical to the
-    live session's single per-frame-masked pass).
+    Each slot buffers its last ≤ P+K+1 windows. Once it holds K+1, the
+    window K-from-newest is computed by the fill·W-window module over
+    the whole buffer from the carried state (the returned state is
+    DISCARDED — artifact steps are functional, so a read-only pass is
+    just not threading the state back); at capacity the W-window module
+    then advances the carried state through the oldest window alone.
+    ``flush`` drains each slot's un-emitted tail as one continuous
+    chunk via the fill·W module, grouping slots by fill count (disjoint
+    masked groups — state advance identical to the live session's
+    single per-frame-masked pass).
 
     Needs the bundle geometries from :func:`lookahead_geometries`; a
     missing window raises with the re-export command."""
 
     def __init__(self, bundle: ExportedBundle,
                  streams: Optional[int] = None,
-                 window: Optional[int] = None, lookahead: int = 1):
+                 window: Optional[int] = None, lookahead: int = 1,
+                 history: int = 0):
         import collections
 
-        if lookahead < 1:
-            raise ValueError("lookahead must be >= 1 (use ArtifactSession"
-                             " for plain windowing)")
+        if lookahead < 1 and history < 1:
+            raise ValueError("lookahead or history must be >= 1 (use "
+                             "ArtifactSession for plain windowing)")
         base = bundle.select(streams, window)
-        S, W, K = base.streams, base.window, lookahead
-        self.streams, self.window, self.lookahead = S, W, K
+        S, W, K, P = base.streams, base.window, lookahead, history
+        self.streams, self.window = S, W
+        self.lookahead, self.history = K, P
         self._mods, missing = {}, []
-        for f in range(1, K + 2):
+        for f in range(1, K + P + 2):
             try:
                 self._mods[f] = bundle.select(S, f * W)
             except KeyError:
                 missing.append((S, f * W))
         if missing:
             raise KeyError(
-                f"lookahead={K} needs bundle geometries {missing} — "
-                f"re-export with `cli export --streams {S} --window {W} "
-                f"--lookahead {K}`")
+                f"lookahead={K} history={P} needs bundle geometries "
+                f"{missing} — re-export with `cli export --streams {S} "
+                f"--window {W} --lookahead {K} --history {P}`")
         self._zero_states = base.zero_states()
         self._states = self._zero_states
         self._buffers = [collections.deque() for _ in range(S)]
@@ -412,10 +417,12 @@ class ArtifactLookaheadSession:
             self._buffers[stream].clear()
 
     def step(self, ori, acc, active=None):
-        r"""Same contract as ``StreamingCascade.step`` with lookahead:
-        streams=1 returns the lagged pose (None while warming up); S>1
-        returns ``(pose [S, W, ...] | None, emitted [S] bool)``."""
-        S, W, K = self.streams, self.window, self.lookahead
+        r"""Same contract as ``StreamingCascade.step`` with lookahead /
+        history: streams=1 returns the (possibly lagged) pose (None
+        while warming up); S>1 returns ``(pose [S, W, ...] | None,
+        emitted [S] bool)``."""
+        S, W = self.streams, self.window
+        K, P = self.lookahead, self.history
         ori = np.asarray(ori, np.float32).reshape(S, -1, 54)
         acc = np.asarray(acc, np.float32).reshape(S, -1, 18)
         if ori.shape[1] != W:
@@ -429,39 +436,50 @@ class ArtifactLookaheadSession:
         # shared peek-assembly/commit with the live session (the oracle
         # pair share their buffer mechanics by construction); mutation
         # commits only after the device passes succeed — see
-        # StreamingCascade.assemble_lookahead
+        # StreamingCascade.assemble_buffered
         from a3gc_tpu.eval.streaming import StreamingCascade as _SC
-        emitted, ctx_o, ctx_a, adv_o, adv_a = _SC.assemble_lookahead(
-            self._buffers, act, W, K)
+        emitted, groups, adv, adv_o, adv_a = _SC.assemble_buffered(
+            self._buffers, act, W, K, P)
         pose = None
         if emitted.any():
-            em = emitted.astype(np.float32)
             try:
-                # emission: read-only on the state (returned state
-                # dropped — artifact steps are functional)
-                full, _ = self._mods[K + 1].step(ctx_o, ctx_a,
+                for f in sorted(groups):
+                    # emission: read-only on the state (returned state
+                    # dropped — artifact steps are functional)
+                    em, ctx_o, ctx_a = groups[f]
+                    full, _ = self._mods[f].step(ctx_o, ctx_a,
                                                  self._states, em)
-                pose = np.asarray(full)[:, :W]
-                # advance: carried state moves through the oldest window
-                _, states = self._mods[1].step(adv_o, adv_a,
-                                               self._states, em)
+                    lo = (f - K - 1) * W
+                    sl = np.asarray(full)[:, lo:lo + W]
+                    if pose is None:
+                        pose = np.zeros_like(sl)
+                    rows = em.astype(bool)
+                    pose[rows] = sl[rows]
+                if adv.any():
+                    # advance: at-capacity slots' carried state moves
+                    # through their oldest window
+                    _, states = self._mods[1].step(
+                        adv_o, adv_a, self._states,
+                        adv.astype(np.float32))
+                    self._states = states
             except Exception:
                 for i in appended:  # transactional: undo this window
                     self._buffers[i].pop()
                 raise
-            self._states = states
-            _SC.commit_lookahead(self._buffers, emitted)
+            _SC.commit_buffered(self._buffers, adv)
         if S == 1:
             return pose[0] if emitted[0] else None
         return pose, emitted
 
     def flush(self, stream: Optional[int] = None):
         r"""Drain buffered tails as continuous chunks (the live
-        session's flush semantics): slot i's remaining f·W frames run as
-        ONE pass from the carried state via the f·W module; slots are
+        session's flush semantics): slot i's whole f·W-frame buffer runs
+        as ONE pass from the carried state via the f·W module (the
+        un-emitted tail — the newest ≤ K windows — is returned, the
+        already-emitted history windows lead it as context); slots are
         grouped by fill count and flushed group-by-group with activity
         masks (disjoint groups — carried slots untouched)."""
-        S, W = self.streams, self.window
+        S, W, K = self.streams, self.window, self.lookahead
         sel = [stream] if stream is not None else list(range(S))
         fills = [len(self._buffers[i]) if i in sel else 0
                  for i in range(S)]
@@ -480,9 +498,10 @@ class ArtifactLookaheadSession:
             full, states = self._mods[f].step(o, a, self._states, act)
             full = np.asarray(full)     # fetch before committing state
             self._states = states
+            u = f if f <= K else K      # un-emitted tail windows
             for i in group:     # buffers drop only after the pass landed
                 self._buffers[i].clear()
-                tails[i] = full[i]
+                tails[i] = full[i, (f - u) * W:] if u else None
         if stream is not None:
             return tails[stream]
         return tails[0] if S == 1 else tails

@@ -58,11 +58,14 @@ class _Batcher:
     """Coalesce per-slot requests into multi-stream steps."""
 
     def __init__(self, session, streams: int, window: int,
-                 max_wait_ms: float = 5.0, lookahead: int = 0):
+                 max_wait_ms: float = 5.0, lookahead: int = 0,
+                 history: int = 0):
         self.sess = session
         self.S = streams
         self.W = window
         self.lookahead = lookahead
+        self.history = history
+        self.buffered = bool(lookahead or history)
         self.max_wait = max_wait_ms / 1e3
         self.lock = threading.Lock()
         self.cond = threading.Condition(self.lock)
@@ -135,15 +138,17 @@ class _Batcher:
         (see ``StreamingCascade.flush``). Runs ON the dispatcher thread,
         serialized with device steps (but OUTSIDE the batcher lock, like
         ticks — the first flush compiles its own jit specialization).
-        Returns the tail pose array [f·W, 24, 3, 3] (f ≤ K windows) or
-        None if nothing is buffered (plain-windowed servers, or a slot
-        still warming up after 0 windows). The slot stays active and
-        re-warms from empty."""
+        Returns the tail pose array [u·W, 24, 3, 3] (u ≤ K windows) or
+        None if nothing is un-emitted (plain-windowed servers, a slot
+        still warming up after 0 windows, or a history-only server —
+        whose buffered past windows were all already emitted; its
+        buffer still clears and its state still advances). The slot
+        stays active and re-warms from empty."""
         with self.cond:
             if not (0 <= slot < self.S) or slot in self.free \
                     or slot in self.releasing:
                 raise ValueError(f"slot {slot} is not an active session")
-            if not self.lookahead:
+            if not self.buffered:
                 return None     # plain windowing buffers nothing
             if slot in self.pending or slot in self.flushing \
                     or slot in self.flush_inflight:
@@ -183,6 +188,7 @@ class _Batcher:
                 "streams": self.S,
                 "window": self.W,
                 "lookahead": self.lookahead,
+                "history": self.history,
                 "active_sessions": self.S - len(self.free),
                 "ticks": self.n_ticks,
                 "requests": self.n_requests,
@@ -287,7 +293,7 @@ class _Batcher:
             t0 = time.perf_counter()
             emitted = None
             try:
-                if self.lookahead:
+                if self.buffered:
                     # per-slot buffered emission: a slot still warming up
                     # (buffer not full, e.g. right after acquire/reset)
                     # gets a "warmup" result instead of a pose
@@ -329,32 +335,36 @@ class PoseServer:
                  streams: int = 8, stats=None, normalize: bool = False,
                  host: str = "127.0.0.1", port: int = 8765,
                  max_wait_ms: float = 5.0, session=None, reload_fn=None,
-                 mesh=None, lookahead: int = 0):
+                 mesh=None, lookahead: int = 0, history: int = 0):
         if session is None:
             from a3gc_tpu.eval.streaming import StreamingCascade
 
             session = StreamingCascade(params3, cfg, model, window=window,
                                        stats=stats, normalize=normalize,
                                        streams=streams, mesh=mesh,
-                                       lookahead=lookahead)
+                                       lookahead=lookahead, history=history)
         else:
             # e.g. an export.ArtifactSession / ArtifactLookaheadSession
             # serving a deployment artifact (bundle)
             window, streams = session.window, session.streams
-            assert getattr(session, "lookahead", 0) == lookahead, (
-                f"session lookahead ({getattr(session, 'lookahead', 0)}) "
-                f"!= requested ({lookahead}); lookahead serving from an "
+            assert (getattr(session, "lookahead", 0) == lookahead
+                    and getattr(session, "history", 0) == history), (
+                f"session lookahead/history "
+                f"({getattr(session, 'lookahead', 0)}/"
+                f"{getattr(session, 'history', 0)}) != requested "
+                f"({lookahead}/{history}); buffered serving from an "
                 f"artifact needs an ArtifactLookaheadSession over a "
-                f"bundle exported with --lookahead")
+                f"bundle exported with --lookahead/--history")
         sess = session
-        # compile outside the serving path (lookahead reaches its
-        # emission program only on the (K+1)-th window)
-        for _ in range(lookahead + 1):
+        # compile outside the serving path (buffered modes reach the
+        # steady-state (P+K+1)·W emission program only on the
+        # (P+K+1)-th window)
+        for _ in range(lookahead + history + 1):
             sess.step(np.zeros((streams, window, 54), np.float32),
                       np.zeros((streams, window, 18), np.float32))
         sess.reset()
         self.batcher = _Batcher(sess, streams, window, max_wait_ms,
-                                lookahead=lookahead)
+                                lookahead=lookahead, history=history)
         self.window = window
         batcher, W = self.batcher, window
 

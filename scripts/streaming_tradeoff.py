@@ -1,6 +1,7 @@
-"""Streaming divergence vs (emission window S, lookahead K) — the full
-latency/compute/divergence tradeoff surface (round-2 VERDICT weak #3:
-"overlapped windows / stride-W/2 emission are unexplored").
+"""Streaming divergence vs (emission window S, lookahead K, history P)
+— the full latency/compute/divergence tradeoff surface (round-2 VERDICT
+weak #3: "overlapped windows / stride-W/2 emission are unexplored",
+extended in round 3 with the PAST-context axis).
 
 Key identity: stride-overlap emission — compute over W frames, emit only
 the first S, advance state by S — is EXACTLY `StreamingCascade(window=S,
@@ -9,6 +10,11 @@ lookahead=K)` with K = W/S - 1. The depth-K lookahead machinery
 (S, K) grid, and in particular the EQUAL-LATENCY comparison: at a fixed
 latency budget L = (K+1)*S frames, is it better to emit large windows
 rarely (big S, small K) or small windows often (small S, big K)?
+
+The history axis (P past windows re-run as leading attention context,
+`StreamingCascade(history=P)`) adds ZERO latency — it buys divergence
+purely with compute, so it dominates lookahead at any fixed latency
+budget and composes with it ((60,K=1,P=1) reaches −79%).
 
 This is a model property (identical math on any backend), so it runs on
 CPU with the reference's shipped trained A3GC checkpoints (stages 2+3)
@@ -32,14 +38,19 @@ TRAINED = "/root/reference/trained_models"
 
 T = 600
 N_SEQ = 4
-# (S, K) grid: latency = (K+1)*S frames, compute = (K+2)x for K>0.
+# (S, K, P) grid: latency = (K+1)*S frames, compute = (P+K+2)x unless
+# K=P=0 (plain, 1x).
 GRID = (
-    (60, 0),            # plain 1-second windowing (the serving default)
-    (120, 0),           # bigger windows, same 1x compute
-    (30, 1), (20, 2), (15, 3),   # latency 60 = same as (60, 0)
-    (60, 1), (30, 3),            # latency 120 = same as (120, 0)
-    (60, 2), (60, 3),            # the measured lookahead curve
-    (120, 1),                    # latency 240 anchor
+    (60, 0, 0),         # plain 1-second windowing (the serving default)
+    (120, 0, 0),        # bigger windows, same 1x compute
+    (30, 1, 0), (20, 2, 0), (15, 3, 0),  # latency 60 = same as (60, 0)
+    (60, 1, 0), (30, 3, 0),              # latency 120 = same as (120, 0)
+    (60, 2, 0), (60, 3, 0),              # the measured lookahead curve
+    (120, 1, 0),                         # latency 240 anchor
+    # history: past context at ZERO added latency
+    (60, 0, 1), (60, 0, 2), (60, 0, 3),  # latency 60 = plain windowing
+    (60, 1, 1), (60, 1, 2),              # composed with K=1 (latency 120)
+    (120, 0, 1),                         # big window + history, 1x latency
 )
 
 
@@ -87,11 +98,11 @@ def main():
         offline.reset()
 
     rows = []
-    for S, K in GRID:
+    for S, K, P in GRID:
         angs = []
         for (ori, acc), off in zip(seqs, offs):
             sess = StreamingCascade(params3, cfg, model, window=S,
-                                    lookahead=K)
+                                    lookahead=K, history=P)
             out = []
             for t in range(0, T, S):
                 p = sess.step(ori[t:t + S], acc[t:t + S])
@@ -109,28 +120,34 @@ def main():
                 jnp.asarray(off[:n].reshape(-1, 3, 3)))))
             angs.append(a)
         a = np.concatenate(angs)
-        # K=0: one pass per window; K>=1: emission pass over (K+1)*S
-        # frames + the state-advance pass over S, per S emitted frames
-        rows.append({"S": S, "K": K, "latency_frames": (K + 1) * S,
-                     "relative_compute": float(1 if K == 0 else K + 2),
+        # K=P=0: one pass per window; otherwise: emission pass over
+        # (P+K+1)*S frames + the state-advance pass over S, per S
+        # emitted frames
+        rows.append({"S": S, "K": K, "P": P,
+                     "latency_frames": (K + 1) * S,
+                     "relative_compute": float(
+                         1 if K == 0 and P == 0 else P + K + 2),
                      "mean_deg": round(float(a.mean()), 3),
                      "p95_deg": round(float(np.percentile(a, 95)), 3),
                      "max_deg": round(float(a.max()), 3)})
-        print(rows[-1])
+        print(rows[-1], flush=True)
 
     os.makedirs(OUT, exist_ok=True)
-    base = next(r for r in rows if (r["S"], r["K"]) == (60, 0))["mean_deg"]
-    lines = ["| S (emit) | K | latency (frames) | compute | mean div "
-             "(deg) | p95 | max | vs (60,0) |", "|---|---|---|---|---|---|---|---|"]
-    for r in sorted(rows, key=lambda r: (r["latency_frames"], r["K"])):
+    base = next(r for r in rows
+                if (r["S"], r["K"], r["P"]) == (60, 0, 0))["mean_deg"]
+    lines = ["| S (emit) | K (future) | P (past) | latency (frames) | "
+             "compute | mean div (deg) | p95 | max | vs (60,0,0) |",
+             "|---|---|---|---|---|---|---|---|---|"]
+    for r in sorted(rows, key=lambda r: (r["latency_frames"], r["K"],
+                                         r["P"])):
         lines.append(
-            f"| {r['S']} | {r['K']} | {r['latency_frames']} | "
+            f"| {r['S']} | {r['K']} | {r['P']} | {r['latency_frames']} | "
             f"{r['relative_compute']:.0f}x | {r['mean_deg']} | "
             f"{r['p95_deg']} | {r['max_deg']} | "
             f"{100 * (r['mean_deg'] - base) / base:+.0f}% |")
     with open(os.path.join(OUT, "STREAMING_TRADEOFF.md"), "w") as f:
         f.write(
-            "# Streaming divergence: emission window vs lookahead depth\n\n"
+            "# Streaming divergence: emission window vs lookahead depth vs history\n\n"
             "Geodesic angle between streaming emissions and the offline "
             f"full-sequence output (T={T}, {N_SEQ} sequences, region with "
             "full future context in all configs), A3GC cascade with the "
@@ -139,7 +156,9 @@ def main():
             "Stride-overlap emission (compute W, emit S, advance S) is "
             "identically `StreamingCascade(window=S, lookahead=W/S-1)`; "
             "rows with equal latency_frames compare big-window/low-K "
-            "against small-window/high-K at one latency budget.\n\n"
+            "against small-window/high-K at one latency budget. The P "
+            "axis (`history=P`) re-runs P past windows as leading "
+            "attention context — zero added latency, compute-only.\n\n"
             + "\n".join(lines) + "\n\nRaw: STREAMING_TRADEOFF.json\n")
     with open(os.path.join(OUT, "STREAMING_TRADEOFF.json"), "w") as f:
         json.dump({"seq_len": T, "n_seq": N_SEQ,

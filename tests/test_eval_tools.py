@@ -613,6 +613,173 @@ class TestStreamingCascade:
         np.testing.assert_allclose(tail0, want0, atol=2e-5)
 
 
+    def test_history_exact_construction(self, model):
+        """history=P emission for window k == cascade over windows
+        [k-p, k] (p = min(P, k) — best-effort at stream start) from the
+        carried state at window k-p, LAST W frames: past attention
+        context at ZERO added latency. The carried state advances
+        exactly like plain windowing (lagged P windows until flush)."""
+        SC, cfg, params3 = self._build(model)
+        rng = np.random.default_rng(41)
+        W, n, P = 8, 5, 2
+        T = n * W
+        ori = Rotation.random(T * 6, random_state=41).as_matrix().reshape(
+            T, 54).astype(np.float32)
+        acc = rng.normal(scale=0.5, size=(T, 18)).astype(np.float32)
+
+        hi = SC(params3, cfg, model, window=W, history=P)
+        emitted = [hi.step(ori[t:t + W], acc[t:t + W])
+                   for t in range(0, T, W)]
+        assert all(p is not None for p in emitted)    # zero latency
+
+        # oracle: snapshot the plain-streaming state at every window
+        # boundary, then each emission is a (p+1)·W-wide pass from the
+        # snapshot P windows back, last W frames
+        plain = SC(params3, cfg, model, window=W)
+        states = []
+        for t in range(0, T, W):
+            states.append(plain._states)
+            plain.step(ori[t:t + W], acc[t:t + W])
+        states.append(plain._states)          # state after the stream
+        wides = {}
+        for k in range(n):
+            p = min(P, k)
+            lo = (k - p) * W
+            wide = wides.setdefault(
+                p, SC(params3, cfg, model, window=(p + 1) * W))
+            wide._states = states[k - p]
+            want = wide.step(ori[lo:(k + 1) * W],
+                             acc[lo:(k + 1) * W])[-W:]
+            np.testing.assert_allclose(emitted[k], want, atol=1e-6,
+                                       err_msg=f"window {k}")
+
+        # history-only flush: nothing un-emitted (returns None) but the
+        # carried state advances through the buffered windows as ONE
+        # continuous chunk (NOT per-window passes — the rnn1→rnn2
+        # state-seeding quirk makes those differ; same chunk semantics
+        # as the lookahead flush)
+        assert hi.flush() is None
+        chunk = SC(params3, cfg, model, window=P * W)
+        chunk._states = states[n - P]
+        chunk.step(ori[(n - P) * W:], acc[(n - P) * W:])
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+            hi._states, chunk._states)
+
+    def test_history_composes_with_lookahead(self, model):
+        """history=P + lookahead=K: emission for window e (lagged K)
+        == cascade over windows [e-p, e+K] from the carried state at
+        window e-p, the emitted window's W frames; flush drains the
+        K-window tail WITH its history context leading the pass."""
+        SC, cfg, params3 = self._build(model)
+        rng = np.random.default_rng(43)
+        W, n, P, K = 8, 6, 1, 1
+        T = n * W
+        ori = Rotation.random(T * 6, random_state=43).as_matrix().reshape(
+            T, 54).astype(np.float32)
+        acc = rng.normal(scale=0.5, size=(T, 18)).astype(np.float32)
+
+        sess = SC(params3, cfg, model, window=W, lookahead=K, history=P)
+        emitted = []
+        for t in range(0, T, W):
+            p = sess.step(ori[t:t + W], acc[t:t + W])
+            if p is not None:
+                emitted.append(p)
+        assert len(emitted) == n - K          # K-window warmup lag
+        tail = sess.flush()
+        assert tail.shape[0] == K * W
+
+        plain = SC(params3, cfg, model, window=W)
+        states = []
+        for t in range(0, T, W):
+            states.append(plain._states)
+            plain.step(ori[t:t + W], acc[t:t + W])
+        wides = {}
+        for e in range(n - K):                # emitted window index
+            p = min(P, e)
+            lo, hi_ = (e - p) * W, (e + K + 1) * W
+            wide = wides.setdefault(
+                p + K + 1, SC(params3, cfg, model, window=(p + K + 1) * W))
+            wide._states = states[e - p]
+            want = wide.step(ori[lo:hi_], acc[lo:hi_])[p * W:(p + 1) * W]
+            np.testing.assert_allclose(emitted[e], want, atol=1e-6,
+                                       err_msg=f"window {e}")
+        # tail oracle: the buffer holds [n-K-P, n) at flush; ONE pass
+        # over it from the carried state, last K·W frames
+        b0 = n - K - P
+        wide = SC(params3, cfg, model, window=(P + K) * W)
+        wide._states = states[b0]
+        want_tail = wide.step(ori[b0 * W:], acc[b0 * W:])[-K * W:]
+        np.testing.assert_allclose(tail, want_tail, atol=1e-6)
+
+    def test_history_multi_stream_composes(self, model):
+        """history with streams=S: per-slot buffers make active masking
+        and per-stream reset compose — each slot's emissions equal an
+        independent single-stream history session fed the same
+        windows."""
+        SC, cfg, params3 = self._build(model)
+        W, S, P = 6, 2, 1
+        multi = SC(params3, cfg, model, window=W, streams=S, history=P)
+        singles = [SC(params3, cfg, model, window=W, history=P)
+                   for _ in range(S)]
+
+        rng = np.random.default_rng(47)
+        n = 5
+        ori = Rotation.random(n * W * S * 6, random_state=47).as_matrix(
+        ).reshape(S, n * W, 54).astype(np.float32)
+        acc = rng.normal(scale=0.5, size=(S, n * W, 18)).astype(np.float32)
+
+        # slot 1 idles on tick 2 and resets (new sequence) on tick 3 —
+        # afterwards the two slots sit at DIFFERENT buffer fills, so one
+        # tick runs two emission groups (distinct context lengths)
+        for w in range(n):
+            sl = slice(w * W, (w + 1) * W)
+            active = np.ones(S, np.float32)
+            if w == 2:
+                active[1] = 0.0
+            if w == 3:
+                multi.reset(stream=1)
+                singles[1].reset()
+            pose, emitted = multi.step(ori[:, sl], acc[:, sl],
+                                       active=active)
+            for i in range(S):
+                if not active[i]:
+                    continue
+                want = singles[i].step(ori[i, sl], acc[i, sl])
+                assert emitted[i] == (want is not None), f"w{w} s{i}"
+                if want is not None:
+                    np.testing.assert_allclose(
+                        pose[i], want, atol=2e-5,
+                        err_msg=f"window {w} stream {i}")
+
+    def test_mesh_history_composes(self, model):
+        """history=P on a mesh session: warmup-fill and steady-state
+        emission passes plus the state advance all route through the
+        shard_map'd step — sharded == single-device."""
+        from a3gc_tpu.config import MeshConfig
+        from a3gc_tpu.parallel import make_mesh
+
+        SC, cfg, params3 = self._build(model)
+        W, S, P, n = 6, 8, 1, 3
+        mesh = make_mesh(MeshConfig(data=8, model=1))
+        local = SC(params3, cfg, model, window=W, streams=S, history=P)
+        shard = SC(params3, cfg, model, window=W, streams=S, history=P,
+                   mesh=mesh)
+
+        rng = np.random.default_rng(53)
+        ori = Rotation.random(n * W * S * 6, random_state=53).as_matrix(
+        ).reshape(S, n * W, 54).astype(np.float32)
+        acc = rng.normal(scale=0.5, size=(S, n * W, 18)).astype(np.float32)
+
+        for w in range(n):
+            sl = slice(w * W, (w + 1) * W)
+            pm, em = local.step(ori[:, sl], acc[:, sl])
+            ps, es = shard.step(ori[:, sl], acc[:, sl])
+            np.testing.assert_array_equal(es, em, err_msg=f"window {w}")
+            np.testing.assert_allclose(ps[em], pm[em], atol=1e-6,
+                                       err_msg=f"window {w}")
+
+
 class TestWorstFramesContract:
     def test_reference_18_pickle_layout(self, model, tmp_path):
         """compare_models writes the reference's exact artifact set

@@ -368,6 +368,60 @@ class TestBundle:
             ArtifactLookaheadSession(ExportedBundle(d2), streams=S,
                                      lookahead=1)
 
+    def test_artifact_history_matches_live_session(self, model, tmp_path):
+        """ArtifactLookaheadSession(history=P, lookahead=K) over a
+        --history bundle == StreamingCascade(history=P, lookahead=K):
+        warmup-fill emission groups, the steady-state capacity group,
+        active masking, per-slot reset re-warm, and the grouped flush
+        with history context."""
+        from a3gc_tpu.eval.streaming import StreamingCascade
+        from a3gc_tpu.export import (ArtifactLookaheadSession,
+                                     ExportedBundle, export_bundle,
+                                     lookahead_geometries)
+
+        cfg, params3 = _graph_setup()
+        S, W, K, P, n = 2, 4, 1, 1, 5
+        d = export_bundle(str(tmp_path / "hist_bundle"), params3, cfg,
+                          model,
+                          geometries=lookahead_geometries([S], W, K, P))
+        art = ArtifactLookaheadSession(ExportedBundle(d), streams=S,
+                                       lookahead=K, history=P)
+        live = StreamingCascade(params3, cfg, model, window=W, streams=S,
+                                lookahead=K, history=P)
+
+        rng = np.random.RandomState(13)
+        for w in range(n):
+            ori = rng.randn(S, W, 54).astype(np.float32)
+            acc = rng.randn(S, W, 18).astype(np.float32)
+            active = None
+            if w == 2:
+                active = np.array([1.0, 0.0], np.float32)  # slot 1 idles
+            if w == 4:
+                art.reset(stream=1)     # slot 1 re-warms from empty
+                live.reset(stream=1)
+            pa, ea = art.step(ori, acc, active=active)
+            pl, el = live.step(ori, acc, active=active)
+            np.testing.assert_array_equal(ea, el, err_msg=f"window {w}")
+            if el.any():
+                np.testing.assert_allclose(pa[el], pl[el], atol=2e-5,
+                                           err_msg=f"window {w}")
+        # slots at different fills -> grouped flush passes
+        assert len({len(b) for b in art._buffers}) == 2
+        ta, tl = art.flush(), live.flush()
+        for i in range(S):
+            if tl[i] is None:
+                assert ta[i] is None, i
+            else:
+                np.testing.assert_allclose(ta[i], tl[i], atol=2e-5,
+                                           err_msg=f"tail {i}")
+        # history-only needs its own geometries too
+        with pytest.raises(KeyError, match="--history"):
+            ArtifactLookaheadSession(
+                ExportedBundle(export_bundle(
+                    str(tmp_path / "short_h"), params3, cfg, model,
+                    geometries=[(S, W)])),
+                streams=S, lookahead=0, history=1)
+
     def test_serve_artifact_lookahead(self, model, tmp_path):
         """PoseServer over an ArtifactLookaheadSession: 202 warmup, then
         lagged emissions; POST /v1/flush drains the buffered tail — the

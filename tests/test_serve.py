@@ -509,6 +509,62 @@ class TestLookaheadServing:
         finally:
             srv.shutdown()
 
+    def test_history_server_zero_latency_matches_session(self, setup,
+                                                         model):
+        """PoseServer(history=P): NO warmup — every step answers 200
+        immediately with the history-context emission equal to an
+        independent history session; /v1/flush returns 0 frames
+        (nothing un-emitted) but still clears the slot's buffer and
+        advances its state, so the slot keeps serving in sync."""
+        from a3gc_tpu.eval.streaming import StreamingCascade
+        from a3gc_tpu.serve import PoseServer
+        from scipy.spatial.transform import Rotation
+
+        cfg, params3 = setup
+        W, P, n_windows = 6, 1, 3
+        srv = PoseServer(params3, cfg, model, window=W, streams=2, port=0,
+                         max_wait_ms=2.0, history=P)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        addr = srv.address
+        try:
+            rng = np.random.default_rng(23)
+            ori = Rotation.random((n_windows + 1) * W * 6, random_state=24
+                                  ).as_matrix().reshape(
+                (n_windows + 1) * W, 54).astype(np.float32)
+            acc = rng.normal(scale=0.5, size=((n_windows + 1) * W, 18)
+                             ).astype(np.float32)
+
+            ref = StreamingCascade(params3, cfg, model, window=W,
+                                   history=P)
+            _, info = _request(addr, "POST", "/v1/session")
+            slot = info["slot"]
+            for w in range(n_windows):
+                sl = slice(w * W, (w + 1) * W)
+                status, out = _request(addr, "POST", "/v1/step", {
+                    "slot": slot, "ori": ori[sl].tolist(),
+                    "acc": acc[sl].tolist()})
+                expect = ref.step(ori[sl], acc[sl])
+                assert status == 200, out           # zero-latency mode
+                np.testing.assert_allclose(
+                    np.asarray(out["pose"], np.float32), expect,
+                    atol=2e-5, err_msg=f"window {w}")
+
+            st, out = _request(addr, "POST", "/v1/flush", {"slot": slot})
+            assert st == 200 and out["frames"] == 0, out
+            assert ref.flush() is None
+            # slot stays live and in sync after the no-tail flush
+            sl = slice(n_windows * W, (n_windows + 1) * W)
+            st, out = _request(addr, "POST", "/v1/step", {
+                "slot": slot, "ori": ori[sl].tolist(),
+                "acc": acc[sl].tolist()})
+            expect = ref.step(ori[sl], acc[sl])
+            assert st == 200, out
+            np.testing.assert_allclose(
+                np.asarray(out["pose"], np.float32), expect, atol=2e-5)
+            assert _request(addr, "GET", "/v1/stats")[1]["history"] == P
+        finally:
+            srv.shutdown()
+
     def test_flush_drains_buffered_tail(self, setup, model):
         """POST /v1/flush returns the K buffered windows as one chunk ==
         an independent session's flush(); the slot then re-warms from
