@@ -1,0 +1,115 @@
+r"""On-chip per-window serving latency of the buffered-context streaming
+configs (plain / lookahead K / history P / composed), single stream,
+reference-size A3GC cascade at default precision.
+
+Latency is what history is FOR: it buys divergence with compute at zero
+added WINDOW latency — this script measures what the extra compute costs
+per emission through this environment's remote TPU relay. Parameter
+VALUES don't matter for latency (fresh-init params); the divergence
+numbers live in docs/validation/STREAMING_TRADEOFF.md (trained ckpts).
+
+All configs share ONE jitted step function, so the context-length
+programs (60/120/180/240 frames) compile once each for the whole run.
+
+Run (chip is single-tenant — nothing else may touch it):
+    python scripts/onchip_history_latency.py
+Writes docs/validation/HISTORY_LATENCY.{md,json}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+OUT = os.path.join(ROOT, "docs", "validation")
+
+W = 60
+N_WIN = 24          # timed steady-state windows per config
+CONFIGS = ((0, 0), (1, 0), (0, 1), (1, 1), (1, 2))   # (K, P)
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _body_model, _cascade
+    from a3gc_tpu.eval.streaming import StreamingCascade
+
+    dev = jax.devices()[0]
+    print("device:", dev, flush=True)
+    cfg, params3 = _cascade("a3gc", precision="default")
+    model = _body_model()
+
+    from scipy.spatial.transform import Rotation
+    T = W * (N_WIN + 8)
+    ori = Rotation.random(T * 6, random_state=0).as_matrix().reshape(
+        T, 54).astype(np.float32)
+    acc = np.random.default_rng(0).normal(
+        scale=0.5, size=(T, 18)).astype(np.float32)
+
+    shared_fn = None
+    rows = []
+    for K, P in CONFIGS:
+        sess = StreamingCascade(params3, cfg, model, window=W,
+                                lookahead=K, history=P)
+        if shared_fn is None:
+            shared_fn = sess._fn     # one jit: context-length programs
+        else:                        # compile once across all configs
+            sess._fn = shared_fn
+        t0 = time.time()
+        for i in range(K + P + 1):   # reach the steady-state program
+            sess.step(ori[i * W:(i + 1) * W], acc[i * W:(i + 1) * W])
+        warm_s = time.time() - t0
+        sess.reset()
+        lats = []
+        for i in range(N_WIN + K + P):
+            t = time.perf_counter()
+            p = sess.step(ori[i * W:(i + 1) * W], acc[i * W:(i + 1) * W])
+            dt = time.perf_counter() - t
+            # steady state only: emitted, with the full buffer in play
+            if p is not None and i >= K + P:
+                lats.append(dt)
+        lat = np.asarray(lats) * 1e3
+        rows.append({
+            "lookahead_K": K, "history_P": P,
+            "warmup_s": round(warm_s, 1),
+            "ms_per_window_mean": round(float(lat.mean()), 1),
+            "ms_per_window_p99": round(float(np.percentile(lat, 99)), 1),
+            "n_windows": int(lat.size),
+            "x_realtime": round(1000.0 / float(lat.mean()), 1),
+        })
+        print(rows[-1], flush=True)
+
+    os.makedirs(OUT, exist_ok=True)
+    lines = ["| K (future) | P (past) | ms/window mean | p99 | "
+             "× real-time | first-call warmup (s) |",
+             "|---|---|---|---|---|---|"]
+    for r in rows:
+        lines.append(
+            f"| {r['lookahead_K']} | {r['history_P']} | "
+            f"{r['ms_per_window_mean']} | {r['ms_per_window_p99']} | "
+            f"{r['x_realtime']}× | {r['warmup_s']} |")
+    with open(os.path.join(OUT, "HISTORY_LATENCY.md"), "w") as f:
+        f.write(
+            "# On-chip per-window latency: buffered-context streaming\n\n"
+            f"Single-stream A3GC cascade, W={W} (1 s at 60 fps), default "
+            "precision, measured through this environment's remote TPU "
+            "relay (per-call round-trip ~30 ms dominates; device compute "
+            "is the minor term). ms/window is the wall time of one "
+            "`StreamingCascade.step` emission in steady state — the "
+            "emission pass fetch plus the (pipelined, unfetched) state-"
+            "advance dispatch. Divergence numbers for the same configs: "
+            "docs/validation/STREAMING_TRADEOFF.md.\n\n"
+            + "\n".join(lines) +
+            "\n\nRaw: HISTORY_LATENCY.json\n")
+    with open(os.path.join(OUT, "HISTORY_LATENCY.json"), "w") as f:
+        json.dump({"window": W, "device": str(dev), "rows": rows}, f,
+                  indent=1)
+    print("wrote", os.path.join(OUT, "HISTORY_LATENCY.md"))
+
+
+if __name__ == "__main__":
+    main()

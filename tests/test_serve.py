@@ -162,20 +162,23 @@ class TestPoseServer:
 
 
 class TestFlushConcurrency:
-    def test_random_step_flush_release_interleavings(self, setup, model):
-        """Threaded fuzz of the lookahead batcher: concurrent clients
-        randomly step / flush / release+reacquire their own slots. No
-        response may hang, every 200-step returns a [W,24,3,3] pose and
-        every 200-flush f*W frames (the mailbox cross-wire the guards
-        prevent would surface as a shape mismatch), and transient 4xx
-        are only the documented races (released slot, request in
-        flight)."""
+    @pytest.mark.parametrize("K,P", [(1, 0), (0, 1), (1, 1)])
+    def test_random_step_flush_release_interleavings(self, setup, model,
+                                                     K, P):
+        """Threaded fuzz of the buffered batcher (lookahead, history,
+        and composed — the history configs exercise the grouped
+        per-fill emission passes under concurrency): clients randomly
+        step / flush / release+reacquire their own slots. No response
+        may hang, every 200-step returns a [W,24,3,3] pose and every
+        200-flush u*W frames (the mailbox cross-wire the guards prevent
+        would surface as a shape mismatch), and transient 4xx are only
+        the documented races (released slot, request in flight)."""
         from a3gc_tpu.serve import PoseServer
 
         cfg, params3 = setup
-        W, K = 4, 1
+        W = 4
         srv = PoseServer(params3, cfg, model, window=W, streams=3, port=0,
-                         max_wait_ms=2.0, lookahead=K)
+                         max_wait_ms=2.0, lookahead=K, history=P)
         threading.Thread(target=srv.serve_forever, daemon=True).start()
         addr = srv.address
         try:
