@@ -463,6 +463,9 @@ def cmd_stream(args):
     from a3gc_tpu.data.factory.dipimu import load_test_sequences
     from a3gc_tpu.eval.streaming import StreamingCascade
 
+    assert not (args.pipelined and (args.lookahead or args.history)), (
+        "--pipelined does not compose with --lookahead/--history "
+        "(both buffer windows); drop one")
     sequences = load_test_sequences(args.input)
     if args.artifact:
         # stream through a `cli export` deployment artifact: geometry from
@@ -726,7 +729,11 @@ def cmd_export(args):
                  for g in lookahead_geometries(args.streams, w,
                                                args.lookahead,
                                                args.history)]
-        geometries += [g for g in extra if g not in set(geometries)]
+        seen = set(geometries)
+        for g in extra:     # dedupe within extra too: window multiples
+            if g not in seen:   # of different --window values coincide
+                geometries.append(g)
+                seen.add(g)
     if len(geometries) > 1:
         # multi-geometry bundle: one directory, one sub-artifact per
         # (streams, window) — a deployment serves every geometry from

@@ -366,6 +366,44 @@ class StreamingCascade:
             if e:
                 buffers[i].popleft()
 
+    @staticmethod
+    def emit_buffered(buffers, act, W, K, P, appended, emission_pass,
+                      advance_pass):
+        r"""The grouped-emission driver shared by the live and artifact
+        sessions (their oracle equality holds by construction): assemble
+        per-fill groups, run ``emission_pass(f, em, ctx_o, ctx_a) ->
+        [S, f·W, ...]`` for each (the driver fetches the emitted
+        window's slice — the fetch fences device execution), then
+        ``advance_pass(adv_mask_f32, adv_o, adv_a)`` for at-capacity
+        slots (the callback commits the advanced state in the caller).
+        Transactional: a raise from either callback un-buffers this
+        tick's appended windows so a caller that catches (e.g. serving)
+        can retry the same window without buffer/state skew; the buffer
+        pops commit only after every pass landed. Returns
+        ``(pose [S, W, ...] | None, emitted [S] bool)``."""
+        emitted, groups, adv, adv_o, adv_a = \
+            StreamingCascade.assemble_buffered(buffers, act, W, K, P)
+        pose = None
+        if emitted.any():
+            try:
+                for f in sorted(groups):
+                    em, ctx_o, ctx_a = groups[f]
+                    full = emission_pass(f, em, ctx_o, ctx_a)
+                    lo = (f - K - 1) * W    # the emitted window's offset
+                    sl = np.asarray(full[:, lo:lo + W])   # fetch fences
+                    if pose is None:
+                        pose = np.zeros_like(sl)
+                    rows = em.astype(bool)
+                    pose[rows] = sl[rows]
+                if adv.any():
+                    advance_pass(adv.astype(np.float32), adv_o, adv_a)
+            except Exception:
+                for i in appended:
+                    buffers[i].pop()
+                raise
+            StreamingCascade.commit_buffered(buffers, adv)
+        return pose, emitted
+
     def _step_buffered(self, ori_window, acc_window, active=None):
         r"""Buffered-context emission (lookahead K and/or history P):
         each slot buffers its last ≤ P+K+1 windows; once it holds K+1,
@@ -400,43 +438,29 @@ class StreamingCascade:
             # copies: np.asarray is a no-op view for float32 input,
             # and the buffer must survive the caller reusing arrays
             self._buffers[i].append((ori[i].copy(), acc[i].copy()))
-        emitted, groups, adv, adv_o, adv_a = self.assemble_buffered(
-            self._buffers, act, W, K, P)
-        pose = None
-        if emitted.any():
-            s1, s2, s3 = self._states   # state at start of oldest window
-            try:
-                for f in sorted(groups):
-                    # emission pass over the f buffered windows
-                    # (read-only on the state; own jit specialization
-                    # at f·W frames — steady state uses only P+K+1)
-                    em, ctx_o, ctx_a = groups[f]
-                    full, _, _, _ = self._fn(
-                        self.params3, jnp.asarray(ctx_o),
-                        jnp.asarray(ctx_a), s1, s2, s3, jnp.asarray(em))
-                    full = full.reshape((S, f * W) + full.shape[1:])
-                    lo = (f - K - 1) * W    # the emitted window's offset
-                    sl = np.asarray(full[:, lo:lo + W])   # fetch fences
-                    if pose is None:
-                        pose = np.zeros_like(sl)
-                    rows = em.astype(bool)
-                    pose[rows] = sl[rows]
-                if adv.any():
-                    # advance pass over at-capacity slots' oldest window:
-                    # the fetches above already fenced; a failure before
-                    # this line leaves self._states untouched
-                    _, s1, s2, s3 = self._fn(
-                        self.params3, jnp.asarray(adv_o),
-                        jnp.asarray(adv_a), s1, s2, s3,
-                        jnp.asarray(adv.astype(np.float32)))
-                    self._states = (s1, s2, s3)
-            except Exception:
-                # transactional: un-buffer this window so a caller that
-                # catches (e.g. serving) can retry it without skew
-                for i in appended:
-                    self._buffers[i].pop()
-                raise
-            self.commit_buffered(self._buffers, adv)
+        s1, s2, s3 = self._states       # state at start of oldest window
+
+        def emission_pass(f, em, ctx_o, ctx_a):
+            # over the f buffered windows; read-only on the state (own
+            # jit specialization at f·W frames — steady state uses only
+            # P+K+1)
+            full, _, _, _ = self._fn(
+                self.params3, jnp.asarray(ctx_o), jnp.asarray(ctx_a),
+                s1, s2, s3, jnp.asarray(em))
+            return full.reshape((S, f * W) + full.shape[1:])
+
+        def advance_pass(advf, adv_o, adv_a):
+            # over at-capacity slots' oldest window: the driver's
+            # emission fetches already fenced; a failure before the
+            # assignment leaves self._states untouched
+            _, a1, a2, a3 = self._fn(
+                self.params3, jnp.asarray(adv_o), jnp.asarray(adv_a),
+                s1, s2, s3, jnp.asarray(advf))
+            self._states = (a1, a2, a3)
+
+        pose, emitted = self.emit_buffered(
+            self._buffers, act, W, K, P, appended, emission_pass,
+            advance_pass)
         if S == 1:
             return pose[0] if emitted[0] else None
         return pose, emitted
@@ -511,8 +535,11 @@ class StreamingCascade:
         full, s1, s2, s3 = self._fn(self.params3, jnp.asarray(ctx_o),
                                     jnp.asarray(ctx_a), s1, s2, s3,
                                     jnp.asarray(mask))
-        self._states = (s1, s2, s3)
+        # transactional: fetch (fences device execution) BEFORE
+        # committing the state/buffers, so a failed pass leaves the
+        # session consistent for a retry (serving catches and survives)
         full = np.asarray(full.reshape((S, Tc) + full.shape[1:]))
+        self._states = (s1, s2, s3)
         for i in sel:   # buffers drop only once the fetched pass succeeded
             if fills[i]:
                 self._buffers[i].clear()

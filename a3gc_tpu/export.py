@@ -433,40 +433,28 @@ class ArtifactLookaheadSession:
         appended = [i for i in range(S) if act[i]]
         for i in appended:
             self._buffers[i].append((ori[i].copy(), acc[i].copy()))
-        # shared peek-assembly/commit with the live session (the oracle
-        # pair share their buffer mechanics by construction); mutation
-        # commits only after the device passes succeed — see
-        # StreamingCascade.assemble_buffered
+        # shared grouped-emission driver with the live session (the
+        # oracle pair share their buffer mechanics by construction);
+        # mutation commits only after the device passes succeed — see
+        # StreamingCascade.emit_buffered
         from a3gc_tpu.eval.streaming import StreamingCascade as _SC
-        emitted, groups, adv, adv_o, adv_a = _SC.assemble_buffered(
-            self._buffers, act, W, K, P)
-        pose = None
-        if emitted.any():
-            try:
-                for f in sorted(groups):
-                    # emission: read-only on the state (returned state
-                    # dropped — artifact steps are functional)
-                    em, ctx_o, ctx_a = groups[f]
-                    full, _ = self._mods[f].step(ctx_o, ctx_a,
-                                                 self._states, em)
-                    lo = (f - K - 1) * W
-                    sl = np.asarray(full)[:, lo:lo + W]
-                    if pose is None:
-                        pose = np.zeros_like(sl)
-                    rows = em.astype(bool)
-                    pose[rows] = sl[rows]
-                if adv.any():
-                    # advance: at-capacity slots' carried state moves
-                    # through their oldest window
-                    _, states = self._mods[1].step(
-                        adv_o, adv_a, self._states,
-                        adv.astype(np.float32))
-                    self._states = states
-            except Exception:
-                for i in appended:  # transactional: undo this window
-                    self._buffers[i].pop()
-                raise
-            _SC.commit_buffered(self._buffers, adv)
+
+        def emission_pass(f, em, ctx_o, ctx_a):
+            # read-only on the state (returned state dropped — artifact
+            # steps are functional)
+            full, _ = self._mods[f].step(ctx_o, ctx_a, self._states, em)
+            return full
+
+        def advance_pass(advf, adv_o, adv_a):
+            # at-capacity slots' carried state moves through their
+            # oldest window
+            _, states = self._mods[1].step(adv_o, adv_a, self._states,
+                                           advf)
+            self._states = states
+
+        pose, emitted = _SC.emit_buffered(
+            self._buffers, act, W, K, P, appended, emission_pass,
+            advance_pass)
         if S == 1:
             return pose[0] if emitted[0] else None
         return pose, emitted

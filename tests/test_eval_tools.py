@@ -752,6 +752,40 @@ class TestStreamingCascade:
                         pose[i], want, atol=2e-5,
                         err_msg=f"window {w} stream {i}")
 
+    def test_flush_failure_leaves_session_consistent(self, model):
+        """A device failure during flush must not poison the carried
+        state or drop buffered windows (transactional, like the step
+        path): the retry after a transient error produces exactly what
+        a never-failed session produces."""
+        SC, cfg, params3 = self._build(model)
+        rng = np.random.default_rng(59)
+        W, K = 8, 1
+        T = 3 * W
+        ori = Rotation.random(T * 6, random_state=59).as_matrix().reshape(
+            T, 54).astype(np.float32)
+        acc = rng.normal(scale=0.5, size=(T, 18)).astype(np.float32)
+
+        sess = SC(params3, cfg, model, window=W, lookahead=K)
+        ref = SC(params3, cfg, model, window=W, lookahead=K)
+        for t in range(0, T, W):
+            sess.step(ori[t:t + W], acc[t:t + W])
+            ref.step(ori[t:t + W], acc[t:t + W])
+
+        states_before = sess._states
+        fills_before = [len(b) for b in sess._buffers]
+        real_fn = sess._fn
+
+        def boom(*a, **k):
+            raise RuntimeError("transient device error")
+
+        sess._fn = boom
+        with pytest.raises(RuntimeError, match="transient"):
+            sess.flush()
+        assert sess._states is states_before
+        assert [len(b) for b in sess._buffers] == fills_before
+        sess._fn = real_fn
+        np.testing.assert_allclose(sess.flush(), ref.flush(), atol=0)
+
     def test_mesh_history_composes(self, model):
         """history=P on a mesh session: warmup-fill and steady-state
         emission passes plus the state advance all route through the
