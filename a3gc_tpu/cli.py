@@ -466,6 +466,8 @@ def cmd_stream(args):
     assert not (args.pipelined and (args.lookahead or args.history)), (
         "--pipelined does not compose with --lookahead/--history "
         "(both buffer windows); drop one")
+    assert not (args.evaluate and (args.streams or 1) > 1), (
+        "--evaluate runs the per-sequence streaming path; drop --streams")
     sequences = load_test_sequences(args.input)
     if args.artifact:
         # stream through a `cli export` deployment artifact: geometry from
@@ -491,10 +493,14 @@ def cmd_stream(args):
                 args.artifact, streams=args.streams, window=args.window))
         args.window, args.streams = session.window, session.streams
         if session.streams > 1:
+            assert not args.evaluate, (
+                "--evaluate needs a single-stream session; select a "
+                "streams=1 geometry from the bundle (--streams 1)")
             return _stream_multi(args, None, None, None, None, sequences,
                                  session=session)
         W = args.window
         sess = session
+        model = None        # loaded on demand for --evaluate
     else:
         args.window = args.window or 60
         args.streams = args.streams or 1
@@ -529,7 +535,7 @@ def cmd_stream(args):
 
     latencies = []
     outputs = []
-    for seq in sequences:
+    for si, seq in enumerate(sequences):
         sess.reset()
         T = (seq["ori"].shape[0] // W) * W
         poses = []
@@ -556,23 +562,51 @@ def cmd_stream(args):
             if tail is not None:
                 poses.append(tail)
         if poses:
-            outputs.append(np.concatenate(poses))
+            outputs.append((si, np.concatenate(poses)))
 
     if args.output:
         np.savez(args.output, **{f"pose_{i:03d}": p
-                                 for i, p in enumerate(outputs)})
-    lat = np.asarray(latencies) * 1e3
-    print(_json.dumps({
+                                 for i, (_, p) in enumerate(outputs)})
+    stats_line = {
         "window": W,
         "pipelined": bool(args.pipelined),
         "lookahead": int(args.lookahead),
         "history": int(args.history),
+    }
+    if args.evaluate:
+        # the reference 5-metric table ON THE STREAMED EMISSIONS — the
+        # accuracy a serving deployment of this exact (window, K, P)
+        # configuration delivers, vs the gt in the packed test npz (the
+        # reference never quantifies its online mode's accuracy,
+        # ref: net_aagc.py:802-812 has no evaluation path)
+        import jax.numpy as _jnp
+
+        from a3gc_tpu.eval.run import reduced_to_full
+        from a3gc_tpu.metrics.evaluator import PoseEvaluator
+
+        body = model if model is not None else _load_body_model(args)
+        pe = PoseEvaluator(body)
+        metrics, ev_frames = [], 0
+        for si, pred in outputs:
+            Tp = pred.shape[0]
+            gt = reduced_to_full(
+                sequences[si]["pose"][:Tp].reshape(Tp, 15, 3, 3))
+            metrics.append(np.asarray(pe(_jnp.asarray(pred),
+                                         _jnp.asarray(gt))))
+            ev_frames += Tp
+        mean = np.stack(metrics).mean(axis=0)
+        print(PoseEvaluator.format(mean))
+        stats_line["evaluated_frames"] = ev_frames
+        stats_line["sip_deg"] = round(float(mean[0, 0]), 3)
+    lat = np.asarray(latencies) * 1e3
+    stats_line.update({
         "windows": int(lat.size),
         "latency_ms_mean": round(float(lat.mean()), 3),
         "latency_ms_p50": round(float(np.percentile(lat, 50)), 3),
         "latency_ms_p99": round(float(np.percentile(lat, 99)), 3),
         "frames_per_sec": round(W / (lat.mean() / 1e3), 1),
-    }))
+    })
+    print(_json.dumps(stats_line))
 
 
 def _stream_multi(args, params3, cascade, model, stats, sequences,
@@ -1065,6 +1099,11 @@ def build_parser():
                          "windows (K+1 windows of context), cutting "
                          "streaming-vs-offline divergence; costs ~(K+2)x "
                          "compute and K windows of latency")
+    st.add_argument("--evaluate", action="store_true",
+                    help="after streaming, score the emissions against "
+                         "the npz ground truth with the reference "
+                         "5-metric table (the accuracy of THIS "
+                         "window/lookahead/history configuration)")
     st.add_argument("--history", type=int, nargs="?", const=1, default=0,
                     metavar="P",
                     help="P-window history (bare flag = 1): each emission "

@@ -237,6 +237,70 @@ class TestStreamingCascade:
             assert z["pose_000"].shape == (40, 24, 3, 3)
             assert z["pose_001"].shape == (20, 24, 3, 3)
 
+    def test_cli_stream_evaluate_scores_emissions(self, model, tmp_path):
+        """`stream --evaluate` prints the reference 5-metric table for
+        the streamed emissions and puts sip_deg in the JSON line; it
+        composes with --history/--lookahead, and a zero-divergence
+        check holds: with window == sequence length the streamed SIP
+        equals the offline evaluator's SIP on the same net."""
+        import io, json, contextlib
+        from a3gc_tpu import cli as CLI
+
+        rng = np.random.default_rng(61)
+        seqs = {}
+        T = 30
+        ori = Rotation.random(T * 6, random_state=61).as_matrix().reshape(
+            T, 54).astype(np.float32)
+        seqs["seq0_ori"] = ori
+        seqs["seq0_acc"] = rng.normal(
+            scale=0.5, size=(T, 18)).astype(np.float32)
+        seqs["seq0_pose"] = Rotation.random(
+            T * 15, random_state=62).as_matrix().reshape(
+            T, 135).astype(np.float32)
+        inp = tmp_path / "test.npz"
+        np.savez(inp, **seqs)
+        smpl = tmp_path / "s.pkl"
+        write_synthetic_smpl_pickle(str(smpl), n_vertices=120)
+
+        def run(extra):
+            args = CLI.build_parser().parse_args([
+                "stream", "--input", str(inp), "--model", "a3gc",
+                "--hu1", "8", "--hu2", "8", "--hu3", "8",
+                "--smpl", str(smpl), "--evaluate"] + extra)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                args.fn(args)
+            out = buf.getvalue().strip().splitlines()
+            return out, json.loads(out[-1])
+
+        out, st = run(["--window", "10", "--history", "1",
+                       "--lookahead", "1"])
+        assert any("SIP Error" in ln for ln in out)
+        assert st["evaluated_frames"] == 30
+        assert np.isfinite(st["sip_deg"]) and st["sip_deg"] > 0
+
+        # window == T: streaming IS the offline pass, so the reported
+        # SIP must match the offline evaluator on the same random net
+        _, st_full = run(["--window", str(T)])
+        from a3gc_tpu.eval.run import CascadeEvaluator
+        from a3gc_tpu.data.factory.dipimu import load_test_sequences
+        SC, cfg, params3 = self._build(model)
+        # rebuild the same params the CLI used (seeded identically)
+        args = CLI.build_parser().parse_args([
+            "stream", "--input", str(inp), "--model", "a3gc",
+            "--hu1", "8", "--hu2", "8", "--hu3", "8",
+            "--smpl", str(smpl)])
+        from a3gc_tpu.cli import (_load_body_model, _load_cascade_params,
+                                  _stage_configs)
+        body = _load_body_model(args)
+        nira = load_adjacency_template()
+        cascade, is_graph = _stage_configs(args, precision="default")
+        p3 = _load_cascade_params(args, cascade, is_graph, nira)
+        ev = CascadeEvaluator(p3, cascade, body)
+        mean, _, _ = ev.evaluate(load_test_sequences(str(inp)))
+        np.testing.assert_allclose(st_full["sip_deg"], float(mean[0, 0]),
+                                   atol=0.05)
+
     def test_pipelined_equals_synchronous(self, model):
         """step_async + flush produce exactly the synchronous poses."""
         SC, cfg, params3 = self._build(model)
