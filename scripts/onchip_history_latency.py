@@ -1,6 +1,7 @@
 r"""On-chip per-window serving latency of the buffered-context streaming
-configs (plain / lookahead K / history P / composed), single stream,
-reference-size A3GC cascade at default precision.
+configs (plain / lookahead K / history P / composed), reference-size
+A3GC cascade at default precision; STREAMS=N env measures the N-slot
+multi-stream serving tick instead of single-stream.
 
 Latency is what history is FOR: it buys divergence with compute at zero
 added WINDOW latency — this script measures what the extra compute costs
@@ -30,6 +31,7 @@ OUT = os.path.join(ROOT, "docs", "validation")
 W = 60
 N_WIN = 24          # timed steady-state windows per config
 CONFIGS = ((0, 0), (1, 0), (0, 1), (1, 1), (1, 2))   # (K, P)
+STREAMS = int(os.environ.get("STREAMS", "1"))   # serving slots per tick
 
 
 def main():
@@ -44,16 +46,23 @@ def main():
     model = _body_model()
 
     from scipy.spatial.transform import Rotation
+    S = STREAMS
     T = W * (N_WIN + 8)
-    ori = Rotation.random(T * 6, random_state=0).as_matrix().reshape(
-        T, 54).astype(np.float32)
+    ori = Rotation.random(S * T * 6, random_state=0).as_matrix().reshape(
+        S, T, 54).astype(np.float32)
     acc = np.random.default_rng(0).normal(
-        scale=0.5, size=(T, 18)).astype(np.float32)
+        scale=0.5, size=(S, T, 18)).astype(np.float32)
+
+    def win(i):
+        sl = (slice(None), slice(i * W, (i + 1) * W))
+        if S == 1:
+            return ori[0][sl[1]], acc[0][sl[1]]
+        return ori[sl], acc[sl]
 
     shared_fn = None
     rows = []
     for K, P in CONFIGS:
-        sess = StreamingCascade(params3, cfg, model, window=W,
+        sess = StreamingCascade(params3, cfg, model, window=W, streams=S,
                                 lookahead=K, history=P)
         if shared_fn is None:
             shared_fn = sess._fn     # one jit: context-length programs
@@ -61,14 +70,16 @@ def main():
             sess._fn = shared_fn
         t0 = time.time()
         for i in range(K + P + 1):   # reach the steady-state program
-            sess.step(ori[i * W:(i + 1) * W], acc[i * W:(i + 1) * W])
+            sess.step(*win(i))
         warm_s = time.time() - t0
         sess.reset()
         lats = []
         for i in range(N_WIN + K + P):
             t = time.perf_counter()
-            p = sess.step(ori[i * W:(i + 1) * W], acc[i * W:(i + 1) * W])
+            p = sess.step(*win(i))
             dt = time.perf_counter() - t
+            if S > 1 and (K or P):
+                p = p[0] if p[1].all() else None
             # steady state only: emitted, with the full buffer in play
             if p is not None and i >= K + P:
                 lats.append(dt)
@@ -80,10 +91,12 @@ def main():
             "ms_per_window_p99": round(float(np.percentile(lat, 99)), 1),
             "n_windows": int(lat.size),
             "x_realtime": round(1000.0 / float(lat.mean()), 1),
+            "streams": S,
         })
         print(rows[-1], flush=True)
 
     os.makedirs(OUT, exist_ok=True)
+    tag = "" if S == 1 else f"_S{S}"
     lines = ["| K (future) | P (past) | ms/window mean | p99 | "
              "× real-time | first-call warmup (s) |",
              "|---|---|---|---|---|---|"]
@@ -92,10 +105,10 @@ def main():
             f"| {r['lookahead_K']} | {r['history_P']} | "
             f"{r['ms_per_window_mean']} | {r['ms_per_window_p99']} | "
             f"{r['x_realtime']}× | {r['warmup_s']} |")
-    with open(os.path.join(OUT, "HISTORY_LATENCY.md"), "w") as f:
+    with open(os.path.join(OUT, f"HISTORY_LATENCY{tag}.md"), "w") as f:
         f.write(
             "# On-chip per-window latency: buffered-context streaming\n\n"
-            f"Single-stream A3GC cascade, W={W} (1 s at 60 fps), default "
+            f"{S}-stream A3GC cascade, W={W} (1 s at 60 fps), default "
             "precision, measured through this environment's remote TPU "
             "relay (per-call round-trip ~30 ms dominates; device compute "
             "is the minor term). ms/window is the wall time of one "
@@ -104,11 +117,11 @@ def main():
             "advance dispatch. Divergence numbers for the same configs: "
             "docs/validation/STREAMING_TRADEOFF.md.\n\n"
             + "\n".join(lines) +
-            "\n\nRaw: HISTORY_LATENCY.json\n")
-    with open(os.path.join(OUT, "HISTORY_LATENCY.json"), "w") as f:
-        json.dump({"window": W, "device": str(dev), "rows": rows}, f,
-                  indent=1)
-    print("wrote", os.path.join(OUT, "HISTORY_LATENCY.md"))
+            f"\n\nRaw: HISTORY_LATENCY{tag}.json\n")
+    with open(os.path.join(OUT, f"HISTORY_LATENCY{tag}.json"), "w") as f:
+        json.dump({"window": W, "streams": S, "device": str(dev),
+                   "rows": rows}, f, indent=1)
+    print("wrote", os.path.join(OUT, f"HISTORY_LATENCY{tag}.md"))
 
 
 if __name__ == "__main__":
