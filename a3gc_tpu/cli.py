@@ -161,7 +161,14 @@ def cmd_train(args):
                      start_stage=args.start_at, start_epoch=args.start_epoch,
                      seed=args.seed, dtype=args.dtype,
                      accum_steps=args.accum,
+                     steps_per_dispatch=args.steps_per_dispatch,
                      eval_batch_size=args.eval_batch)
+    if tc.steps_per_dispatch > 1:
+        assert args.device_data, (
+            "--steps_per_dispatch needs --device_data (the scanned steps "
+            "gather their batches from the device-resident corpus)")
+        assert not (args.mesh or args.tp > 1), (
+            "--steps_per_dispatch does not compose with --mesh/--tp yet")
 
     nira = load_adjacency_template()
     stats = _load_stats(args) if args.norm else None
@@ -1044,6 +1051,13 @@ def build_parser():
                         "--mesh the corpus row-shards over the data "
                         "axis: each chip holds 1/D of it and gathers "
                         "its own batch rows (per-shard shuffling)")
+    t.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="with --device_data: fold this many consecutive "
+                        "optimizer steps into one lax.scan dispatch "
+                        "(identical parameter trajectory). Breaks the "
+                        "per-step host round-trip bound of small-batch "
+                        "epochs on a relay-attached TPU (the reference "
+                        "b=16 protocol runs 625 steps/epoch)")
     t.add_argument("--mesh", action="store_true",
                    help="shard the batch over all visible devices")
     t.add_argument("--tp", type=int, default=1,

@@ -154,6 +154,14 @@ class TrainConfig:
                                  # memory of ONE microbatch), grads averaged
                                  # before the single Adam update — reaches
                                  # effective batches past the OOM knee
+    steps_per_dispatch: int = 1  # device-resident corpora only: fold this
+                                 # many consecutive optimizer steps into ONE
+                                 # lax.scan dispatch (same parameter
+                                 # trajectory as sequential steps). Breaks
+                                 # the per-step host round-trip bound of
+                                 # small-batch epochs on a relay-attached
+                                 # TPU; losses are fetched per dispatch, so
+                                 # logging granularity is unchanged.
     eval_batch_size: int = 0     # validation forward batch. 0 = auto:
                                  # min(batch_size, 128). Eval has no remat
                                  # (nothing to rematerialize without a

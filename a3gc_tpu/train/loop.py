@@ -87,7 +87,7 @@ def _make_eval_step_dev(eval_step):
 
 
 def _make_train_step(loss_fn, optimizer, accum_steps: int = 1,
-                     gather: bool = False):
+                     gather: bool = False, multi: bool = False):
     r"""Build the jitted per-batch train step.
 
     ``accum_steps=1``: one fused program — value_and_grad + Adam update.
@@ -114,28 +114,26 @@ def _make_train_step(loss_fn, optimizer, accum_steps: int = 1,
     ``(state, data, take, weight, rng)`` where ``data`` is a
     :func:`a3gc_tpu.data.pipeline.put_device` upload and ``take`` a [B]
     index vector — the batch is gathered ON DEVICE, so the per-step
-    host→device transfer is just the indices (see ``--device_data``)."""
-    if accum_steps == 1:
-        if gather:
-            @partial(jax.jit, donate_argnums=_donate_state())
-            def train_step(state: TrainState, data, take, weight, rng):
-                loss, grads = jax.value_and_grad(loss_fn)(
-                    state.params, _gather_batch(data, take, weight), rng)
-                updates, opt_state = optimizer.update(
-                    grads, state.opt_state, state.params)
-                params = optax.apply_updates(state.params, updates)
-                return TrainState(params, opt_state, state.step + 1), loss
-            return train_step
+    host→device transfer is just the indices (see ``--device_data``).
 
-        @partial(jax.jit, donate_argnums=_donate_state())
-        def train_step(state: TrainState, raw, rng):
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, raw,
-                                                      rng)
-            updates, opt_state = optimizer.update(
-                grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            return TrainState(params, opt_state, state.step + 1), loss
-        return train_step
+    ``multi=True`` (implies the gathered corpus layout) builds the
+    multi-step-per-dispatch variant: signature ``(state, data,
+    takes [M,B], weights [M,B]|None, rng, offsets [M])`` runs M
+    consecutive optimizer steps as ONE ``lax.scan`` inside ONE jit call
+    and returns ``(state, losses [M])``. Per-step keys are
+    ``fold_in(rng, offsets[i])`` computed in-jit, so the parameter
+    trajectory is that of M sequential ``gather=True`` calls — but the
+    host pays one dispatch instead of M. This is the lever for the
+    dispatch-bound regime (small batches through a relay-attached TPU:
+    the reference-protocol b=16 config runs 625 steps/epoch, each
+    paying the ~30 ms relay round trip — see
+    docs/validation/DEVICE_DATA_b16.md)."""
+    def _single_core(state: TrainState, raw, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, raw, rng)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
 
     def _accum_step(state: TrainState, raw, rng):
         k = accum_steps
@@ -166,12 +164,26 @@ def _make_train_step(loss_fn, optimizer, accum_steps: int = 1,
         return (TrainState(params, opt_state, state.step + 1),
                 loss_sum / w_sum)
 
+    core = _single_core if accum_steps == 1 else _accum_step
+
+    if multi:
+        @partial(jax.jit, donate_argnums=_donate_state())
+        def multi_step(state: TrainState, data, takes, weights, rng,
+                       offsets):
+            def body(st, inp):
+                take, off, w = inp if weights is not None else (*inp, None)
+                return core(st, _gather_batch(data, take, w),
+                            jax.random.fold_in(rng, off))
+            xs = ((takes, offsets, weights) if weights is not None
+                  else (takes, offsets))
+            return jax.lax.scan(body, state, xs)
+        return multi_step
     if gather:
         @partial(jax.jit, donate_argnums=_donate_state())
         def train_step(state: TrainState, data, take, weight, rng):
-            return _accum_step(state, _gather_batch(data, take, weight), rng)
+            return core(state, _gather_batch(data, take, weight), rng)
         return train_step
-    return partial(jax.jit, donate_argnums=_donate_state())(_accum_step)
+    return partial(jax.jit, donate_argnums=_donate_state())(core)
 
 
 def _make_caster(train_cfg: TrainConfig):
@@ -347,6 +359,9 @@ class StageRunner:
         self.train_step_dev = _make_train_step(loss_fn, self.optimizer,
                                                train_cfg.accum_steps,
                                                gather=True)
+        self.train_step_multi = _make_train_step(loss_fn, self.optimizer,
+                                                 train_cfg.accum_steps,
+                                                 multi=True)
 
         @jax.jit
         def eval_step(params, raw):
@@ -437,6 +452,10 @@ class StageRunner:
             assert self.cfg.accum_steps == 1, (
                 "--device_data with --mesh does not compose with --accum "
                 "(the sharded gather feeds the monolithic step)")
+            assert self.cfg.steps_per_dispatch == 1, (
+                "--steps_per_dispatch does not compose with --mesh yet "
+                "(the sharded per-shard gather feeds the per-step "
+                "program)")
             spec = getattr(next(iter(dd.values())).sharding, "spec", ())
             assert len(spec) and spec[0] == "data", (
                 "a mesh runner needs a put_device_sharded(...) corpus "
@@ -453,11 +472,32 @@ class StageRunner:
                 losses.append(loss)
         elif dd is not None:
             # device-resident corpus: gather by index inside the step —
-            # the per-step host→device transfer is a [B] index vector
-            for i, (take, w) in enumerate(sampler.iter_indices()):
+            # the per-step host→device transfer is a [B] index vector.
+            # steps_per_dispatch>1 additionally folds M consecutive steps
+            # into one lax.scan dispatch (same parameter trajectory; see
+            # _make_train_step) — the fix for the dispatch-bound small-
+            # batch regime; the epoch tail (< M steps) falls back to the
+            # per-step program.
+            m = self.cfg.steps_per_dispatch
+            pairs = (list(sampler.iter_indices()) if m > 1
+                     else sampler.iter_indices())
+            i = 0
+            if m > 1:
+                while i + m <= len(pairs):
+                    group = pairs[i:i + m]
+                    takes = np.stack([t for t, _ in group]).astype(np.int32)
+                    weights = (None if group[0][1] is None else
+                               np.stack([w for _, w in group]))
+                    self.state, ls = self.train_step_multi(
+                        self.state, dd, takes, weights, rng,
+                        np.arange(i, i + m, dtype=np.int32))
+                    losses.append(ls)                       # [m] losses
+                    i += m
+                pairs = pairs[i:]
+            for j, (take, w) in enumerate(pairs, start=i):
                 self.state, loss = self.train_step_dev(
                     self.state, dd, jnp.asarray(take, jnp.int32), w,
-                    jax.random.fold_in(rng, i))
+                    jax.random.fold_in(rng, j))
                 losses.append(loss)
         else:
             for i, raw in enumerate(sampler):
@@ -466,7 +506,9 @@ class StageRunner:
                 losses.append(loss)
         if not losses:
             return 0.0
-        return float(jnp.mean(jnp.stack(losses)))
+        # scalars (per-step programs) and [m] vectors (multi-step scans)
+        return float(jnp.mean(jnp.concatenate(
+            [jnp.atleast_1d(loss) for loss in losses])))
 
     def eval_epoch(self, sampler: DP.Sampler) -> float:
         r"""Validation pass in chunks of ``eval_batch_size`` (auto-capped —
@@ -614,6 +656,9 @@ class DIPRunner:
         self.train_step_dev = _make_train_step(loss_fn, self.optimizer,
                                                train_cfg.accum_steps,
                                                gather=True)
+        self.train_step_multi = _make_train_step(loss_fn, self.optimizer,
+                                                 train_cfg.accum_steps,
+                                                 multi=True)
 
         @jax.jit
         def eval_step(params, raw):

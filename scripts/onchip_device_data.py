@@ -36,7 +36,7 @@ import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
-WORK = "/tmp/fullscale"
+WORK = os.environ.get("WORK", "/tmp/fullscale")
 OUT = os.path.join(ROOT, "docs", "validation")
 
 N_TRAIN = int(os.environ.get("N_TRAIN", 10_000))
@@ -49,6 +49,9 @@ ACCUM = os.environ.get("ACCUM", "1")
 HU = os.environ.get("HU", "")      # CPU smoke: HU=8 shrinks the nets
 TAG = os.environ.get("TAG", "")    # suffix for the output artifacts
                                    # (e.g. TAG=_b16 for a second config)
+SPD = os.environ.get("SPD", "25")  # --steps_per_dispatch of device_spd
+# comma list of configs to run; speedups/deltas are vs the FIRST one
+CONFIGS = os.environ.get("CONFIGS", "host_fed,device_resident").split(",")
 
 
 def ensure_corpus():
@@ -106,14 +109,23 @@ def run(name, extra, train_npz, valid_npz):
     return wall, rows
 
 
+KNOWN = {
+    "host_fed": [],
+    "device_resident": ["--device_data"],
+    # device-resident + M steps folded into one lax.scan dispatch — the
+    # lever for the dispatch-bound small-batch regime (b=16 reference
+    # protocol: 625 steps/epoch through the ~30 ms relay round trip)
+    "device_spd": ["--device_data", "--steps_per_dispatch", SPD],
+}
+
+
 def main():
     train_npz, valid_npz = ensure_corpus()
     report = {"n_train_chunks": N_TRAIN, "seq_len": SEQ_LEN, "batch": B,
               "dtype": DTYPE, "accum": ACCUM, "epochs_per_stage": EPOCHS,
-              "configs": {}}
-    for name, extra in (("host_fed", []),
-                        ("device_resident", ["--device_data"])):
-        wall, rows = run(name, extra, train_npz, valid_npz)
+              "steps_per_dispatch": SPD, "configs": {}}
+    for name in CONFIGS:
+        wall, rows = run(name, KNOWN[name], train_npz, valid_npz)
         # epoch 0 of each stage includes stage compile; steady = later
         steady = [r["seconds"] for r in rows if r["epoch"] > 0]
         report["configs"][name] = {
@@ -127,17 +139,18 @@ def main():
         print(f"[{name}] wall {wall}s, steady epochs "
               f"{[round(s, 1) for s in steady]}")
 
-    h = report["configs"]["host_fed"]
-    d = report["configs"]["device_resident"]
-    if h["steady_epoch_mean_s"] and d["steady_epoch_mean_s"]:
-        report["steady_epoch_speedup"] = round(
-            h["steady_epoch_mean_s"] / d["steady_epoch_mean_s"], 2)
-    # losses must agree (identical seeds/permutations/rng by design)
-    pairs = list(zip(h["epoch_rows"], d["epoch_rows"]))
-    report["max_train_loss_delta"] = max(
-        abs(a["train_loss"] - b["train_loss"]) for a, b in pairs)
-    report["max_valid_loss_delta"] = max(
-        abs(a["valid_loss"] - b["valid_loss"]) for a, b in pairs)
+    base = report["configs"][CONFIGS[0]]
+    for name in CONFIGS[1:]:
+        c = report["configs"][name]
+        if base["steady_epoch_mean_s"] and c["steady_epoch_mean_s"]:
+            c["steady_epoch_speedup_vs_" + CONFIGS[0]] = round(
+                base["steady_epoch_mean_s"] / c["steady_epoch_mean_s"], 2)
+        # losses must agree (identical seeds/permutations/rng by design)
+        pairs = list(zip(base["epoch_rows"], c["epoch_rows"]))
+        c["max_train_loss_delta"] = max(
+            abs(a["train_loss"] - b["train_loss"]) for a, b in pairs)
+        c["max_valid_loss_delta"] = max(
+            abs(a["valid_loss"] - b["valid_loss"]) for a, b in pairs)
 
     os.makedirs(OUT, exist_ok=True)
     with open(os.path.join(OUT, "DEVICE_DATA" + TAG + ".json"), "w") as f:
@@ -148,19 +161,24 @@ def main():
         f"Corpus: {N_TRAIN} x {SEQ_LEN}-frame chunks, b={B} {DTYPE}, "
         f"accum={ACCUM}, {EPOCHS} epochs/stage, full 3-stage `cli train`, "
         "separate serial processes. Epoch-0 rows include stage compile; "
-        "the steady mean is over later epochs.",
+        "the steady mean is over later epochs. device_spd = device-"
+        f"resident + `--steps_per_dispatch {SPD}`. Speedups and loss "
+        f"deltas are vs `{CONFIGS[0]}` (losses agree by construction — "
+        "the paths are oracle-tested equal on CPU).",
         "",
-        "| config | total wall (s) | steady epoch mean (s) |",
-        "|---|---|---|",
-        f"| host-fed | {h['wall_s']} | {h['steady_epoch_mean_s']} |",
-        f"| device-resident | {d['wall_s']} | {d['steady_epoch_mean_s']} |",
-        "",
-        f"Steady-epoch speedup: **{report.get('steady_epoch_speedup')}x**. "
-        f"Max train/valid loss delta vs host-fed: "
-        f"{report['max_train_loss_delta']:.2e} / "
-        f"{report['max_valid_loss_delta']:.2e} (same permutations and rng "
-        "by construction — the paths are oracle-tested equal on CPU).",
+        "| config | total wall (s) | steady epoch mean (s) | speedup | "
+        "max train/valid loss delta |",
+        "|---|---|---|---|---|",
     ]
+    for name in CONFIGS:
+        c = report["configs"][name]
+        sp = c.get("steady_epoch_speedup_vs_" + CONFIGS[0])
+        lines.append(
+            f"| {name} | {c['wall_s']} | {c['steady_epoch_mean_s']} | "
+            + (f"{sp}x" if sp else "—") + " | "
+            + (f"{c['max_train_loss_delta']:.2e} / "
+               f"{c['max_valid_loss_delta']:.2e}"
+               if "max_train_loss_delta" in c else "—") + " |")
     with open(os.path.join(OUT, "DEVICE_DATA" + TAG + ".md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({k: v for k, v in report.items() if k != "configs"}))

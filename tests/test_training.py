@@ -196,6 +196,35 @@ class TestDeviceResidentData:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6)
 
+    @pytest.mark.parametrize("accum,pad", [(1, True), (2, False)])
+    def test_steps_per_dispatch_matches_sequential(self, nira, packed,
+                                                   accum, pad):
+        """steps_per_dispatch folds M optimizer steps into one lax.scan
+        dispatch — parameter trajectory and epoch loss must match the
+        sequential device-resident path (incl. the epoch tail falling
+        back to the per-step program, the in-jit rng fold_in offsets,
+        weighted (padded-tail) and unweighted batch structures, and
+        composition with gradient accumulation)."""
+        cfg, params = make_stage(2, nira, hidden=8)   # stage 2: noise rng
+        dd = DP.put_device(packed)
+        out = {}
+        for m in (1, 2):
+            tc = TrainConfig(batch_size=4 if accum == 2 else 3, lr=1e-3,
+                             accum_steps=accum, steps_per_dispatch=m)
+            r = StageRunner(2, cfg, params, tc, steps_per_epoch=3)
+            loss = 0.0
+            for epoch in range(2):    # state must carry across dispatches
+                loss = r.train_epoch(
+                    DP.Sampler(packed, tc.batch_size, seed=(0, epoch),
+                               pad_remainder=pad, device_data=dd),
+                    jax.random.PRNGKey(epoch))
+            out[m] = (r.state.params, loss)
+        assert abs(out[1][1] - out[2][1]) < 1e-6
+        for a, b in zip(jax.tree_util.tree_leaves(out[1][0]),
+                        jax.tree_util.tree_leaves(out[2][0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
     def test_mesh_device_data_guards(self, nira, packed):
         """A mesh runner demands a put_device_sharded corpus (an
         unsharded upload would silently reshard every step) and does not
