@@ -167,8 +167,6 @@ def cmd_train(args):
         assert args.device_data, (
             "--steps_per_dispatch needs --device_data (the scanned steps "
             "gather their batches from the device-resident corpus)")
-        assert not (args.mesh or args.tp > 1), (
-            "--steps_per_dispatch does not compose with --mesh/--tp yet")
 
     nira = load_adjacency_template()
     stats = _load_stats(args) if args.norm else None

@@ -402,6 +402,7 @@ class StageRunner:
 
             mesh = self.mesh
             idx_sh = NamedSharding(mesh, P("data"))
+            midx_sh = NamedSharding(mesh, P(None, "data"))  # [M, D, b]
 
             def gather(data, idx):
                 def local(blk, i):
@@ -412,11 +413,10 @@ class StageRunner:
 
             loss_fn, optimizer = self._loss_fn, self.optimizer
 
-            @partial(jax.jit, donate_argnums=_donate_state())
-            def train_step(state, data, idx, weight, rng):
+            def core(state, data, idx, weight, rng):
                 raw = gather(data, idx)
                 if weight is not None:
-                    raw["_weight"] = weight
+                    raw["_weight"] = weight.reshape(-1)
                 loss, grads = jax.value_and_grad(loss_fn)(state.params,
                                                           raw, rng)
                 updates, opt_state = optimizer.update(
@@ -424,6 +424,23 @@ class StageRunner:
                 params = optax.apply_updates(state.params, updates)
                 return (TrainState(params, opt_state, state.step + 1),
                         loss)
+
+            train_step = partial(jax.jit,
+                                 donate_argnums=_donate_state())(core)
+
+            @partial(jax.jit, donate_argnums=_donate_state())
+            def multi_step(state, data, idxs, weights, rng, offsets):
+                # M sharded steps per dispatch (see _make_train_step's
+                # ``multi`` doc): idxs [M, D, b] sharded P(None, 'data'),
+                # the shard_map gather runs inside the scan body
+                def body(st, inp):
+                    idx, off, w = (inp if weights is not None
+                                   else (*inp, None))
+                    return core(st, data, idx, w,
+                                jax.random.fold_in(rng, off))
+                xs = ((idxs, offsets, weights) if weights is not None
+                      else (idxs, offsets))
+                return jax.lax.scan(body, state, xs)
 
             eval_core = self.eval_step
 
@@ -434,7 +451,8 @@ class StageRunner:
                     raw["_weight"] = weight
                 return eval_core(params, raw)
 
-            self._dev_sharded = (train_step, eval_step, idx_sh)
+            self._dev_sharded = (train_step, eval_step, idx_sh,
+                                 multi_step, midx_sh)
         return self._dev_sharded
 
     def train_epoch(self, sampler: DP.Sampler, rng: jax.Array) -> float:
@@ -452,23 +470,36 @@ class StageRunner:
             assert self.cfg.accum_steps == 1, (
                 "--device_data with --mesh does not compose with --accum "
                 "(the sharded gather feeds the monolithic step)")
-            assert self.cfg.steps_per_dispatch == 1, (
-                "--steps_per_dispatch does not compose with --mesh yet "
-                "(the sharded per-shard gather feeds the per-step "
-                "program)")
             spec = getattr(next(iter(dd.values())).sharding, "spec", ())
             assert len(spec) and spec[0] == "data", (
                 "a mesh runner needs a put_device_sharded(...) corpus "
                 "(row-sharded over the 'data' axis); an unsharded "
                 "put_device upload would be re-sharded on every step")
             d = self.mesh.shape.get("data", 1)
-            tstep, _, idx_sh = self._device_sharded_steps()
-            for i, (idx, w) in enumerate(sampler.iter_indices_sharded(d)):
+            tstep, _, idx_sh, tmulti, midx_sh = \
+                self._device_sharded_steps()
+            m = self.cfg.steps_per_dispatch
+            pairs = (list(sampler.iter_indices_sharded(d)) if m > 1
+                     else sampler.iter_indices_sharded(d))
+            i = 0
+            if m > 1:
+                while i + m <= len(pairs):
+                    group = pairs[i:i + m]
+                    idxs = np.stack([t for t, _ in group]).astype(np.int32)
+                    weights = (None if group[0][1] is None else
+                               np.stack([w for _, w in group]))
+                    self.state, ls = tmulti(
+                        self.state, dd, jax.device_put(idxs, midx_sh),
+                        weights, rng, np.arange(i, i + m, dtype=np.int32))
+                    losses.append(ls)                   # [m] losses
+                    i += m
+                pairs = pairs[i:]
+            for j, (idx, w) in enumerate(pairs, start=i):
                 self.state, loss = tstep(
                     self.state, dd,
                     jax.device_put(np.asarray(idx, np.int32), idx_sh),
                     None if w is None else w.reshape(-1),
-                    jax.random.fold_in(rng, i))
+                    jax.random.fold_in(rng, j))
                 losses.append(loss)
         elif dd is not None:
             # device-resident corpus: gather by index inside the step —
@@ -529,7 +560,7 @@ class StageRunner:
                 "(row-sharded over the 'data' axis); an unsharded "
                 "put_device upload would be re-sharded on every chunk")
             d = self.mesh.shape.get("data", 1)
-            _, estep, idx_sh = self._device_sharded_steps()
+            _, estep, idx_sh = self._device_sharded_steps()[:3]
             ebl = max(1, self._eval_b // d)    # per-shard chunk rows
             for idx, w_all in sampler.iter_indices_sharded(d):
                 b = idx.shape[1]

@@ -51,6 +51,14 @@ GRID = (
     (60, 0, 1), (60, 0, 2), (60, 0, 3),  # latency 60 = plain windowing
     (60, 1, 1), (60, 1, 2),              # composed with K=1 (latency 120)
     (120, 0, 1),                         # big window + history, 1x latency
+    # LOW-LATENCY operating points (round-3 extension): emission cadence
+    # S < 60 with the attention context bought by history — what quality
+    # is reachable at 1/3 s or 1/2 s emission latency? Each (S, P) gives
+    # (P+1)*S frames of context at latency S.
+    (20, 0, 0), (30, 0, 0),              # small-window plain baselines
+    (20, 0, 2), (20, 0, 5),              # latency 20; context 60 / 120
+    (30, 0, 1), (30, 0, 3),              # latency 30; context 60 / 120
+    (20, 1, 4), (30, 1, 2),              # latency 40/60; context 120
 )
 
 

@@ -300,6 +300,36 @@ class TestDeviceResidentData:
             seen += [g for g, wi in zip(glob, w.reshape(-1)) if wi == 1.0]
         assert sorted(seen) == list(range(10))
 
+    def test_steps_per_dispatch_on_mesh_matches_sequential(self, nira,
+                                                           packed):
+        """steps_per_dispatch composes with the sharded device-resident
+        mesh path: the scanned shard_map gathers must reproduce the
+        sequential sharded epoch's trajectory (8 seqs, B=4 over a
+        4-shard data axis → 2 sharded steps/epoch = exactly one m=2
+        scan group; 2 epochs check state carry across dispatches —
+        the epoch-tail fallback is covered by the single-device
+        test)."""
+        mesh = make_mesh(MeshConfig(data=4, model=1))
+        cfg, params = make_stage(1, nira, hidden=8)
+        dd = DP.put_device_sharded(packed, mesh)
+        out = {}
+        for m in (1, 2):
+            tc = TrainConfig(batch_size=4, lr=1e-3, steps_per_dispatch=m)
+            r = StageRunner(1, cfg, params, tc, steps_per_epoch=2,
+                            mesh=mesh)
+            loss = 0.0
+            for epoch in range(2):
+                loss = r.train_epoch(
+                    DP.Sampler(packed, 4, seed=(0, epoch),
+                               pad_remainder=True, device_data=dd),
+                    jax.random.PRNGKey(epoch))
+            out[m] = (r.state.params, loss)
+        assert abs(out[1][1] - out[2][1]) < 1e-6
+        for a, b in zip(jax.tree_util.tree_leaves(out[1][0]),
+                        jax.tree_util.tree_leaves(out[2][0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
     def test_sharded_eval_matches_unsharded(self, nira, packed):
         mesh = make_mesh(MeshConfig(data=8, model=1))
         cfg, params = make_stage(1, nira, hidden=8)
