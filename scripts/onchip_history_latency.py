@@ -28,9 +28,13 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 OUT = os.path.join(ROOT, "docs", "validation")
 
-W = 60
+W = int(os.environ.get("W", "60"))   # emission window (frames)
 N_WIN = 24          # timed steady-state windows per config
-CONFIGS = ((0, 0), (1, 0), (0, 1), (1, 1), (1, 2))   # (K, P)
+# (K, P) grid; KP env overrides, e.g. KP="0,0;0,2;0,5" for the
+# low-latency small-window + deep-history operating points
+CONFIGS = tuple(
+    tuple(int(x) for x in kp.split(","))
+    for kp in os.environ.get("KP", "0,0;1,0;0,1;1,1;1,2").split(";"))
 STREAMS = int(os.environ.get("STREAMS", "1"))   # serving slots per tick
 
 
@@ -90,13 +94,14 @@ def main():
             "ms_per_window_mean": round(float(lat.mean()), 1),
             "ms_per_window_p99": round(float(np.percentile(lat, 99)), 1),
             "n_windows": int(lat.size),
-            "x_realtime": round(1000.0 / float(lat.mean()), 1),
+            # a window covers W/60 s of 60 fps motion
+            "x_realtime": round(W * 1000.0 / 60.0 / float(lat.mean()), 1),
             "streams": S,
         })
         print(rows[-1], flush=True)
 
     os.makedirs(OUT, exist_ok=True)
-    tag = "" if S == 1 else f"_S{S}"
+    tag = ("" if S == 1 else f"_S{S}") + ("" if W == 60 else f"_W{W}")
     lines = ["| K (future) | P (past) | ms/window mean | p99 | "
              "× real-time | first-call warmup (s) |",
              "|---|---|---|---|---|---|"]
@@ -108,7 +113,8 @@ def main():
     with open(os.path.join(OUT, f"HISTORY_LATENCY{tag}.md"), "w") as f:
         f.write(
             "# On-chip per-window latency: buffered-context streaming\n\n"
-            f"{S}-stream A3GC cascade, W={W} (1 s at 60 fps), default "
+            f"{S}-stream A3GC cascade, W={W} ({W / 60:.2f} s at 60 fps), "
+            "default "
             "precision, measured through this environment's remote TPU "
             "relay (per-call round-trip ~30 ms dominates; device compute "
             "is the minor term). ms/window is the wall time of one "
