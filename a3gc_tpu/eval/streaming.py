@@ -95,7 +95,7 @@ def make_window_step(cfg: CascadeConfig, model, stats=None):
     return _step
 
 
-def shard_window_step(step_fn, mesh, zero_states):
+def shard_window_step(step_fn, mesh, zero_states, n_masks: int = 1):
     r"""shard_map the windowed-cascade step over ``mesh['data']``.
 
     The ONLINE scale-out counterpart of ``parallel.serving.
@@ -113,6 +113,10 @@ def shard_window_step(step_fn, mesh, zero_states):
     ``zero_states`` fixes the state pytree structure; every state leaf
     carries the slot axis at position 1 ([2, S, N, H] graph / [2, S, H]
     dense), so its spec is P(None, 'data').
+
+    ``n_masks``: trailing per-slot [S] mask arguments after the states
+    (1 for the plain step's ``active``; 2 for the fused emit+advance
+    step's ``(em, advf)``).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -124,7 +128,8 @@ def shard_window_step(step_fn, mesh, zero_states):
     s_specs = tuple(_state_spec(zs) for zs in zero_states)
     return shard_map(
         step_fn, mesh=mesh,
-        in_specs=(P(), P("data"), P("data")) + s_specs + (P("data"),),
+        in_specs=(P(), P("data"), P("data")) + s_specs
+                 + (P("data"),) * n_masks,
         # pose comes back [S_local·T, 24, 3, 3] stream-major per shard, so
         # concatenating shards along axis 0 IS the global stream-major
         # layout — the same contract as the unsharded step
@@ -217,7 +222,8 @@ class StreamingCascade:
                  window: int = 60,
                  stats: Optional[Dict[str, np.ndarray]] = None,
                  normalize: bool = False, streams: int = 1,
-                 lookahead: int = 0, history: int = 0, mesh=None):
+                 lookahead: int = 0, history: int = 0, mesh=None,
+                 fused: bool = True):
         self.params3 = params3
         self.cfg = cfg
         self.window = window
@@ -249,8 +255,35 @@ class StreamingCascade:
             assert streams % n_data == 0, (
                 f"streams={streams} must divide over the {n_data}-device "
                 f"data axis (S/n_data slots per device)")
-            step = shard_window_step(step, mesh, self._zero_states)
+            step = shard_window_step(step, mesh, self._zero_states,
+                                     n_masks=1)
         self._fn = jax.jit(step)
+        self._fused_fn = None
+        if fused and (self.lookahead or self.history):
+            # steady-state single-dispatch program: the at-capacity
+            # emission pass AND the oldest-window state advance in ONE
+            # jit call — halves the per-tick host round-trips (the
+            # dominant cost through a relay-attached TPU) and skips the
+            # duplicate upload of the oldest window (the advance input
+            # is sliced from the emission context in-device). The two
+            # cascade bodies stay SEPARATE (sharing the emission scan
+            # would change the advance pass's attention context — the
+            # per-window state threading is the designed semantics), so
+            # emissions and advanced states are bit-identical to the
+            # two-pass path (oracle-tested).
+            raw = make_window_step(cfg, model, self.stats)
+            W = window
+
+            def fused_step(params3, o, a, s1, s2, s3, em, advf):
+                full, _, _, _ = raw(params3, o, a, s1, s2, s3, em)
+                _, a1, a2, a3 = raw(params3, o[:, :W], a[:, :W],
+                                    s1, s2, s3, advf)
+                return full, a1, a2, a3
+
+            if mesh is not None:
+                fused_step = shard_window_step(
+                    fused_step, mesh, self._zero_states, n_masks=2)
+            self._fused_fn = jax.jit(fused_step)
 
     def reset(self, stream: Optional[int] = None):
         r"""Clear carried stage states (ref: evaluate_a3gc_tp.py:165).
@@ -368,7 +401,7 @@ class StreamingCascade:
 
     @staticmethod
     def emit_buffered(buffers, act, W, K, P, appended, emission_pass,
-                      advance_pass):
+                      advance_pass, fused_pass=None):
         r"""The grouped-emission driver shared by the live and artifact
         sessions (their oracle equality holds by construction): assemble
         per-fill groups, run ``emission_pass(f, em, ctx_o, ctx_a) ->
@@ -376,7 +409,17 @@ class StreamingCascade:
         window's slice — the fetch fences device execution), then
         ``advance_pass(adv_mask_f32, adv_o, adv_a)`` for at-capacity
         slots (the callback commits the advanced state in the caller).
-        Transactional: a raise from either callback un-buffers this
+
+        ``fused_pass(em, ctx_o, ctx_a, advf) -> (full, commit)``, if
+        given, replaces emission_pass + advance_pass for the AT-CAPACITY
+        group — whose emitting slots are by construction exactly the
+        advancing slots (``adv``) — with ONE device dispatch; the driver
+        calls ``commit()`` (state assignment) only after fetching the
+        emission slice, which fences the fused program, preserving the
+        transactional contract. In steady state every active slot sits
+        at capacity, so the whole tick is a single dispatch.
+
+        Transactional: a raise from any callback un-buffers this
         tick's appended windows so a caller that catches (e.g. serving)
         can retry the same window without buffer/state skew; the buffer
         pops commit only after every pass landed. Returns
@@ -385,17 +428,26 @@ class StreamingCascade:
             StreamingCascade.assemble_buffered(buffers, act, W, K, P)
         pose = None
         if emitted.any():
+            advanced = False
             try:
                 for f in sorted(groups):
                     em, ctx_o, ctx_a = groups[f]
-                    full = emission_pass(f, em, ctx_o, ctx_a)
+                    commit = None
+                    if fused_pass is not None and f == P + K + 1:
+                        full, commit = fused_pass(
+                            em, ctx_o, ctx_a, adv.astype(np.float32))
+                    else:
+                        full = emission_pass(f, em, ctx_o, ctx_a)
                     lo = (f - K - 1) * W    # the emitted window's offset
                     sl = np.asarray(full[:, lo:lo + W])   # fetch fences
                     if pose is None:
                         pose = np.zeros_like(sl)
                     rows = em.astype(bool)
                     pose[rows] = sl[rows]
-                if adv.any():
+                    if commit is not None:
+                        commit()
+                        advanced = True
+                if adv.any() and not advanced:
                     advance_pass(adv.astype(np.float32), adv_o, adv_a)
             except Exception:
                 for i in appended:
@@ -458,9 +510,26 @@ class StreamingCascade:
                 s1, s2, s3, jnp.asarray(advf))
             self._states = (a1, a2, a3)
 
+        fused_pass = None
+        if self._fused_fn is not None:
+            cap = P + K + 1
+
+            def fused_pass(em, ctx_o, ctx_a, advf):
+                # one dispatch: at-capacity emission + oldest-window
+                # state advance (the advance input is ctx[:, :W] sliced
+                # in-device — no duplicate upload)
+                full, a1, a2, a3 = self._fused_fn(
+                    self.params3, jnp.asarray(ctx_o), jnp.asarray(ctx_a),
+                    s1, s2, s3, jnp.asarray(em), jnp.asarray(advf))
+                full = full.reshape((S, cap * W) + full.shape[1:])
+
+                def commit():   # driver calls AFTER the fetch fenced
+                    self._states = (a1, a2, a3)
+                return full, commit
+
         pose, emitted = self.emit_buffered(
             self._buffers, act, W, K, P, appended, emission_pass,
-            advance_pass)
+            advance_pass, fused_pass)
         if S == 1:
             return pose[0] if emitted[0] else None
         return pose, emitted

@@ -36,6 +36,9 @@ CONFIGS = tuple(
     tuple(int(x) for x in kp.split(","))
     for kp in os.environ.get("KP", "0,0;1,0;0,1;1,1;1,2").split(";"))
 STREAMS = int(os.environ.get("STREAMS", "1"))   # serving slots per tick
+# FUSED=0 measures the two-dispatch (emission + advance) tick instead of
+# the fused single-dispatch steady-state program (the default path)
+FUSED = os.environ.get("FUSED", "1") != "0"
 
 
 def main():
@@ -64,14 +67,18 @@ def main():
         return ori[sl], acc[sl]
 
     shared_fn = None
-    rows = []
+    fused_cache = {}    # capacity (K+P+1) -> fused program (identical
+    rows = []           # across configs at the same capacity)
     for K, P in CONFIGS:
         sess = StreamingCascade(params3, cfg, model, window=W, streams=S,
-                                lookahead=K, history=P)
+                                lookahead=K, history=P, fused=FUSED)
         if shared_fn is None:
             shared_fn = sess._fn     # one jit: context-length programs
         else:                        # compile once across all configs
             sess._fn = shared_fn
+        if sess._fused_fn is not None:
+            cap = K + P + 1
+            sess._fused_fn = fused_cache.setdefault(cap, sess._fused_fn)
         t0 = time.time()
         for i in range(K + P + 1):   # reach the steady-state program
             sess.step(*win(i))
@@ -96,12 +103,13 @@ def main():
             "n_windows": int(lat.size),
             # a window covers W/60 s of 60 fps motion
             "x_realtime": round(W * 1000.0 / 60.0 / float(lat.mean()), 1),
-            "streams": S,
+            "streams": S, "fused": bool(K or P) and FUSED,
         })
         print(rows[-1], flush=True)
 
     os.makedirs(OUT, exist_ok=True)
-    tag = ("" if S == 1 else f"_S{S}") + ("" if W == 60 else f"_W{W}")
+    tag = (("" if S == 1 else f"_S{S}") + ("" if W == 60 else f"_W{W}")
+           + ("" if FUSED else "_unfused"))
     lines = ["| K (future) | P (past) | ms/window mean | p99 | "
              "× real-time | first-call warmup (s) |",
              "|---|---|---|---|---|---|"]
@@ -118,9 +126,12 @@ def main():
             "precision, measured through this environment's remote TPU "
             "relay (per-call round-trip ~30 ms dominates; device compute "
             "is the minor term). ms/window is the wall time of one "
-            "`StreamingCascade.step` emission in steady state — the "
-            "emission pass fetch plus the (pipelined, unfetched) state-"
-            "advance dispatch. Divergence numbers for the same configs: "
+            "`StreamingCascade.step` emission in steady state — "
+            + ("the fused single-dispatch program (emission + state "
+               "advance in one call)" if FUSED else
+               "the emission pass fetch plus the (pipelined, unfetched) "
+               "state-advance dispatch (FUSED=0)") +
+            ". Divergence numbers for the same configs: "
             "docs/validation/STREAMING_TRADEOFF.md.\n\n"
             + "\n".join(lines) +
             f"\n\nRaw: HISTORY_LATENCY{tag}.json\n")

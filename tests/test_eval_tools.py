@@ -816,6 +816,50 @@ class TestStreamingCascade:
                         pose[i], want, atol=2e-5,
                         err_msg=f"window {w} stream {i}")
 
+    def test_fused_steady_state_equals_two_pass(self, model):
+        """fused=True (the default) collapses the steady-state emission
+        pass + oldest-window advance into ONE dispatch; emissions,
+        carried states, and flush tails must equal the two-pass path
+        exactly — through warmup fills, active masking, per-stream
+        reset (slots at different fills ⇒ mixed fused/unfused groups in
+        one tick), and flush."""
+        SC, cfg, params3 = self._build(model)
+        W, S, K, P, n = 6, 2, 1, 1, 6
+        fused = SC(params3, cfg, model, window=W, streams=S,
+                   lookahead=K, history=P)
+        plain = SC(params3, cfg, model, window=W, streams=S,
+                   lookahead=K, history=P, fused=False)
+        assert fused._fused_fn is not None and plain._fused_fn is None
+
+        rng = np.random.default_rng(67)
+        ori = Rotation.random(n * W * S * 6, random_state=67).as_matrix(
+        ).reshape(S, n * W, 54).astype(np.float32)
+        acc = rng.normal(scale=0.5, size=(S, n * W, 18)).astype(np.float32)
+
+        for w in range(n):
+            sl = slice(w * W, (w + 1) * W)
+            active = np.ones(S, np.float32)
+            if w == 3:
+                active[1] = 0.0
+            if w == 4:
+                fused.reset(stream=1)
+                plain.reset(stream=1)
+            pf, ef = fused.step(ori[:, sl], acc[:, sl], active=active)
+            pp, ep = plain.step(ori[:, sl], acc[:, sl], active=active)
+            np.testing.assert_array_equal(ef, ep, err_msg=f"window {w}")
+            if ef.any():
+                np.testing.assert_allclose(pf[ef], pp[ep], atol=0,
+                                           err_msg=f"window {w}")
+        for a, b in zip(jax.tree_util.tree_leaves(fused._states),
+                        jax.tree_util.tree_leaves(plain._states)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=0)
+        tf, tp = fused.flush(), plain.flush()
+        for a, b in zip(tf, tp):
+            assert (a is None) == (b is None)
+            if a is not None:
+                np.testing.assert_allclose(a, b, atol=0)
+
     def test_flush_failure_leaves_session_consistent(self, model):
         """A device failure during flush must not poison the carried
         state or drop buffered windows (transactional, like the step
