@@ -145,12 +145,25 @@ def _load_stats(args):
 
 
 def cmd_train(args):
+    if args.coordinator:
+        # multi-host (DCN) run: join the distributed runtime BEFORE any
+        # backend use — jax.devices() then lists every process's chips
+        # and the mesh below spans them all (parallel/multihost.py)
+        from a3gc_tpu.parallel import initialize_multihost
+        assert not getattr(args, "fse", False), (
+            "--fse full-sequence validation is single-process "
+            "(unsharded batch-1 jits); drop it for --coordinator runs")
+        pid, nproc = initialize_multihost(
+            args.coordinator, args.num_processes, args.process_id)
+        args.mesh = True        # the global mesh is the point
+        print(f"[multihost] process {pid}/{nproc} joined "
+              f"({args.coordinator})", flush=True)
     import jax
     from a3gc_tpu.config import TrainConfig, paths
     from a3gc_tpu.data import load_adjacency_template
     from a3gc_tpu.data import pipeline as DPipe
     from a3gc_tpu.models.pipeline import init_pose_net
-    from a3gc_tpu.parallel import make_mesh
+    from a3gc_tpu.parallel import is_coordinator, make_mesh
     from a3gc_tpu.train import StageRunner, run_cascade_training
     from a3gc_tpu.utils import JsonlLogger, discover_latest, restore_params, save_params
 
@@ -208,13 +221,19 @@ def cmd_train(args):
                 phase=None)
             if found:
                 params = restore_params(found[0], params)
-                print(f"resumed stage {stage} from {found[0]}")
+                if is_coordinator():
+                    print(f"resumed stage {stage} from {found[0]}")
         runners[stage] = StageRunner(stage, scfg, params, tc, steps,
                                      stats=stats, graph=is_graph, mesh=mesh)
 
     save_dir = os.path.join(args.save_root, args.name)
     os.makedirs(save_dir, exist_ok=True)
-    log = JsonlLogger(os.path.join(save_dir, "train_log.jsonl"))
+    # multihost: process 0 owns the log/stdout; checkpoint saves stay on
+    # EVERY process (orbax is natively multi-process — all must call)
+    coord = is_coordinator()
+    log = JsonlLogger(
+        os.path.join(save_dir, "train_log.jsonl") if coord else None,
+        echo=coord)
 
     train_dev = valid_dev = None
     if args.device_data:
@@ -266,19 +285,37 @@ def _train_dip(args, tc, train, valid, steps):
         found = discover_latest(args.resume, 1, phase=None)
         assert found, f"no checkpoint found in {args.resume}"
         params = restore_params(found[0], params)
-        print(f"resumed from {found[0]}")
+        from a3gc_tpu.parallel import is_coordinator
+        if is_coordinator():
+            print(f"resumed from {found[0]}")
     stats = _load_stats(args)
     assert stats is not None, "DIP training needs normalization stats"
-    runner = DIPRunner(cfg, params, tc, steps, stats)
+    mesh = None
+    if args.mesh or args.tp > 1:
+        from a3gc_tpu.config import MeshConfig
+        from a3gc_tpu.parallel import make_mesh
+        n = jax.device_count()
+        assert n % args.tp == 0, f"--tp {args.tp} must divide {n} devices"
+        mesh = make_mesh(MeshConfig(data=n // args.tp, model=args.tp))
+    runner = DIPRunner(cfg, params, tc, steps, stats, mesh=mesh)
 
     save_dir = os.path.join(args.save_root, args.name)
     os.makedirs(save_dir, exist_ok=True)
-    log = JsonlLogger(os.path.join(save_dir, "train_log.jsonl"))
+    from a3gc_tpu.parallel import is_coordinator
+    coord = is_coordinator()
+    log = JsonlLogger(
+        os.path.join(save_dir, "train_log.jsonl") if coord else None,
+        echo=coord)
     train_dev = valid_dev = None
     if args.device_data:
-        train_dev = DPipe.put_device(train)
-        valid_dev = (train_dev if valid is train
-                     else DPipe.put_device(valid))
+        if mesh is not None:
+            assert tc.accum_steps == 1, (
+                "--device_data with --mesh does not compose with --accum")
+            put = lambda d: DPipe.put_device_sharded(d, mesh)
+        else:
+            put = DPipe.put_device
+        train_dev = put(train)
+        valid_dev = train_dev if valid is train else put(valid)
     best, tol = float("inf"), 0
     for epoch in range(tc.start_epoch, tc.max_epochs):
         train_loss = runner.train_epoch(
@@ -1062,6 +1099,22 @@ def build_parser():
                    help="tensor-parallel size: devices per model replica; "
                         "the gate/feature axis of wide kernels is split "
                         "over the mesh 'model' axis (implies --mesh)")
+    t.add_argument("--coordinator", type=str, default=None,
+                   metavar="HOST:PORT",
+                   help="multi-host (DCN) training: join a "
+                        "jax.distributed runtime whose process 0 listens "
+                        "here; run the SAME command on every host with "
+                        "its own --process_id. Implies --mesh over the "
+                        "GLOBAL device set; gradients psum across hosts. "
+                        "All hosts need identical flags/data/seed; "
+                        "process 0 writes logs, checkpoints are written "
+                        "cooperatively (shared filesystem)")
+    t.add_argument("--num_processes", type=int, default=1,
+                   help="total participating processes (with "
+                        "--coordinator)")
+    t.add_argument("--process_id", type=int, default=0,
+                   help="this process's rank in [0, num_processes) "
+                        "(with --coordinator)")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("evaluate", help="cascade evaluation")

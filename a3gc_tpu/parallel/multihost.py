@@ -1,0 +1,98 @@
+r"""Multi-host (DCN) scale-out: a process-level ``jax.distributed`` runtime.
+
+The reference is strictly single-process, single-accelerator
+(``torch.device("cuda:0")``, ref: train_a3gc_tp.py:158) — its only
+scale-out story is "run it again". Here N controller processes (one per
+TPU host of a pod slice, or per machine in a CPU test rig) join ONE jax
+runtime; the rest of the framework's mesh machinery then spans every
+process's devices with no further changes:
+
+  * ``make_mesh`` builds the (data, model) grid over the GLOBAL device
+    list (``jax.devices()`` is global after :func:`initialize_multihost`);
+  * ``jax.device_put(host_array, NamedSharding(...))`` materializes only
+    this process's addressable shards from its local copy of the batch,
+    so the existing ``shard_batch`` / ``shard_params`` /
+    ``put_device_sharded`` paths work verbatim;
+  * the jitted train step is one SPMD program — XLA inserts the gradient
+    psum across hosts (ICI inside a slice, DCN between slices);
+  * loss scalars come back fully replicated, so ``float(loss)`` and the
+    early-stopping decisions are identical on every process.
+
+The contract each process must uphold: identical flags, dataset files and
+seeds. The Sampler's deterministic per-(stage, epoch) salted shuffle then
+produces the SAME global batch order everywhere; every process assembles
+the full batch on host while only its own device shards are uploaded.
+
+IO is coordinator-gated (process 0 writes the JSONL log and stdout);
+checkpointing stays on the existing orbax path, which is natively
+multi-process — every process calls ``save`` at the same (deterministic)
+point and orbax's primary host writes the replicated arrays. Wired into
+``cli train --coordinator`` (see :func:`a3gc_tpu.cli.cmd_train`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+__all__ = ["initialize_multihost", "is_coordinator", "process_index",
+           "process_count", "fetch_replicated"]
+
+
+def initialize_multihost(coordinator: str, num_processes: int,
+                         process_id: int,
+                         platform: Optional[str] = None) -> Tuple[int, int]:
+    r"""Join the distributed runtime. MUST run before any jax backend use
+    (device queries, placements, jits) in the process.
+
+    ``coordinator`` is ``host:port`` of process 0. On CPU platforms the
+    cross-process collectives implementation is switched to gloo (the
+    in-tree default cannot reduce across processes); TPU slices use the
+    native ICI/DCN fabric and ignore the option. Returns
+    ``(process_index, process_count)``.
+    """
+    import jax
+
+    plats = platform or os.environ.get("JAX_PLATFORMS", "")
+    try:                                    # in-process override, if any
+        plats = plats or (jax.config.jax_platforms or "")
+    except AttributeError:                  # pragma: no cover
+        pass
+    if "cpu" in str(plats):
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index(), jax.process_count()
+
+
+def process_index() -> int:
+    import jax
+    return jax.process_index()
+
+
+def process_count() -> int:
+    import jax
+    return jax.process_count()
+
+
+def is_coordinator() -> bool:
+    r"""True on the process that owns logging/stdout (single-process runs
+    are their own coordinator)."""
+    import jax
+    return jax.process_index() == 0
+
+
+def fetch_replicated(tree, mesh):
+    r"""Local host-numpy copy of a global pytree: gather any sharded
+    leaves to fully-replicated via a jit identity over ``mesh``, then
+    read the local shard. Safe on every process (collective — all
+    processes must call together when leaves span hosts)."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    gathered = jax.jit(lambda t: t, out_shardings=repl)(tree)
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x.addressable_data(0)), gathered)

@@ -70,8 +70,19 @@ def discover_latest(directory: str, stage: int,
 
 
 def restore_params(path: str, template) -> object:
-    r"""Restore a parameter pytree (template provides structure/dtypes)."""
+    r"""Restore a parameter pytree (template provides structure/dtypes).
+
+    The abstract tree carries an EXPLICIT local placement: without one,
+    orbax falls back to the sharding recorded at save time, which cannot
+    map when the topology changed — e.g. evaluating a checkpoint written
+    by a multi-host ``train --coordinator`` run (device ids from other
+    processes) on a single host, or a TPU-saved one on CPU. With it, the
+    restore is topology-agnostic: orbax reads the (fully-written) array
+    bytes and places them locally; callers re-shard as needed
+    (StageRunner re-applies the mesh policy)."""
     ckptr = _ckptr()
+    sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
     abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), template)
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype,
+                                       sharding=sharding), template)
     return ckptr.restore(os.path.abspath(path), abstract)
