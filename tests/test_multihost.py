@@ -159,3 +159,60 @@ def jax_leaves(tree):
     import jax
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
     return {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
+
+
+class TestMultihostDeviceData:
+    r"""The flagship at-scale training config under multihost: the corpus
+    row-sharded across every process's device HBM (`--device_data`, each
+    host uploads only its shards) with multi-step fused dispatch
+    (`--steps_per_dispatch`). Oracle: the identical single-process mesh
+    run — per-shard sampling is deterministic, so trajectories match."""
+
+    @pytest.fixture(scope="class")
+    def runs(self, tmp_path_factory):
+        from a3gc_tpu.data.synthetic import synthetic_packed_dataset
+
+        tmp = tmp_path_factory.mktemp("multihost_dd")
+        npz = str(tmp / "data.npz")
+        np.savez(npz, **synthetic_packed_dataset(n_seqs=8, seq_len=16,
+                                                 seed=0))
+        flags = ["--device_data", "--steps_per_dispatch", "2"]
+
+        mh_root = str(tmp / "mh")
+        port = _free_port()
+        procs = [subprocess.Popen(
+            _train_cmd(npz, mh_root, flags + [
+                "--coordinator", f"localhost:{port}",
+                "--num_processes", "2", "--process_id", str(pid)]),
+            env=_env(2), cwd=str(tmp), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True) for pid in range(2)]
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"process {pid} failed:\n{out}"
+
+        sp_root = str(tmp / "sp")
+        p = subprocess.run(_train_cmd(npz, sp_root, flags + ["--mesh"]),
+                           env=_env(4), cwd=str(tmp),
+                           stdout=subprocess.PIPE,
+                           stderr=subprocess.STDOUT, text=True,
+                           timeout=900)
+        assert p.returncode == 0, f"single-process run failed:\n{p.stdout}"
+        return mh_root, sp_root
+
+    def test_matches_single_process_mesh(self, runs):
+        mh_root, sp_root = runs
+        mh, sp = _read_log(mh_root), _read_log(sp_root)
+        assert len(mh) == len(sp) == 2
+        for a, b in zip(mh, sp):
+            np.testing.assert_allclose(a["train_loss"], b["train_loss"],
+                                       rtol=2e-5)
+            np.testing.assert_allclose(a["valid_loss"], b["valid_loss"],
+                                       rtol=2e-5)
+        pat = os.path.join("{}", "run", "checkpoint_model3_pretrain_*")
+        mh_ck = sorted(glob.glob(pat.format(mh_root)))[-1]
+        sp_ck = sorted(glob.glob(pat.format(sp_root)))[-1]
+        la, lb = jax_leaves(_restore_tree(mh_ck)), \
+            jax_leaves(_restore_tree(sp_ck))
+        for k in la:
+            np.testing.assert_allclose(la[k], lb[k], rtol=1e-5,
+                                       atol=1e-6, err_msg=k)
