@@ -164,7 +164,7 @@ def cmd_train(args):
     from a3gc_tpu.data import pipeline as DPipe
     from a3gc_tpu.models.pipeline import init_pose_net
     from a3gc_tpu.parallel import is_coordinator, make_mesh
-    from a3gc_tpu.train import StageRunner, run_cascade_training
+    from a3gc_tpu.train import GracefulInterrupt, StageRunner, run_cascade_training
     from a3gc_tpu.utils import JsonlLogger, discover_latest, restore_params, save_params
 
     tc = TrainConfig(batch_size=args.batch_size, lr=args.lr,
@@ -248,20 +248,23 @@ def cmd_train(args):
         train_dev = put(train)
         valid_dev = train_dev if valid is train else put(valid)
 
-    run_cascade_training(
-        runners,
-        lambda salt: DPipe.Sampler(train, tc.batch_size, shuffle=True,
-                                   seed=(tc.seed, salt),
-                                   pad_remainder=True,
-                                   device_data=train_dev),
-        lambda: DPipe.Sampler(valid, tc.batch_size, shuffle=False,
-                              pad_remainder=True,
-                              device_data=valid_dev),
-        tc,
-        save_fn=lambda st, ep, p: save_params(
-            p, save_dir, st, ep, finetuning=tc.finetuning),
-        log_fn=log,
-        valid_fn=valid_fn)
+    # SIGTERM/SIGINT → checkpoint current params + clean exit (preemption)
+    with GracefulInterrupt() as gi:
+        run_cascade_training(
+            runners,
+            lambda salt: DPipe.Sampler(train, tc.batch_size, shuffle=True,
+                                       seed=(tc.seed, salt),
+                                       pad_remainder=True,
+                                       device_data=train_dev),
+            lambda: DPipe.Sampler(valid, tc.batch_size, shuffle=False,
+                                  pad_remainder=True,
+                                  device_data=valid_dev),
+            tc,
+            save_fn=lambda st, ep, p: save_params(
+                p, save_dir, st, ep, finetuning=tc.finetuning),
+            log_fn=log,
+            valid_fn=valid_fn,
+            interrupt=gi)
 
 
 def _train_dip(args, tc, train, valid, steps):
@@ -316,26 +319,44 @@ def _train_dip(args, tc, train, valid, steps):
             put = DPipe.put_device
         train_dev = put(train)
         valid_dev = train_dev if valid is train else put(valid)
+    from a3gc_tpu.train import GracefulInterrupt
+    multihost = jax.process_count() > 1
+
+    def _interrupted(gi):
+        trig = gi()
+        if multihost and mesh is not None:
+            from a3gc_tpu.parallel.multihost import any_flag
+            trig = any_flag(trig, mesh)
+        return trig
+
     best, tol = float("inf"), 0
-    for epoch in range(tc.start_epoch, tc.max_epochs):
-        train_loss = runner.train_epoch(
-            DPipe.Sampler(train, tc.batch_size, shuffle=True,
-                          seed=(tc.seed, epoch), pad_remainder=True,
-                          device_data=train_dev),
-            jax.random.fold_in(jax.random.PRNGKey(tc.seed), epoch))
-        valid_loss = runner.eval_epoch(
-            DPipe.Sampler(valid, tc.batch_size, shuffle=False,
-                          pad_remainder=True, device_data=valid_dev))
-        log({"stage": 1, "epoch": epoch, "train_loss": train_loss,
-             "valid_loss": valid_loss})
-        if valid_loss < best:
-            best, tol = valid_loss, 0
-            save_params(runner.state.params, save_dir, 1, epoch,
-                        finetuning=tc.finetuning)
-        else:
-            tol += 1
-        if tol > tc.patience:
-            break
+    with GracefulInterrupt() as gi:
+        runner.interrupt = None if multihost else gi
+        for epoch in range(tc.start_epoch, tc.max_epochs):
+            train_loss = runner.train_epoch(
+                DPipe.Sampler(train, tc.batch_size, shuffle=True,
+                              seed=(tc.seed, epoch), pad_remainder=True,
+                              device_data=train_dev),
+                jax.random.fold_in(jax.random.PRNGKey(tc.seed), epoch))
+            if _interrupted(gi):
+                save_params(runner.state.params, save_dir, 1, epoch,
+                            finetuning=tc.finetuning)
+                log({"stage": 1, "epoch": epoch, "event": "interrupted",
+                     "train_loss": train_loss})
+                return
+            valid_loss = runner.eval_epoch(
+                DPipe.Sampler(valid, tc.batch_size, shuffle=False,
+                              pad_remainder=True, device_data=valid_dev))
+            log({"stage": 1, "epoch": epoch, "train_loss": train_loss,
+                 "valid_loss": valid_loss})
+            if valid_loss < best:
+                best, tol = valid_loss, 0
+                save_params(runner.state.params, save_dir, 1, epoch,
+                            finetuning=tc.finetuning)
+            else:
+                tol += 1
+            if tol > tc.patience:
+                break
 
 
 def _load_cascade_params(args, cascade, is_graph, nira):

@@ -36,7 +36,7 @@ import os
 from typing import Optional, Tuple
 
 __all__ = ["initialize_multihost", "is_coordinator", "process_index",
-           "process_count", "fetch_replicated"]
+           "process_count", "fetch_replicated", "any_flag"]
 
 
 def initialize_multihost(coordinator: str, num_processes: int,
@@ -81,6 +81,24 @@ def is_coordinator() -> bool:
     are their own coordinator)."""
     import jax
     return jax.process_index() == 0
+
+
+def any_flag(flag: bool, mesh) -> bool:
+    r"""Collective OR of a per-process host-side flag over ``mesh`` —
+    e.g. "this host received SIGTERM". Signal delivery timing differs
+    per host, so decisions that must be taken at the SAME step on every
+    process (preemption checkpointing) sync through this; it costs one
+    tiny all-reduce. All processes must call together."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shape = mesh.devices.shape
+    sh = NamedSharding(mesh, P(*mesh.axis_names))
+    local = np.full([1] * len(shape), 1.0 if flag else 0.0, np.float32)
+    arr = jax.make_array_from_callback(shape, sh, lambda idx: local)
+    return bool(jax.jit(jnp.max)(arr))
 
 
 def fetch_replicated(tree, mesh):

@@ -1,4 +1,5 @@
 from a3gc_tpu.train.loop import (  # noqa: F401
+    GracefulInterrupt,
     StageRunner,
     TrainState,
     make_optimizer,

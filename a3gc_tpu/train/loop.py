@@ -44,8 +44,59 @@ from a3gc_tpu.models.pipeline import PoseNetConfig, pose_loss, pose_net_forward
 
 __all__ = [
     "TrainState", "make_optimizer", "StageRunner", "run_cascade_training",
-    "stage_inputs_graph", "stage_inputs_flat",
+    "stage_inputs_graph", "stage_inputs_flat", "GracefulInterrupt",
 ]
+
+
+class GracefulInterrupt:
+    r"""Cooperative SIGTERM/SIGINT stop for preemption-safe training.
+
+    TPU pool preemptions deliver SIGTERM with a grace window; the
+    reference has no story for it (a signal mid-epoch loses everything
+    since its last improvement save, ref: train_a3gc_tp.py:241-312).
+    Wrap training in this context manager and pass it to
+    :func:`run_cascade_training`: the first signal makes training stop
+    at the next step boundary, write a checkpoint of the CURRENT params
+    through the normal save path, log an ``"interrupted"`` event, and
+    return cleanly — ``--resume`` picks the run back up. A second
+    signal restores the previous handler and re-raises (escape hatch
+    for a stuck save).
+
+    Handlers only install in the main thread (signal-module rule);
+    elsewhere the instance is inert and ``triggered`` stays False.
+    """
+
+    def __init__(self, signums=None):
+        import signal
+        self.signums = tuple(signums or (signal.SIGTERM, signal.SIGINT))
+        self.triggered = False
+        self._prev = {}
+
+    def __call__(self) -> bool:
+        return self.triggered
+
+    def __enter__(self):
+        import signal
+        import threading
+        if threading.current_thread() is threading.main_thread():
+            for s in self.signums:
+                self._prev[s] = signal.signal(s, self._handle)
+        return self
+
+    def _handle(self, signum, frame):
+        import signal
+        if self.triggered:              # second signal: hard escape
+            signal.signal(signum, self._prev.get(signum,
+                                                 signal.SIG_DFL))
+            raise KeyboardInterrupt
+        self.triggered = True
+
+    def __exit__(self, *exc):
+        import signal
+        for s, h in self._prev.items():
+            signal.signal(s, h)
+        self._prev.clear()
+        return False
 
 
 @struct.dataclass
@@ -463,6 +514,11 @@ class StageRunner:
         # feed pipeline overlap compute — on a relay-attached TPU the
         # difference is the whole transfer time per step.
         losses = []
+        # cooperative preemption stop (GracefulInterrupt), single-process
+        # only: multi-host runs must stop at the SAME step everywhere, so
+        # they check at synced epoch boundaries (run_cascade_training)
+        stop = getattr(self, "interrupt", None)
+        _stopped = (lambda: False) if stop is None else stop
         dd = getattr(sampler, "device_data", None)
         if dd is not None and self.mesh is not None:
             # sharded device-resident corpus (put_device_sharded): each
@@ -483,7 +539,7 @@ class StageRunner:
                      else sampler.iter_indices_sharded(d))
             i = 0
             if m > 1:
-                while i + m <= len(pairs):
+                while i + m <= len(pairs) and not _stopped():
                     group = pairs[i:i + m]
                     idxs = np.stack([t for t, _ in group]).astype(np.int32)
                     weights = (None if group[0][1] is None else
@@ -495,6 +551,8 @@ class StageRunner:
                     i += m
                 pairs = pairs[i:]
             for j, (idx, w) in enumerate(pairs, start=i):
+                if _stopped():
+                    break
                 self.state, loss = tstep(
                     self.state, dd,
                     jax.device_put(np.asarray(idx, np.int32), idx_sh),
@@ -514,7 +572,7 @@ class StageRunner:
                      else sampler.iter_indices())
             i = 0
             if m > 1:
-                while i + m <= len(pairs):
+                while i + m <= len(pairs) and not _stopped():
                     group = pairs[i:i + m]
                     takes = np.stack([t for t, _ in group]).astype(np.int32)
                     weights = (None if group[0][1] is None else
@@ -526,12 +584,16 @@ class StageRunner:
                     i += m
                 pairs = pairs[i:]
             for j, (take, w) in enumerate(pairs, start=i):
+                if _stopped():
+                    break
                 self.state, loss = self.train_step_dev(
                     self.state, dd, jnp.asarray(take, jnp.int32), w,
                     jax.random.fold_in(rng, j))
                 losses.append(loss)
         else:
             for i, raw in enumerate(sampler):
+                if _stopped():
+                    break
                 self.state, loss = self.train_step(
                     self.state, self._put(raw), jax.random.fold_in(rng, i))
                 losses.append(loss)
@@ -722,7 +784,8 @@ def run_cascade_training(
         cfg: TrainConfig,
         save_fn: Optional[Callable[[int, int, object], None]] = None,
         log_fn: Optional[Callable[[dict], None]] = None,
-        valid_fn: Optional[Callable[[StageRunner], float]] = None):
+        valid_fn: Optional[Callable[[StageRunner], float]] = None,
+        interrupt: Optional[Callable[[], bool]] = None):
     r"""The 3-stage sequential driver with per-stage early stopping
     (ref: train_a3gc_tp.py:241-312): stages run in order from
     ``cfg.start_stage``; a stage stops after ``cfg.patience`` epochs without
@@ -734,8 +797,28 @@ def run_cascade_training(
     ``DataLoader(shuffle=True)`` reshuffles per epoch,
     ref: train_a3gc_tp.py:209-210) while staying deterministic given
     ``cfg.seed`` — resume reproduces the exact epoch order. Zero-argument
-    sampler factories are still accepted."""
+    sampler factories are still accepted.
+
+    ``interrupt`` (a :class:`GracefulInterrupt` or any nullary bool) makes
+    training preemption-safe: when it turns true, the loop saves the
+    CURRENT params as a normal checkpoint, logs an ``"interrupted"``
+    event, and returns. Single-process runs additionally stop mid-epoch
+    at the next step boundary; multi-host runs only act at epoch
+    boundaries, where the flag is collectively OR-ed across processes
+    (signal delivery timing differs per host, and every process must
+    reach the cooperative orbax save together)."""
     rng = jax.random.PRNGKey(cfg.seed)
+
+    multihost = jax.process_count() > 1
+
+    def _interrupted(runner) -> bool:
+        if interrupt is None:
+            return False
+        trig = bool(interrupt())
+        if multihost and runner.mesh is not None:
+            from a3gc_tpu.parallel.multihost import any_flag
+            trig = any_flag(trig, runner.mesh)
+        return trig
 
     # salt-accepting = ONE positional argument binds (a `lambda **kw` or
     # keyword-only signature must fall back to the zero-arg call, not be
@@ -755,12 +838,24 @@ def run_cascade_training(
         if stage < cfg.start_stage:
             continue
         runner = runners[stage]
+        # mid-epoch step-boundary stop is single-process only (multi-host
+        # processes would break at different steps and diverge)
+        runner.interrupt = None if multihost else interrupt
         best, tol = float("inf"), 0
         for epoch in range(cfg.start_epoch, cfg.max_epochs):
             t0 = time.time()
             salt = stage * 10000 + epoch
             train_loss = runner.train_epoch(
                 _train_sampler(salt), jax.random.fold_in(rng, salt))
+            if _interrupted(runner):
+                if save_fn:
+                    save_fn(stage, epoch, runner.state.params)
+                if log_fn:
+                    log_fn({"stage": stage, "epoch": epoch,
+                            "event": "interrupted",
+                            "train_loss": train_loss,
+                            "seconds": time.time() - t0})
+                return runners
             # valid_fn overrides chunked validation (e.g. --fse full-sequence
             # validation, ref: train_a3gc_tp.py:18,212-216)
             if valid_fn is not None:

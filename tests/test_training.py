@@ -913,3 +913,125 @@ class TestTailBatches:
         loss = runner.eval_epoch(
             DP.Sampler(three, 4, shuffle=False, pad_remainder=True))
         assert np.isfinite(loss)
+
+
+class TestGracefulInterrupt:
+    """Preemption-safe training: SIGTERM/SIGINT → save current params as a
+    normal checkpoint, log an "interrupted" event, return cleanly."""
+
+    def test_epoch_boundary_interrupt_saves_and_stops(self, nira, packed):
+        from a3gc_tpu.train import GracefulInterrupt  # noqa: F401 (API)
+
+        tc = TrainConfig(batch_size=4, max_epochs=10, patience=100)
+        cfg, params = make_stage(1, nira, hidden=8)
+        runners = {1: StageRunner(1, cfg, params, tc, steps_per_epoch=2)}
+        events, saves = [], []
+        calls = {"n": 0}
+
+        def interrupt():
+            # epoch 0: 2 per-step checks + 1 boundary check stay False;
+            # the 4th call (epoch 1, first step) flips True
+            calls["n"] += 1
+            return calls["n"] >= 4
+
+        run_cascade_training(
+            runners,
+            lambda: DP.Sampler(packed, 4, seed=0),
+            lambda: DP.Sampler(packed, 4, shuffle=False, seed=0),
+            tc,
+            save_fn=lambda st, ep, p: saves.append((st, ep)),
+            log_fn=events.append,
+            interrupt=interrupt)
+
+        assert events[-1].get("event") == "interrupted"
+        assert events[-1]["epoch"] == 1
+        # stopped at the step boundary: epoch 1 ran 0 steps
+        assert int(runners[1].state.step) == 2
+        # epoch-0 improvement save + the interrupt save of epoch 1
+        assert saves == [(1, 0), (1, 1)]
+
+    def test_immediate_interrupt_stops_first_epoch(self, nira, packed):
+        tc = TrainConfig(batch_size=4, max_epochs=10, patience=100)
+        cfg, params = make_stage(1, nira, hidden=8)
+        runners = {1: StageRunner(1, cfg, params, tc, steps_per_epoch=2)}
+        events = []
+        run_cascade_training(
+            runners,
+            lambda: DP.Sampler(packed, 4, seed=0),
+            lambda: DP.Sampler(packed, 4, shuffle=False, seed=0),
+            tc, log_fn=events.append, interrupt=lambda: True)
+        assert int(runners[1].state.step) == 0
+        assert [e.get("event") for e in events] == ["interrupted"]
+
+    def test_signal_handler_mechanics(self):
+        import os
+        import signal
+
+        from a3gc_tpu.train import GracefulInterrupt
+
+        before = signal.getsignal(signal.SIGTERM)
+        with GracefulInterrupt() as gi:
+            assert not gi()
+            os.kill(os.getpid(), signal.SIGTERM)
+            assert gi()                      # first signal: cooperative
+            with pytest.raises(KeyboardInterrupt):
+                os.kill(os.getpid(), signal.SIGTERM)   # second: escape
+        assert signal.getsignal(signal.SIGTERM) == before
+
+    @pytest.mark.slow
+    def test_cli_sigterm_checkpoints_and_resumes(self, tmp_path):
+        """End-to-end preemption drill: SIGTERM a real `cli train` run
+        mid-training; it must exit 0 with an interrupt checkpoint that a
+        resume run picks up."""
+        import json
+        import os
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        from tests.conftest import REPO_ROOT
+
+        npz = str(tmp_path / "data.npz")
+        np.savez(npz, **synthetic_packed_dataset(n_seqs=8, seq_len=16,
+                                                 seed=0))
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("PYTHONPATH", "XLA_FLAGS", "JAX_PLATFORMS")}
+        env.update(PYTHONPATH=REPO_ROOT, JAX_PLATFORMS="cpu")
+        cmd = [sys.executable, "-m", "a3gc_tpu.cli", "train",
+               "--model", "a3gc", "-b", "4", "--epochs", "100000",
+               "--patience", "100000", "--start_at", "3",
+               "--hu1", "8", "--hu2", "8", "--hu3", "8",
+               "--name", "run", "--save_root", str(tmp_path / "runs"),
+               "--train_data", npz, "--valid_data", npz]
+        proc = subprocess.Popen(cmd, env=env, cwd=str(tmp_path),
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True)
+        log_path = tmp_path / "runs" / "run" / "train_log.jsonl"
+        deadline = time.time() + 300
+        try:
+            while time.time() < deadline:        # wait for ≥2 epoch lines
+                if log_path.exists() and \
+                        len(log_path.read_text().splitlines()) >= 2:
+                    break
+                assert proc.poll() is None, proc.communicate()[0]
+                time.sleep(0.5)
+            else:
+                raise AssertionError("no epoch lines before deadline")
+            proc.send_signal(signal.SIGTERM)
+            out, _ = proc.communicate(timeout=120)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        assert proc.returncode == 0, out
+        events = [json.loads(line)
+                  for line in log_path.read_text().splitlines()]
+        assert events[-1].get("event") == "interrupted", events[-1]
+
+        from a3gc_tpu.utils import discover_latest, restore_params
+        found = discover_latest(str(tmp_path / "runs" / "run"), 3)
+        assert found is not None
+        cfg, params = make_stage(3, load_adjacency_template(), hidden=8)
+        restored = restore_params(found[0], params)
+        assert jax.tree_util.tree_structure(restored) == \
+            jax.tree_util.tree_structure(params)
