@@ -161,6 +161,67 @@ def jax_leaves(tree):
     return {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
 
 
+class TestMultihostInterrupt:
+    r"""Preemption under multihost: SIGTERM delivered to ONE process (the
+    NON-coordinator — the harder direction) must stop BOTH at the same
+    epoch boundary (the flag crosses hosts via ``any_flag``'s collective
+    OR), write a cooperative interrupt checkpoint, and exit 0 on every
+    process. The reference has no preemption story at all
+    (ref: train_a3gc_tp.py:241-312)."""
+
+    def test_sigterm_one_process_stops_both(self, tmp_path):
+        import signal
+        import time
+
+        from a3gc_tpu.data.synthetic import synthetic_packed_dataset
+
+        npz = str(tmp_path / "data.npz")
+        np.savez(npz, **synthetic_packed_dataset(n_seqs=8, seq_len=16,
+                                                 seed=0))
+        mh_root = str(tmp_path / "mh")
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            cmd = _train_cmd(npz, mh_root, [
+                "--coordinator", f"localhost:{port}",
+                "--num_processes", "2", "--process_id", str(pid),
+                "--patience", "100000"])
+            cmd[cmd.index("--epochs") + 1] = "100000"   # effectively endless
+            procs.append(subprocess.Popen(
+                cmd, env=_env(2), cwd=str(tmp_path),
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True))
+        log_path = os.path.join(mh_root, "run", "train_log.jsonl")
+        deadline = time.time() + 600
+        try:
+            while time.time() < deadline:     # wait for ≥2 epoch lines
+                if os.path.exists(log_path):
+                    with open(log_path) as f:
+                        if len(f.read().splitlines()) >= 2:
+                            break
+                for pid, p in enumerate(procs):
+                    assert p.poll() is None, \
+                        f"process {pid} died early:\n{p.communicate()[0]}"
+                time.sleep(0.5)
+            else:
+                raise AssertionError("no epoch lines before deadline")
+            procs[1].send_signal(signal.SIGTERM)        # non-coordinator
+            outs = [p.communicate(timeout=300)[0] for p in procs]
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        events = _read_log(mh_root)
+        assert events[-1].get("event") == "interrupted", events[-1]
+        # the cooperative interrupt checkpoint restores single-process
+        pat = os.path.join(mh_root, "run", "checkpoint_model3_pretrain_*")
+        cks = sorted(glob.glob(pat))
+        assert cks
+        _restore_tree(cks[-1])
+
+
 class TestMultihostDeviceData:
     r"""The flagship at-scale training config under multihost: the corpus
     row-sharded across every process's device HBM (`--device_data`, each
