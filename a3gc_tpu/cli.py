@@ -448,6 +448,22 @@ def cmd_evaluate(args):
                 os.path.join("evaluation_results",
                              f"{args.model}_{os.path.basename(dataset)}.txt"),
                 dataset, seconds, mean, PoseEvaluator.METRIC_NAMES)
+        elif args.streaming:
+            from a3gc_tpu.eval import CascadeEvaluator
+            from a3gc_tpu.utils import write_eval_report
+            ev = CascadeEvaluator(params3, cascade, model, stats, args.norm)
+            mean, seconds, frames = ev.evaluate_streaming(
+                sequences, window=args.streaming,
+                lookahead=args.lookahead, history=args.history)
+            tag = (f"stream{args.streaming}"
+                   + (f"_K{args.lookahead}" if args.lookahead else "")
+                   + (f"_P{args.history}" if args.history else ""))
+            write_eval_report(
+                os.path.join("evaluation_results",
+                             f"{args.model}_{os.path.basename(dataset)}"
+                             f"_{tag}.txt"),
+                f"{dataset} [{tag}]", seconds, mean,
+                PoseEvaluator.METRIC_NAMES)
         elif args.batch_streams > 1:
             from a3gc_tpu.eval import CascadeEvaluator
             from a3gc_tpu.utils import write_eval_report
@@ -1162,6 +1178,18 @@ def build_parser():
                    help="with --batch_streams: shard the streams over all "
                         "devices' data axis (shard_map; each device runs "
                         "its own kernels on its local streams)")
+    e.add_argument("--streaming", type=int, default=0, metavar="W",
+                   help="evaluate through the ONLINE path: feed each "
+                        "sequence as W-frame windows with carried state "
+                        "(the cli stream/serve code path) and score the "
+                        "emissions with the same 5-metric table — prices "
+                        "a streaming deployment in the published metrics")
+    e.add_argument("--lookahead", type=int, default=0, metavar="K",
+                   help="with --streaming: buffer K future windows before "
+                        "each emission (+K windows latency)")
+    e.add_argument("--history", type=int, default=0, metavar="P",
+                   help="with --streaming: re-run up to P past windows as "
+                        "leading context per emission (zero added latency)")
     e.set_defaults(fn=cmd_evaluate)
 
     st = sub.add_parser("stream", help="online streaming inference "

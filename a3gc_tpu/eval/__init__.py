@@ -9,6 +9,7 @@ from a3gc_tpu.eval.streaming import (  # noqa: F401
     StreamingCascade,
     StreamingSession,
     make_window_step,
+    streaming_predictions,
 )
 from a3gc_tpu.eval.worst_frames import (  # noqa: F401
     compare_models,

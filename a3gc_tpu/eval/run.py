@@ -200,6 +200,79 @@ class CascadeEvaluator:
         mean = np.stack([m for m in metrics if m is not None]).mean(axis=0)
         return mean, total_time, total_frames
 
+    def evaluate_streaming(self, sequences: List[Dict[str, np.ndarray]],
+                           window: int, lookahead: int = 0,
+                           history: int = 0, return_preds: bool = False):
+        r"""The published-protocol metric table UNDER STREAMING: every
+        sequence is fed window-by-window through the deployment path
+        (:class:`~a3gc_tpu.eval.streaming.StreamingCascade` — the same
+        code ``cli stream``/``serve`` run) with the chosen quality levers
+        (``lookahead=K`` future windows / ``history=P`` past-context
+        windows), and the emitted poses are scored with the SAME masked
+        metric suite as the offline evaluator. This prices a streaming
+        config directly in the reference's 5 metrics instead of as
+        divergence-vs-offline (the reference's online mode,
+        ref: net_aagc.py:802-812, has no quantitative harness at all —
+        its metrics, ref: evaluate_a3gc_tp.py:152-187, are offline-only).
+
+        Timing counts the streaming loop only (one warmup stream
+        pre-compiles every emission/advance/flush program shape).
+
+        :return: (mean metric [5, 2], total seconds, total frames
+            [, list of [T,24,3,3] predictions]).
+        """
+        from a3gc_tpu.eval.streaming import (StreamingCascade,
+                                             streaming_predictions)
+        sc = StreamingCascade(
+            self.params3, self.cfg, self.model, window=window,
+            stats=self.stats, normalize=self.stats is not None,
+            lookahead=lookahead, history=history)
+        fps = self.fps
+
+        @jax.jit
+        def _metrics(pose_p, pose_t_full, n_valid):
+            eye = jnp.eye(3, dtype=pose_p.dtype)
+            ign = jnp.asarray(JS.ignored)
+            pose_p = pose_p.at[:, ign].set(eye)
+            pose_t = pose_t_full.at[:, ign].set(eye)
+            errs = full_motion_metrics(
+                self.model, pose_p, pose_t, n_valid=n_valid, fps=fps,
+                joint_mask=JS.sip_joints)
+            return jnp.stack((errs[9], errs[3], errs[0] * 100,
+                              errs[10] / 1000, errs[4] / 100))
+
+        # warmup: a (P+K+2)-window zero stream walks every buffer fill
+        # level (1..capacity), the fused at-capacity program and the
+        # flush program, so the timed loop never compiles
+        wT = (history + lookahead + 2) * window
+        streaming_predictions(sc, np.zeros((wT, 54), np.float32),
+                              np.zeros((wT, 18), np.float32))
+
+        metrics, preds = [], []
+        total_time, total_frames = 0.0, 0
+        for seq in sequences:
+            T = seq["ori"].shape[0]
+            t0 = time.perf_counter()
+            pose_p = streaming_predictions(
+                sc, seq["ori"].reshape(T, 54), seq["acc"].reshape(T, 18))
+            total_time += time.perf_counter() - t0
+            total_frames += T
+            pad = bucket_length(T) - T
+            gt = reduced_to_full(seq["pose"].reshape(T, 15, 3, 3))
+            pp = pose_p
+            if pad:
+                eye = np.tile(np.eye(3, dtype=np.float32),
+                              (pad, 24, 1, 1))
+                pp = np.concatenate([pose_p.astype(np.float32), eye])
+                gt = np.concatenate([gt, eye])
+            metrics.append(np.asarray(_metrics(
+                jnp.asarray(pp), jnp.asarray(gt), jnp.asarray(T))))
+            if return_preds:
+                preds.append(pose_p)
+        mean = np.stack(metrics).mean(axis=0)
+        out = (mean, total_time, total_frames)
+        return out + (preds,) if return_preds else out
+
     def warmup(self, lengths: Sequence[int]):
         """Pre-compile the bucket lengths (excluded from timing)."""
         for L in sorted({bucket_length(n) for n in lengths}):

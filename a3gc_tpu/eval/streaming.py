@@ -31,7 +31,7 @@ from a3gc_tpu.models.pipeline import (
 )
 
 __all__ = ["StreamingSession", "StreamingCascade", "make_window_step",
-           "shard_window_step"]
+           "shard_window_step", "streaming_predictions"]
 
 
 def make_window_step(cfg: CascadeConfig, model, stats=None):
@@ -623,3 +623,47 @@ class StreamingCascade:
         if stream is not None:
             return tails[stream]
         return tails[0] if S == 1 else tails
+
+
+def streaming_predictions(session: StreamingCascade, ori: np.ndarray,
+                          acc: np.ndarray) -> np.ndarray:
+    r"""Run ONE full sequence through a ``streams=1`` session exactly as a
+    live client would — window-by-window :meth:`StreamingCascade.step`
+    calls plus a final :meth:`StreamingCascade.flush` — and reassemble the
+    emissions into the full-length prediction [T, 24, 3, 3].
+
+    Tail policy (a deployment has one too): a final partial window is
+    padded by repeating the last frame (sensor-hold — what a client whose
+    stream ends mid-window effectively submits), and the padded frames'
+    emissions are discarded. The session is reset before and left reset
+    after, so one session serves many sequences with a single compile.
+
+    This is the measurement primitive behind
+    :meth:`a3gc_tpu.eval.run.CascadeEvaluator.evaluate_streaming` (the
+    published-protocol metric table under streaming; the reference's
+    online mode, ref: net_aagc.py:802-812, has no such quantitative
+    harness).
+    """
+    assert session.streams == 1, "streaming_predictions drives one slot"
+    W = session.window
+    ori = np.asarray(ori, np.float32).reshape(-1, 54)
+    acc = np.asarray(acc, np.float32).reshape(-1, 18)
+    T = ori.shape[0]
+    rem = (-T) % W
+    if rem:
+        ori = np.concatenate([ori, np.repeat(ori[-1:], rem, axis=0)])
+        acc = np.concatenate([acc, np.repeat(acc[-1:], rem, axis=0)])
+    session.reset()
+    out = []
+    for t in range(0, T + rem, W):
+        pose = session.step(ori[t:t + W], acc[t:t + W])
+        if pose is not None:
+            out.append(np.asarray(pose))
+    if session.lookahead:
+        tail = session.flush()
+        if tail is not None:
+            out.append(np.asarray(tail))
+    session.reset()
+    pred = np.concatenate(out)
+    assert pred.shape[0] == T + rem
+    return pred[:T]

@@ -922,6 +922,131 @@ class TestStreamingCascade:
                                        err_msg=f"window {w}")
 
 
+class TestEvaluateStreaming:
+    """`CascadeEvaluator.evaluate_streaming` — the published 5-metric
+    table measured THROUGH the deployment streaming path (window /
+    lookahead / history), plus the `evaluate --streaming` CLI surface."""
+
+    def _sequences(self, lengths, seed=7):
+        rng = np.random.default_rng(seed)
+        seqs = []
+        for i, T in enumerate(lengths):
+            seqs.append({
+                "ori": Rotation.random(T * 6, random_state=seed + i)
+                .as_matrix().reshape(T, 54).astype(np.float32),
+                "acc": rng.normal(scale=0.5, size=(T, 18))
+                .astype(np.float32),
+                "pose": Rotation.random(T * 15, random_state=seed + 40 + i)
+                .as_matrix().reshape(T, 135).astype(np.float32),
+            })
+        return seqs
+
+    def test_window_equals_sequence_matches_offline(self, model):
+        """With window == T (no tail padding, no state carry) streaming
+        IS one offline pass: predictions match the offline evaluator's
+        and so does the metric table."""
+        from a3gc_tpu.eval.run import CascadeEvaluator
+
+        _, cfg, params3 = TestStreamingCascade()._build(model)
+        ev = CascadeEvaluator(params3, cfg, model)
+        seqs = self._sequences([24, 24])
+        off_mean, _, _, off_preds = ev.evaluate(seqs, return_preds=True)
+        st_mean, secs, frames, st_preds = ev.evaluate_streaming(
+            seqs, window=24, return_preds=True)
+        assert frames == 48 and secs > 0
+        for sp, op in zip(st_preds, off_preds):
+            np.testing.assert_allclose(sp, op, atol=2e-5)
+        np.testing.assert_allclose(st_mean[0], off_mean[0], atol=5e-3)
+        np.testing.assert_allclose(st_mean, off_mean, atol=0.1)
+
+    def test_streaming_predictions_assembly_oracle(self, model):
+        """streaming_predictions (partial tail + lookahead + history) ==
+        an explicit step/flush construction over the same padded windows
+        — bitwise, same compiled programs."""
+        from a3gc_tpu.eval.streaming import streaming_predictions
+
+        SC, cfg, params3 = TestStreamingCascade()._build(model)
+        T, W, K, P = 30, 12, 1, 1
+        seq = self._sequences([T], seed=11)[0]
+        ori, acc = seq["ori"], seq["acc"]
+
+        sess = SC(params3, cfg, model, window=W, lookahead=K, history=P)
+        pred = streaming_predictions(sess, ori, acc)
+        assert pred.shape == (T, 24, 3, 3)
+
+        rem = (-T) % W
+        orip = np.concatenate([ori, np.repeat(ori[-1:], rem, axis=0)])
+        accp = np.concatenate([acc, np.repeat(acc[-1:], rem, axis=0)])
+        manual = SC(params3, cfg, model, window=W, lookahead=K, history=P)
+        outs = []
+        for t in range(0, T + rem, W):
+            p = manual.step(orip[t:t + W], accp[t:t + W])
+            if p is not None:
+                outs.append(np.asarray(p))
+        tail = manual.flush()
+        if tail is not None:
+            outs.append(np.asarray(tail))
+        expected = np.concatenate(outs)[:T]
+        np.testing.assert_array_equal(pred, expected)
+
+    def test_quality_levers_and_session_reuse(self, model):
+        """One evaluator scores plain vs history-augmented streaming on
+        ragged-length sequences; both are finite, and the session resets
+        cleanly between sequences (per-sequence determinism)."""
+        from a3gc_tpu.eval.run import CascadeEvaluator
+
+        _, cfg, params3 = TestStreamingCascade()._build(model)
+        ev = CascadeEvaluator(params3, cfg, model)
+        seqs = self._sequences([30, 17], seed=13)
+        plain, _, fr1, preds_a = ev.evaluate_streaming(
+            seqs, window=12, return_preds=True)
+        hist, _, fr2, preds_b = ev.evaluate_streaming(
+            seqs, window=12, history=1, return_preds=True)
+        assert fr1 == fr2 == 47
+        assert np.isfinite(plain).all() and np.isfinite(hist).all()
+        # history changes the emissions (context differs) ...
+        assert np.abs(preds_a[0] - preds_b[0]).max() > 1e-7
+        # ... and a repeat run is deterministic
+        plain2, _, _ = ev.evaluate_streaming(seqs, window=12)
+        np.testing.assert_array_equal(plain, plain2)
+
+    def test_cli_evaluate_streaming_writes_report(self, model, tmp_path):
+        """`evaluate --streaming W --lookahead K --history P` runs end to
+        end on a packed npz and writes the tagged report file."""
+        import contextlib
+        import io
+        import os
+
+        from a3gc_tpu import cli as CLI
+
+        seq = self._sequences([26], seed=17)[0]
+        inp = tmp_path / "test.npz"
+        np.savez(inp, **{f"seq0_{k}": v for k, v in seq.items()})
+        smpl = tmp_path / "s.pkl"
+        write_synthetic_smpl_pickle(str(smpl), n_vertices=120)
+
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            args = CLI.build_parser().parse_args([
+                "evaluate", "--model", "a3gc",
+                "--hu1", "8", "--hu2", "8", "--hu3", "8",
+                "--smpl", str(smpl), "--datasets", str(inp),
+                "--streaming", "10", "--lookahead", "1",
+                "--history", "1"])
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                args.fn(args)
+            out = buf.getvalue()
+            assert "SIP Error" in out and "26 frames" in out
+            report = (tmp_path / "evaluation_results" /
+                      "a3gc_test.npz_stream10_K1_P1.txt")
+            assert report.exists()
+            assert "stream10_K1_P1" in report.read_text()
+        finally:
+            os.chdir(cwd)
+
+
 class TestWorstFramesContract:
     def test_reference_18_pickle_layout(self, model, tmp_path):
         """compare_models writes the reference's exact artifact set
