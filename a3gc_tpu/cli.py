@@ -319,18 +319,13 @@ def _train_dip(args, tc, train, valid, steps):
             put = DPipe.put_device
         train_dev = put(train)
         valid_dev = train_dev if valid is train else put(valid)
+    from a3gc_tpu.parallel.multihost import interrupt_checker
     from a3gc_tpu.train import GracefulInterrupt
     multihost = jax.process_count() > 1
 
-    def _interrupted(gi):
-        trig = gi()
-        if multihost and mesh is not None:
-            from a3gc_tpu.parallel.multihost import any_flag
-            trig = any_flag(trig, mesh)
-        return trig
-
     best, tol = float("inf"), 0
     with GracefulInterrupt() as gi:
+        _interrupted = interrupt_checker(gi, mesh)
         runner.interrupt = None if multihost else gi
         for epoch in range(tc.start_epoch, tc.max_epochs):
             train_loss = runner.train_epoch(
@@ -338,7 +333,7 @@ def _train_dip(args, tc, train, valid, steps):
                               seed=(tc.seed, epoch), pad_remainder=True,
                               device_data=train_dev),
                 jax.random.fold_in(jax.random.PRNGKey(tc.seed), epoch))
-            if _interrupted(gi):
+            if _interrupted():
                 save_params(runner.state.params, save_dir, 1, epoch,
                             finetuning=tc.finetuning)
                 log({"stage": 1, "epoch": epoch, "event": "interrupted",
@@ -421,6 +416,17 @@ def cmd_evaluate(args):
     if args.save_preds and args.batch_streams > 1:
         print("[a3gc_tpu] --save_preds dumps per-sequence predictions and "
               "runs the per-sequence protocol; --batch_streams is ignored",
+              file=sys.stderr)
+    if (args.lookahead or args.history) and not args.streaming:
+        print("[a3gc_tpu] --lookahead/--history only apply to --streaming "
+              "evaluation; ignored (offline evaluation always sees the "
+              "full sequence)", file=sys.stderr)
+    if args.streaming and args.save_preds:
+        print("[a3gc_tpu] --save_preds runs the offline per-sequence "
+              "protocol; --streaming is ignored", file=sys.stderr)
+    elif args.streaming and (args.batch_streams > 1 or args.mesh):
+        print("[a3gc_tpu] --streaming runs the per-sequence online "
+              "protocol; --batch_streams/--mesh are ignored",
               file=sys.stderr)
     for dataset in args.datasets:
         sequences = load_test_sequences(dataset)

@@ -227,19 +227,10 @@ class CascadeEvaluator:
             self.params3, self.cfg, self.model, window=window,
             stats=self.stats, normalize=self.stats is not None,
             lookahead=lookahead, history=history)
-        fps = self.fps
-
-        @jax.jit
-        def _metrics(pose_p, pose_t_full, n_valid):
-            eye = jnp.eye(3, dtype=pose_p.dtype)
-            ign = jnp.asarray(JS.ignored)
-            pose_p = pose_p.at[:, ign].set(eye)
-            pose_t = pose_t_full.at[:, ign].set(eye)
-            errs = full_motion_metrics(
-                self.model, pose_p, pose_t, n_valid=n_valid, fps=fps,
-                joint_mask=JS.sip_joints)
-            return jnp.stack((errs[9], errs[3], errs[0] * 100,
-                              errs[10] / 1000, errs[4] / 100))
+        # the SAME reporting evaluator as the offline paths (ignored-joint
+        # substitution + 5-metric scaling live in ONE place)
+        pe = PoseEvaluator(self.model, fps=self.fps)
+        _metrics = jax.jit(pe.__call__)
 
         # warmup: a (P+K+2)-window zero stream walks every buffer fill
         # level (1..capacity), the fused at-capacity program and the

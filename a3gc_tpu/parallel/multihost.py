@@ -36,7 +36,13 @@ import os
 from typing import Optional, Tuple
 
 __all__ = ["initialize_multihost", "is_coordinator", "process_index",
-           "process_count", "fetch_replicated", "any_flag"]
+           "process_count", "fetch_replicated", "any_flag",
+           "interrupt_checker"]
+
+# jitted helpers are cached at module level — any_flag/fetch_replicated
+# run at EVERY epoch boundary of a multihost run, and a fresh jax.jit
+# wrapper per call would retrace+recompile each time on every process
+_JITS: dict = {}
 
 
 def initialize_multihost(coordinator: str, num_processes: int,
@@ -45,21 +51,20 @@ def initialize_multihost(coordinator: str, num_processes: int,
     r"""Join the distributed runtime. MUST run before any jax backend use
     (device queries, placements, jits) in the process.
 
-    ``coordinator`` is ``host:port`` of process 0. On CPU platforms the
-    cross-process collectives implementation is switched to gloo (the
-    in-tree default cannot reduce across processes); TPU slices use the
-    native ICI/DCN fabric and ignore the option. Returns
+    ``coordinator`` is ``host:port`` of process 0. The CPU backend's
+    cross-process collectives implementation is switched to gloo
+    unconditionally (the in-tree default cannot reduce across
+    processes, and the option only affects the CPU client — TPU slices
+    use the native ICI/DCN fabric regardless, so this is safe even when
+    the CPU backend is merely a bystander). Keying the switch off
+    ``JAX_PLATFORMS`` would silently miss auto-detected-CPU rigs where
+    neither the env var nor the config is set. Returns
     ``(process_index, process_count)``.
     """
     import jax
 
-    plats = platform or os.environ.get("JAX_PLATFORMS", "")
-    try:                                    # in-process override, if any
-        plats = plats or (jax.config.jax_platforms or "")
-    except AttributeError:                  # pragma: no cover
-        pass
-    if "cpu" in str(plats):
-        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    del platform            # kept for API compatibility; see docstring
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
@@ -98,7 +103,9 @@ def any_flag(flag: bool, mesh) -> bool:
     sh = NamedSharding(mesh, P(*mesh.axis_names))
     local = np.full([1] * len(shape), 1.0 if flag else 0.0, np.float32)
     arr = jax.make_array_from_callback(shape, sh, lambda idx: local)
-    return bool(jax.jit(jnp.max)(arr))
+    if "max" not in _JITS:
+        _JITS["max"] = jax.jit(jnp.max)
+    return bool(_JITS["max"](arr))
 
 
 def fetch_replicated(tree, mesh):
@@ -111,6 +118,37 @@ def fetch_replicated(tree, mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
-    gathered = jax.jit(lambda t: t, out_shardings=repl)(tree)
+    key = ("identity", repl)
+    if key not in _JITS:
+        _JITS[key] = jax.jit(lambda t: t, out_shardings=repl)
+    gathered = _JITS[key](tree)
     return jax.tree_util.tree_map(
         lambda x: np.asarray(x.addressable_data(0)), gathered)
+
+
+def interrupt_checker(interrupt, mesh):
+    r"""Build the per-epoch "stop now?" predicate shared by the training
+    drivers (:func:`a3gc_tpu.train.loop.run_cascade_training` and the
+    CLI's DIP path). Single-process: reads the flag directly.
+    Multi-process: the flag is collectively OR-ed over ``mesh``
+    (:func:`any_flag`) so every process stops at the SAME epoch boundary
+    and reaches the cooperative orbax save together. Multi-process with
+    ``mesh=None`` is rejected up front — with nothing spanning the
+    processes to sync through, the signaled process would return alone
+    and deadlock the survivors' next collective."""
+    import jax
+
+    if interrupt is None:
+        return lambda: False
+    multihost = jax.process_count() > 1
+    if multihost and mesh is None:
+        raise ValueError(
+            "multi-process training needs a process-spanning mesh to "
+            "sync the interrupt flag (run with --mesh, or build runners "
+            "with mesh=)")
+
+    def _interrupted() -> bool:
+        trig = bool(interrupt())
+        return any_flag(trig, mesh) if multihost else trig
+
+    return _interrupted

@@ -574,6 +574,12 @@ class StageRunner:
             if m > 1:
                 while i + m <= len(pairs) and not _stopped():
                     group = pairs[i:i + m]
+                    if any(np.shape(t) != np.shape(group[0][0])
+                           for t, _ in group):
+                        # ragged tail take (pad_remainder=False) inside
+                        # the group: np.stack would raise — the per-step
+                        # tail loop below handles any batch shape
+                        break
                     takes = np.stack([t for t, _ in group]).astype(np.int32)
                     weights = (None if group[0][1] is None else
                                np.stack([w for _, w in group]))
@@ -811,14 +817,13 @@ def run_cascade_training(
 
     multihost = jax.process_count() > 1
 
-    def _interrupted(runner) -> bool:
-        if interrupt is None:
-            return False
-        trig = bool(interrupt())
-        if multihost and runner.mesh is not None:
-            from a3gc_tpu.parallel.multihost import any_flag
-            trig = any_flag(trig, runner.mesh)
-        return trig
+    # one checker per runner, validated UP FRONT: multi-process training
+    # with a mesh-less runner has no way to sync the stop flag (the
+    # signaled process would return alone and deadlock the others), so
+    # interrupt_checker raises here rather than mid-run
+    from a3gc_tpu.parallel.multihost import interrupt_checker
+    _interrupted = {stage: interrupt_checker(interrupt, r.mesh)
+                    for stage, r in runners.items()}
 
     # salt-accepting = ONE positional argument binds (a `lambda **kw` or
     # keyword-only signature must fall back to the zero-arg call, not be
@@ -847,7 +852,7 @@ def run_cascade_training(
             salt = stage * 10000 + epoch
             train_loss = runner.train_epoch(
                 _train_sampler(salt), jax.random.fold_in(rng, salt))
-            if _interrupted(runner):
+            if _interrupted[stage]():
                 if save_fn:
                     save_fn(stage, epoch, runner.state.params)
                 if log_fn:

@@ -225,6 +225,30 @@ class TestDeviceResidentData:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6)
 
+    def test_steps_per_dispatch_ragged_tail_falls_back(self, nira, packed):
+        """A ragged final take (pad_remainder=False, drop_remainder=False)
+        landing INSIDE a full m-group must not crash the grouped dispatch
+        (np.stack of inhomogeneous takes) — the group loop breaks to the
+        per-step tail, trajectory identical to the sequential path."""
+        cfg, params = make_stage(1, nira, hidden=8)
+        dd = DP.put_device(packed)
+        out = {}
+        for m in (1, 2):
+            tc = TrainConfig(batch_size=6, lr=1e-3, steps_per_dispatch=m)
+            r = StageRunner(1, cfg, params, tc, steps_per_epoch=2)
+            # 8 sequences at batch 6 -> takes of shapes (6,) and (2,):
+            # the ragged pair IS the first (and only) m=2 group
+            loss = r.train_epoch(
+                DP.Sampler(packed, 6, seed=(0, 0), pad_remainder=False,
+                           device_data=dd),
+                jax.random.PRNGKey(0))
+            out[m] = (r.state.params, loss)
+        assert abs(out[1][1] - out[2][1]) < 1e-6
+        for a, b in zip(jax.tree_util.tree_leaves(out[1][0]),
+                        jax.tree_util.tree_leaves(out[2][0])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
     def test_mesh_device_data_guards(self, nira, packed):
         """A mesh runner demands a put_device_sharded corpus (an
         unsharded upload would silently reshard every step) and does not
@@ -962,6 +986,24 @@ class TestGracefulInterrupt:
             tc, log_fn=events.append, interrupt=lambda: True)
         assert int(runners[1].state.step) == 0
         assert [e.get("event") for e in events] == ["interrupted"]
+
+    def test_interrupt_checker_rejects_meshless_multiprocess(
+            self, monkeypatch):
+        """Multi-process training with a mesh-less runner has no way to
+        sync the stop flag (the signaled process would return alone and
+        deadlock the survivors): interrupt_checker must reject it UP
+        FRONT, not mid-run."""
+        from a3gc_tpu.parallel.multihost import interrupt_checker
+
+        # single-process: plain flag read, mesh irrelevant
+        assert interrupt_checker(lambda: True, None)() is True
+        assert interrupt_checker(None, None)() is False
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        with pytest.raises(ValueError, match="mesh"):
+            interrupt_checker(lambda: False, None)
+        # no interrupt configured -> nothing to sync, always fine
+        assert interrupt_checker(None, None)() is False
 
     def test_signal_handler_mechanics(self):
         import os
