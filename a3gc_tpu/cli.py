@@ -406,6 +406,10 @@ def cmd_evaluate(args):
     nira = load_adjacency_template()
 
     if args.model == "dip":
+        if args.streaming:
+            print("[a3gc_tpu] --streaming drives the 3-stage cascade "
+                  "online path; --model dip evaluation is offline-only; "
+                  "ignored", file=sys.stderr)
         return _evaluate_dip(args, model)
 
     cascade, is_graph = _stage_configs(

@@ -151,6 +151,17 @@ class TestFlatCascadeEvaluator:
         assert mean.shape == (5, 2) and np.isfinite(mean).all()
         assert frames == T
 
+        # streaming evaluation covers the DENSE cascade path too:
+        # window == T equals offline; windowed + history stays finite
+        st_mean, _, st_frames, st_preds = ev.evaluate_streaming(
+            seqs, window=T, return_preds=True)
+        assert st_frames == T
+        _, _, _, off_preds = ev.evaluate(seqs, return_preds=True)
+        np.testing.assert_allclose(st_preds[0], off_preds[0], atol=2e-5)
+        np.testing.assert_allclose(st_mean, mean, atol=0.1)
+        win_mean, _, _ = ev.evaluate_streaming(seqs, window=30, history=1)
+        assert np.isfinite(win_mean).all()
+
 
 class TestStreamingCascade:
     def _build(self, model):
