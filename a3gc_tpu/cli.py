@@ -406,10 +406,10 @@ def cmd_evaluate(args):
     nira = load_adjacency_template()
 
     if args.model == "dip":
-        if args.streaming:
-            print("[a3gc_tpu] --streaming drives the 3-stage cascade "
-                  "online path; --model dip evaluation is offline-only; "
-                  "ignored", file=sys.stderr)
+        if args.streaming and (args.lookahead or args.history):
+            print("[a3gc_tpu] --lookahead/--history buffer CASCADE "
+                  "windows; the single-net dip online mode streams "
+                  "plain windows — ignored", file=sys.stderr)
         return _evaluate_dip(args, model)
 
     cascade, is_graph = _stage_configs(
@@ -532,8 +532,17 @@ def _evaluate_dip(args, model):
     assert stats is not None, "DIP evaluation needs normalization stats"
     ev = DipEvaluator(params, cfg, model, stats)
     for dataset in args.datasets:
-        mean, seconds, frames = ev.evaluate(load_test_sequences(dataset))
-        print(f"== {dataset}: {frames} frames in {seconds:.3f}s")
+        sequences = load_test_sequences(dataset)
+        if args.streaming:
+            # the reference's per-net online mode (net_aagc.py:802-812),
+            # scored with the published metrics
+            mean, seconds, frames = ev.evaluate_streaming(
+                sequences, window=args.streaming)
+            print(f"== {dataset} [stream{args.streaming}]: {frames} "
+                  f"frames in {seconds:.3f}s")
+        else:
+            mean, seconds, frames = ev.evaluate(sequences)
+            print(f"== {dataset}: {frames} frames in {seconds:.3f}s")
         print(PoseEvaluator.format(mean))
 
 

@@ -322,8 +322,11 @@ class DipEvaluator:
             pose_net_forward, reduced_global_to_full_local)
         self.params = params
         self.model = model
+        self.cfg = cfg
+        self.fps = fps
 
         stats = {k: jnp.asarray(v) for k, v in stats.items()}
+        self.stats = stats
 
         @partial(jax.jit)
         def _run(params, ori, acc, pose_t_full, n_valid):
@@ -369,6 +372,73 @@ class DipEvaluator:
             metrics.append(np.asarray(m))
             total_time += time.perf_counter() - t0
             total_frames += T
+        return np.stack(metrics).mean(axis=0), total_time, total_frames
+
+    def evaluate_streaming(self, sequences: List[Dict[str, np.ndarray]],
+                           window: int):
+        r"""The 5-metric table through the reference's per-net ONLINE
+        mode (ref: net_aagc.py:802-812 — ``forward(imu, rnn_state)`` with
+        carried state, run window-by-window; the reference never scores
+        it). Input prep is byte-identical to offline evaluation (stats
+        normalization + no-root trim on the full sequence); a partial
+        final window uses the sensor-hold tail policy of
+        :func:`~a3gc_tpu.eval.streaming.streaming_predictions`.
+
+        :return: (mean metric [5, 2], total seconds, total frames)."""
+        from a3gc_tpu.eval.streaming import StreamingSession
+        from a3gc_tpu.models.pipeline import reduced_global_to_full_local
+
+        sess = StreamingSession(self.params, self.cfg, window=window)
+        pe = PoseEvaluator(self.model, fps=self.fps)
+        _metrics = jax.jit(pe.__call__)
+        cfg = self.cfg
+
+        @jax.jit
+        def _prep(ori, acc, pose_t_full):
+            imu, _ = DPipe.dip_batch(
+                {"ori": ori, "acc": acc, "pose": pose_t_full}, self.stats,
+                no_root=True)
+            return imu
+
+        @jax.jit
+        def _to_pose(out):
+            rep = (3, 3) if cfg.rotsize == 9 else (cfg.rotsize,)
+            return reduced_global_to_full_local(
+                out.reshape((-1, JS.n_reduced) + rep), self.model,
+                rotsize=cfg.rotsize)
+
+        metrics = []
+        total_time, total_frames = 0.0, 0
+        for seq in sequences:
+            T = seq["ori"].shape[0]
+            gt = reduced_to_full(seq["pose"].reshape(T, 15, 3, 3))
+            imu = np.asarray(_prep(
+                jnp.asarray(seq["ori"].reshape(T, 54)[None]),
+                jnp.asarray(seq["acc"].reshape(T, 18)[None]),
+                jnp.asarray(gt)))[0]                      # [T, 60]
+            rem = (-T) % window
+            if rem:
+                imu = np.concatenate(
+                    [imu, np.repeat(imu[-1:], rem, axis=0)])
+            sess.reset()
+            t0 = time.perf_counter()
+            outs = [sess.step(imu[t:t + window])
+                    for t in range(0, T + rem, window)]
+            total_time += time.perf_counter() - t0
+            total_frames += T
+            out = np.concatenate(outs)[:T]
+            pose_p = _to_pose(jnp.asarray(out))
+            pad = bucket_length(T) - T
+            eye = jnp.eye(3, dtype=pose_p.dtype)
+            if pad:
+                pose_p = jnp.concatenate(
+                    [pose_p, jnp.tile(eye, (pad, 24, 1, 1))])
+                gt = np.concatenate(
+                    [gt,
+                     np.tile(np.eye(3, dtype=np.float32),
+                             (pad, 24, 1, 1))])
+            metrics.append(np.asarray(_metrics(
+                pose_p, jnp.asarray(gt), jnp.asarray(T))))
         return np.stack(metrics).mean(axis=0), total_time, total_frames
 
 

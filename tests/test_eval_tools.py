@@ -122,6 +122,16 @@ class TestDipEvaluator:
         assert mean.shape == (5, 2) and np.isfinite(mean).all()
         assert frames == T
 
+        # the reference's per-net online mode, scored: window == T is one
+        # offline pass (metrics match); windowed state carry stays finite
+        # and covers the partial-tail sensor-hold policy (T=100, W=30)
+        st_mean, _, st_frames = ev.evaluate_streaming(seqs, window=T)
+        assert st_frames == T
+        np.testing.assert_allclose(st_mean, mean, atol=0.1)
+        np.testing.assert_allclose(st_mean[0], mean[0], atol=5e-3)
+        win_mean, _, _ = ev.evaluate_streaming(seqs, window=30)
+        assert np.isfinite(win_mean).all()
+
 
 class TestFlatCascadeEvaluator:
     def test_tp_cascade_eval(self, model):
