@@ -428,10 +428,6 @@ def cmd_evaluate(args):
     if args.streaming and args.save_preds:
         print("[a3gc_tpu] --save_preds runs the offline per-sequence "
               "protocol; --streaming is ignored", file=sys.stderr)
-    elif args.streaming and (args.batch_streams > 1 or args.mesh):
-        print("[a3gc_tpu] --streaming runs the per-sequence online "
-              "protocol; --batch_streams/--mesh are ignored",
-              file=sys.stderr)
     for dataset in args.datasets:
         sequences = load_test_sequences(dataset)
         if args.save_preds:
@@ -461,10 +457,17 @@ def cmd_evaluate(args):
         elif args.streaming:
             from a3gc_tpu.eval import CascadeEvaluator
             from a3gc_tpu.utils import write_eval_report
+            mesh = None
+            if args.mesh:
+                from a3gc_tpu.parallel import make_mesh
+                mesh = make_mesh()   # slots shard over the data axis
+                assert args.batch_streams % jax.device_count() == 0, (
+                    "the device count must divide --batch_streams")
             ev = CascadeEvaluator(params3, cascade, model, stats, args.norm)
             mean, seconds, frames = ev.evaluate_streaming(
                 sequences, window=args.streaming,
-                lookahead=args.lookahead, history=args.history)
+                lookahead=args.lookahead, history=args.history,
+                batch_streams=args.batch_streams, mesh=mesh)
             tag = (f"stream{args.streaming}"
                    + (f"_K{args.lookahead}" if args.lookahead else "")
                    + (f"_P{args.history}" if args.history else ""))

@@ -10,6 +10,7 @@ from a3gc_tpu.eval.streaming import (  # noqa: F401
     StreamingSession,
     make_window_step,
     streaming_predictions,
+    streaming_predictions_multi,
 )
 from a3gc_tpu.eval.worst_frames import (  # noqa: F401
     compare_models,

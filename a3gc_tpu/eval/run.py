@@ -202,7 +202,8 @@ class CascadeEvaluator:
 
     def evaluate_streaming(self, sequences: List[Dict[str, np.ndarray]],
                            window: int, lookahead: int = 0,
-                           history: int = 0, return_preds: bool = False):
+                           history: int = 0, return_preds: bool = False,
+                           batch_streams: int = 1, mesh=None):
         r"""The published-protocol metric table UNDER STREAMING: every
         sequence is fed window-by-window through the deployment path
         (:class:`~a3gc_tpu.eval.streaming.StreamingCascade` — the same
@@ -218,15 +219,24 @@ class CascadeEvaluator:
         Timing counts the streaming loop only (one warmup stream
         pre-compiles every emission/advance/flush program shape).
 
+        ``batch_streams=S`` multiplexes S sequences per device tick over
+        the serving slots (per-slot carried state + active masking —
+        :func:`~a3gc_tpu.eval.streaming.streaming_predictions_multi`);
+        per-sequence results are equal to the single-slot path, wall
+        time drops ~S× on a dispatch-bound link. ``mesh`` additionally
+        shards the slots over the mesh's data axis (S must divide).
+
         :return: (mean metric [5, 2], total seconds, total frames
             [, list of [T,24,3,3] predictions]).
         """
         from a3gc_tpu.eval.streaming import (StreamingCascade,
-                                             streaming_predictions)
+                                             streaming_predictions,
+                                             streaming_predictions_multi)
         sc = StreamingCascade(
             self.params3, self.cfg, self.model, window=window,
             stats=self.stats, normalize=self.stats is not None,
-            lookahead=lookahead, history=history)
+            lookahead=lookahead, history=history,
+            streams=batch_streams, mesh=mesh)
         # the SAME reporting evaluator as the offline paths (ignored-joint
         # substitution + 5-metric scaling live in ONE place)
         pe = PoseEvaluator(self.model, fps=self.fps)
@@ -236,17 +246,30 @@ class CascadeEvaluator:
         # level (1..capacity), the fused at-capacity program and the
         # flush program, so the timed loop never compiles
         wT = (history + lookahead + 2) * window
-        streaming_predictions(sc, np.zeros((wT, 54), np.float32),
-                              np.zeros((wT, 18), np.float32))
+        zero = (np.zeros((wT, 54), np.float32),
+                np.zeros((wT, 18), np.float32))
+        all_preds = None
+        if batch_streams > 1:
+            streaming_predictions_multi(sc, [zero] * batch_streams)
+            pairs = [(s["ori"].reshape(-1, 54), s["acc"].reshape(-1, 18))
+                     for s in sequences]
+            t0 = time.perf_counter()
+            all_preds = streaming_predictions_multi(sc, pairs)
+            mplex_time = time.perf_counter() - t0
+        else:
+            streaming_predictions(sc, *zero)
 
         metrics, preds = [], []
         total_time, total_frames = 0.0, 0
-        for seq in sequences:
+        for k, seq in enumerate(sequences):
             T = seq["ori"].shape[0]
-            t0 = time.perf_counter()
-            pose_p = streaming_predictions(
-                sc, seq["ori"].reshape(T, 54), seq["acc"].reshape(T, 18))
-            total_time += time.perf_counter() - t0
+            if all_preds is not None:
+                pose_p = all_preds[k]
+            else:
+                t0 = time.perf_counter()
+                pose_p = streaming_predictions(
+                    sc, seq["ori"].reshape(T, 54), seq["acc"].reshape(T, 18))
+                total_time += time.perf_counter() - t0
             total_frames += T
             pad = bucket_length(T) - T
             gt = reduced_to_full(seq["pose"].reshape(T, 15, 3, 3))
@@ -261,6 +284,8 @@ class CascadeEvaluator:
             if return_preds:
                 preds.append(pose_p)
         mean = np.stack(metrics).mean(axis=0)
+        if all_preds is not None:
+            total_time = mplex_time
         out = (mean, total_time, total_frames)
         return out + (preds,) if return_preds else out
 

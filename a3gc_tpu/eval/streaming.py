@@ -667,3 +667,89 @@ def streaming_predictions(session: StreamingCascade, ori: np.ndarray,
     pred = np.concatenate(out)
     assert pred.shape[0] == T + rem
     return pred[:T]
+
+
+def streaming_predictions_multi(session: StreamingCascade,
+                                sequences) -> list:
+    r"""Multiplex MANY sequences over one ``streams=S`` session — the
+    batched counterpart of :func:`streaming_predictions`, with identical
+    per-sequence semantics (window-by-window feed, sensor-hold tail
+    padding, per-slot lookahead flush). Each device tick serves up to S
+    sequences' next windows in one dispatch (the chunked multi-stream
+    kernel), so wall time drops ~S× on a dispatch-bound link while the
+    per-sequence outputs stay equal to the single-slot path
+    (oracle-tested) — ragged lengths are handled by per-slot ``active``
+    masking, finished slots are reset and recycled onto the next
+    pending sequence (the serving primitives of ref: net_aagc.py:802-812's
+    online mode, which the reference only ever runs one sequence at a
+    time).
+
+    :param sequences: list of ``(ori [T,54], acc [T,18])`` pairs (any
+        reshapeable layout); lengths may differ.
+    :return: list of [T, 24, 3, 3] predictions, same order.
+    """
+    S, W = session.streams, session.window
+    if S == 1:
+        return [streaming_predictions(session, o, a) for o, a in sequences]
+    prepped = []
+    for ori, acc in sequences:
+        ori = np.asarray(ori, np.float32).reshape(-1, 54)
+        acc = np.asarray(acc, np.float32).reshape(-1, 18)
+        T = ori.shape[0]
+        rem = (-T) % W
+        if rem:
+            ori = np.concatenate([ori, np.repeat(ori[-1:], rem, axis=0)])
+            acc = np.concatenate([acc, np.repeat(acc[-1:], rem, axis=0)])
+        prepped.append((ori, acc, T, (T + rem) // W))
+    n = len(prepped)
+    preds: list = [None] * n
+    outs = [[] for _ in range(n)]
+    session.reset()
+    buffered = bool(session.lookahead or session.history)
+    slot_seq = [-1] * S            # sequence a slot is running (-1 free)
+    cursor = [0] * S               # that sequence's next window index
+    next_seq, live = 0, 0
+    while next_seq < n or live:
+        for i in range(S):         # recycle freed slots onto pending work
+            if slot_seq[i] < 0 and next_seq < n:
+                slot_seq[i], cursor[i] = next_seq, 0
+                next_seq += 1
+                live += 1
+        act = np.zeros((S,), np.float32)
+        ori_b = np.zeros((S, W, 54), np.float32)
+        acc_b = np.zeros((S, W, 18), np.float32)
+        for i in range(S):
+            si = slot_seq[i]
+            if si >= 0 and cursor[i] < prepped[si][3]:
+                o, a = prepped[si][:2]
+                t0 = cursor[i] * W
+                ori_b[i], acc_b[i] = o[t0:t0 + W], a[t0:t0 + W]
+                act[i] = 1.0
+        if act.any():
+            out = session.step(ori_b, acc_b, active=act)
+            if buffered:
+                pose, emitted = out
+            else:
+                pose, emitted = np.asarray(out), act.astype(bool)
+            for i in range(S):
+                if emitted[i]:
+                    outs[slot_seq[i]].append(np.asarray(pose[i]))
+                if act[i]:
+                    cursor[i] += 1
+        for i in range(S):         # retire slots whose feed is exhausted
+            si = slot_seq[i]
+            if si >= 0 and cursor[i] >= prepped[si][3]:
+                if session.lookahead:
+                    tail = session.flush(stream=i)
+                    if tail is not None:
+                        outs[si].append(np.asarray(tail))
+                _, _, T, nw = prepped[si]
+                pred = np.concatenate(outs[si])
+                assert pred.shape[0] == nw * W
+                preds[si] = pred[:T]
+                outs[si] = []
+                session.reset(stream=i)
+                slot_seq[i] = -1
+                live -= 1
+    session.reset()
+    return preds

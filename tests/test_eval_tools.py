@@ -1031,6 +1031,48 @@ class TestEvaluateStreaming:
         plain2, _, _ = ev.evaluate_streaming(seqs, window=12)
         np.testing.assert_array_equal(plain, plain2)
 
+    def test_multiplexed_predictions_equal_single_slot(self, model):
+        """streaming_predictions_multi (S slots, ragged lengths, slot
+        recycling) == per-sequence streaming_predictions — plain AND
+        buffered (lookahead+history) modes."""
+        from a3gc_tpu.eval.streaming import (streaming_predictions,
+                                             streaming_predictions_multi)
+
+        SC, cfg, params3 = TestStreamingCascade()._build(model)
+        W, S = 10, 3
+        # 5 ragged sequences over 3 slots: forces recycling + a tick mix
+        # of fresh, mid-stream, and retired slots
+        seqs = self._sequences([34, 21, 10, 27, 15], seed=23)
+        pairs = [(s["ori"], s["acc"]) for s in seqs]
+
+        for kw in ({}, {"lookahead": 1, "history": 1}):
+            multi = SC(params3, cfg, model, window=W, streams=S, **kw)
+            single = SC(params3, cfg, model, window=W, **kw)
+            got = streaming_predictions_multi(multi, pairs)
+            for k, (o, a) in enumerate(pairs):
+                want = streaming_predictions(single, o, a)
+                np.testing.assert_allclose(
+                    got[k], want, atol=2e-5,
+                    err_msg=f"seq {k} kw={kw}")
+
+    def test_evaluate_streaming_batched_equals_sequential(self, model):
+        """evaluate_streaming(batch_streams=S) reproduces the
+        per-sequence metric table (the multiplexed path is a wall-time
+        lever, not a different protocol)."""
+        from a3gc_tpu.eval.run import CascadeEvaluator
+
+        _, cfg, params3 = TestStreamingCascade()._build(model)
+        ev = CascadeEvaluator(params3, cfg, model)
+        seqs = self._sequences([30, 17, 22], seed=29)
+        seq_mean, _, fr1 = ev.evaluate_streaming(seqs, window=12, history=1)
+        bat_mean, secs, fr2 = ev.evaluate_streaming(
+            seqs, window=12, history=1, batch_streams=2)
+        assert fr1 == fr2 == 69 and secs > 0
+        # predictions agree to ~1e-8; angle metrics on near-random
+        # (untrained) rotations amplify that to ~0.02° (ill-conditioned
+        # extraction — see PROTOCOL_CROSSCHECK.md), hence the 0.1 budget
+        np.testing.assert_allclose(bat_mean, seq_mean, atol=0.1)
+
     def test_cli_evaluate_streaming_writes_report(self, model, tmp_path):
         """`evaluate --streaming W --lookahead K --history P` runs end to
         end on a packed npz and writes the tagged report file."""
