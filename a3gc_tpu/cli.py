@@ -410,6 +410,10 @@ def cmd_evaluate(args):
             print("[a3gc_tpu] --lookahead/--history buffer CASCADE "
                   "windows; the single-net dip online mode streams "
                   "plain windows — ignored", file=sys.stderr)
+        if args.streaming and args.batch_streams > 1:
+            print("[a3gc_tpu] --batch_streams multiplexes the CASCADE "
+                  "streaming evaluation; dip online evaluation is "
+                  "per-sequence — ignored", file=sys.stderr)
         return _evaluate_dip(args, model)
 
     cascade, is_graph = _stage_configs(
