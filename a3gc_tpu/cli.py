@@ -410,10 +410,6 @@ def cmd_evaluate(args):
             print("[a3gc_tpu] --lookahead/--history buffer CASCADE "
                   "windows; the single-net dip online mode streams "
                   "plain windows — ignored", file=sys.stderr)
-        if args.streaming and args.batch_streams > 1:
-            print("[a3gc_tpu] --batch_streams multiplexes the CASCADE "
-                  "streaming evaluation; dip online evaluation is "
-                  "per-sequence — ignored", file=sys.stderr)
         return _evaluate_dip(args, model)
 
     cascade, is_graph = _stage_configs(
@@ -544,7 +540,8 @@ def _evaluate_dip(args, model):
             # the reference's per-net online mode (net_aagc.py:802-812),
             # scored with the published metrics
             mean, seconds, frames = ev.evaluate_streaming(
-                sequences, window=args.streaming)
+                sequences, window=args.streaming,
+                batch_streams=args.batch_streams)
             print(f"== {dataset} [stream{args.streaming}]: {frames} "
                   f"frames in {seconds:.3f}s")
         else:

@@ -400,7 +400,7 @@ class DipEvaluator:
         return np.stack(metrics).mean(axis=0), total_time, total_frames
 
     def evaluate_streaming(self, sequences: List[Dict[str, np.ndarray]],
-                           window: int):
+                           window: int, batch_streams: int = 1):
         r"""The 5-metric table through the reference's per-net ONLINE
         mode (ref: net_aagc.py:802-812 — ``forward(imu, rnn_state)`` with
         carried state, run window-by-window; the reference never scores
@@ -409,11 +409,20 @@ class DipEvaluator:
         final window uses the sensor-hold tail policy of
         :func:`~a3gc_tpu.eval.streaming.streaming_predictions`.
 
+        ``batch_streams=S`` feeds S sequences' windows per device tick
+        through one batched session (the single-net online step has no
+        cross-window buffering, so a group is simply sensor-hold-padded
+        to its longest member — later padded windows cannot affect
+        earlier emissions, whose outputs are all that is scored);
+        results equal the per-sequence path, wall time drops ~S×.
+
         :return: (mean metric [5, 2], total seconds, total frames)."""
         from a3gc_tpu.eval.streaming import StreamingSession
         from a3gc_tpu.models.pipeline import reduced_global_to_full_local
 
-        sess = StreamingSession(self.params, self.cfg, window=window)
+        S = max(1, batch_streams)
+        sess = StreamingSession(self.params, self.cfg, window=window,
+                                batch=S)
         pe = PoseEvaluator(self.model, fps=self.fps)
         _metrics = jax.jit(pe.__call__)
         cfg = self.cfg
@@ -432,8 +441,7 @@ class DipEvaluator:
                 out.reshape((-1, JS.n_reduced) + rep), self.model,
                 rotsize=cfg.rotsize)
 
-        metrics = []
-        total_time, total_frames = 0.0, 0
+        prepped = []
         for seq in sequences:
             T = seq["ori"].shape[0]
             gt = reduced_to_full(seq["pose"].reshape(T, 15, 3, 3))
@@ -445,13 +453,9 @@ class DipEvaluator:
             if rem:
                 imu = np.concatenate(
                     [imu, np.repeat(imu[-1:], rem, axis=0)])
-            sess.reset()
-            t0 = time.perf_counter()
-            outs = [sess.step(imu[t:t + window])
-                    for t in range(0, T + rem, window)]
-            total_time += time.perf_counter() - t0
-            total_frames += T
-            out = np.concatenate(outs)[:T]
+            prepped.append((imu, gt, T))
+
+        def score(out, gt, T):
             pose_p = _to_pose(jnp.asarray(out))
             pad = bucket_length(T) - T
             eye = jnp.eye(3, dtype=pose_p.dtype)
@@ -462,8 +466,30 @@ class DipEvaluator:
                     [gt,
                      np.tile(np.eye(3, dtype=np.float32),
                              (pad, 24, 1, 1))])
-            metrics.append(np.asarray(_metrics(
-                pose_p, jnp.asarray(gt), jnp.asarray(T))))
+            return np.asarray(_metrics(
+                pose_p, jnp.asarray(gt), jnp.asarray(T)))
+
+        metrics = []
+        total_time, total_frames = 0.0, 0
+        for g0 in range(0, len(prepped), S):
+            group = prepped[g0:g0 + S]
+            L = max(imu.shape[0] for imu, _, _ in group)
+            batch = np.zeros((S, L, group[0][0].shape[-1]), np.float32)
+            for i in range(S):
+                # a short group is padded by repeating sequences
+                # (their duplicate outputs are discarded)
+                imu = group[min(i, len(group) - 1)][0]
+                batch[i, :imu.shape[0]] = imu
+                batch[i, imu.shape[0]:] = imu[-1]         # sensor-hold
+            sess.reset()
+            t0 = time.perf_counter()
+            outs = [np.asarray(sess.step(batch[:, t:t + window]))
+                    for t in range(0, L, window)]
+            total_time += time.perf_counter() - t0
+            out = np.concatenate(outs, axis=1)        # [S, L, out]
+            for i, (imu, gt, T) in enumerate(group):
+                total_frames += T
+                metrics.append(score(out[i, :T], gt, T))
         return np.stack(metrics).mean(axis=0), total_time, total_frames
 
 

@@ -132,6 +132,23 @@ class TestDipEvaluator:
         win_mean, _, _ = ev.evaluate_streaming(seqs, window=30)
         assert np.isfinite(win_mean).all()
 
+        # multiplexed dip streaming: ragged group over 2 slots (incl.
+        # the short-group sequence-repeat padding) == per-sequence
+        T2 = 70
+        seqs2 = seqs + [{
+            "ori": Rotation.random(T2 * 6, random_state=3).as_matrix(
+            ).reshape(T2, 54).astype(np.float32),
+            "acc": np.random.default_rng(2).normal(
+                size=(T2, 18)).astype(np.float32),
+            "pose": Rotation.random(T2 * 15, random_state=4).as_matrix(
+            ).reshape(T2, 135).astype(np.float32),
+        }] * 2
+        one_mean, _, fr1 = ev.evaluate_streaming(seqs2, window=30)
+        bat_mean, _, fr2 = ev.evaluate_streaming(seqs2, window=30,
+                                                 batch_streams=2)
+        assert fr1 == fr2 == T + 2 * T2
+        np.testing.assert_allclose(bat_mean, one_mean, atol=0.1)
+
 
 class TestFlatCascadeEvaluator:
     def test_tp_cascade_eval(self, model):
