@@ -461,8 +461,13 @@ def cmd_evaluate(args):
             if args.mesh:
                 from a3gc_tpu.parallel import make_mesh
                 mesh = make_mesh()   # slots shard over the data axis
-                assert args.batch_streams % jax.device_count() == 0, (
-                    "the device count must divide --batch_streams")
+                if args.batch_streams % jax.device_count():
+                    raise SystemExit(
+                        "[a3gc_tpu] --mesh shards the streams over the "
+                        f"{jax.device_count()}-device data axis: pass "
+                        "--batch_streams as a multiple of the device "
+                        f"count (e.g. --batch_streams "
+                        f"{jax.device_count()})")
             ev = CascadeEvaluator(params3, cascade, model, stats, args.norm)
             mean, seconds, frames = ev.evaluate_streaming(
                 sequences, window=args.streaming,
@@ -484,8 +489,13 @@ def cmd_evaluate(args):
             if args.mesh:
                 from a3gc_tpu.parallel import make_mesh
                 mesh = make_mesh()   # all devices on the data axis
-                assert args.batch_streams % jax.device_count() == 0, (
-                    "the device count must divide --batch_streams")
+                if args.batch_streams % jax.device_count():
+                    raise SystemExit(
+                        "[a3gc_tpu] --mesh shards the streams over the "
+                        f"{jax.device_count()}-device data axis: pass "
+                        "--batch_streams as a multiple of the device "
+                        f"count (e.g. --batch_streams "
+                        f"{jax.device_count()})")
             ev = CascadeEvaluator(params3, cascade, model, stats, args.norm,
                                   mesh=mesh)
             mean, seconds, frames = ev.evaluate_batched(
@@ -533,6 +543,10 @@ def _evaluate_dip(args, model):
 
     stats = _load_stats(args)
     assert stats is not None, "DIP evaluation needs normalization stats"
+    if getattr(args, "mesh", False):
+        print("[a3gc_tpu] --mesh is not wired for the single-net dip "
+              "evaluator (KB-scale net, single-chip dispatch-bound); "
+              "running unsharded", file=sys.stderr)
     ev = DipEvaluator(params, cfg, model, stats)
     for dataset in args.datasets:
         sequences = load_test_sequences(dataset)

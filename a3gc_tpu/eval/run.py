@@ -469,6 +469,13 @@ class DipEvaluator:
             return np.asarray(_metrics(
                 pose_p, jnp.asarray(gt), jnp.asarray(T)))
 
+        # warmup: the batched step compiles once per [S, window, F]
+        # shape — pay that before the timed loop (the cascade streaming
+        # path's warmup policy), or small test sets report compile time
+        # as throughput
+        sess.step(np.zeros((S, window, cfg.net.n_input), np.float32))
+        sess.reset()
+
         metrics = []
         total_time, total_frames = 0.0, 0
         for g0 in range(0, len(prepped), S):
