@@ -239,9 +239,8 @@ def cmd_train(args):
     if args.device_data:
         if mesh is not None:
             # row-shard the corpus over the data axis: each chip holds
-            # N/D rows and gathers its own batch rows (shard_map)
-            assert tc.accum_steps == 1, (
-                "--device_data with --mesh does not compose with --accum")
+            # N/D rows and gathers its own batch rows (shard_map);
+            # --accum microbatches the sharded gather itself
             put = lambda d: DPipe.put_device_sharded(d, mesh)
         else:
             put = DPipe.put_device
@@ -312,8 +311,6 @@ def _train_dip(args, tc, train, valid, steps):
     train_dev = valid_dev = None
     if args.device_data:
         if mesh is not None:
-            assert tc.accum_steps == 1, (
-                "--device_data with --mesh does not compose with --accum")
             put = lambda d: DPipe.put_device_sharded(d, mesh)
         else:
             put = DPipe.put_device
@@ -406,10 +403,6 @@ def cmd_evaluate(args):
     nira = load_adjacency_template()
 
     if args.model == "dip":
-        if args.streaming and (args.lookahead or args.history):
-            print("[a3gc_tpu] --lookahead/--history buffer CASCADE "
-                  "windows; the single-net dip online mode streams "
-                  "plain windows — ignored", file=sys.stderr)
         return _evaluate_dip(args, model)
 
     cascade, is_graph = _stage_configs(
@@ -517,13 +510,12 @@ def cmd_evaluate(args):
         print(PoseEvaluator.format(mean))
 
 
-def _evaluate_dip(args, model):
-    r"""Single-net DIP evaluation (ref: evaluate_dip.py:60-125)."""
+def _load_dip(args):
+    r"""DIP net config + params, from --torch_checkpoints or --path
+    discovery (shared by evaluate/stream/serve --model dip)."""
     import jax
-    from a3gc_tpu.compat import dip_params_from_state_dict, load_torch_checkpoint
-    from a3gc_tpu.data.factory.dipimu import load_test_sequences
-    from a3gc_tpu.eval import DipEvaluator
-    from a3gc_tpu.metrics import PoseEvaluator
+    from a3gc_tpu.compat import (dip_params_from_state_dict,
+                                 load_torch_checkpoint)
     from a3gc_tpu.models import nets as N
     from a3gc_tpu.models.pipeline import PoseNetConfig, init_pose_net
     from a3gc_tpu.utils import discover_latest, restore_params
@@ -540,7 +532,16 @@ def _evaluate_dip(args, model):
                                 epoch=args.mid1 if args.mid1 >= 0 else None)
         assert found, f"no DIP checkpoint in {args.path}"
         params = restore_params(found[0], template)
+    return cfg, params
 
+
+def _evaluate_dip(args, model):
+    r"""Single-net DIP evaluation (ref: evaluate_dip.py:60-125)."""
+    from a3gc_tpu.data.factory.dipimu import load_test_sequences
+    from a3gc_tpu.eval import DipEvaluator
+    from a3gc_tpu.metrics import PoseEvaluator
+
+    cfg, params = _load_dip(args)
     stats = _load_stats(args)
     assert stats is not None, "DIP evaluation needs normalization stats"
     if getattr(args, "mesh", False):
@@ -552,11 +553,16 @@ def _evaluate_dip(args, model):
         sequences = load_test_sequences(dataset)
         if args.streaming:
             # the reference's per-net online mode (net_aagc.py:802-812),
-            # scored with the published metrics
+            # scored with the published metrics; --lookahead/--history
+            # price the same quality levers as the cascade path
             mean, seconds, frames = ev.evaluate_streaming(
                 sequences, window=args.streaming,
+                lookahead=args.lookahead, history=args.history,
                 batch_streams=args.batch_streams)
-            print(f"== {dataset} [stream{args.streaming}]: {frames} "
+            tag = (f"stream{args.streaming}"
+                   + (f"_K{args.lookahead}" if args.lookahead else "")
+                   + (f"_P{args.history}" if args.history else ""))
+            print(f"== {dataset} [{tag}]: {frames} "
                   f"frames in {seconds:.3f}s")
         else:
             mean, seconds, frames = ev.evaluate(sequences)
@@ -617,6 +623,31 @@ def cmd_stream(args):
         W = args.window
         sess = session
         model = None        # loaded on demand for --evaluate
+    elif args.model == "dip":
+        # the reference's single-net dip online mode (net_aagc.py:
+        # 1022-1031) with the full serving/quality stack — raw IMU
+        # windows → trimmed/normalized input → one net → IK poses
+        from a3gc_tpu.eval.streaming import DipStreamingSession
+
+        args.window = args.window or 60
+        args.streams = args.streams or 1
+        if args.mesh:
+            print("[a3gc_tpu] --mesh is not wired for the single-net dip "
+                  "session (KB-scale net — scale out by replication); "
+                  "running single-device", file=sys.stderr)
+        assert not args.pipelined or not (args.lookahead or args.history)
+        model = _load_body_model(args)
+        stats = _load_stats(args)
+        assert stats is not None, "dip streaming needs stats (--norm path)"
+        cfg, params = _load_dip(args)
+        W = args.window
+        sess = DipStreamingSession(params, cfg, model, window=W,
+                                   stats=stats, streams=args.streams,
+                                   lookahead=args.lookahead,
+                                   history=args.history)
+        if args.streams > 1:
+            return _stream_multi(args, None, None, model, None,
+                                 sequences, session=sess)
     else:
         args.window = args.window or 60
         args.streams = args.streams or 1
@@ -944,12 +975,36 @@ def cmd_serve(args):
                          max_wait_ms=args.max_wait_ms, session=session,
                          lookahead=args.lookahead, history=args.history)
         streams, window = session.streams, session.window
+    elif args.model == "dip":
+        # single-net dip serving (the reference's online mode,
+        # ref: net_aagc.py:1022-1031, behind the same HTTP batcher as
+        # the cascade — raw IMU in, full local poses out)
+        from a3gc_tpu.eval.streaming import DipStreamingSession
+
+        args.window = args.window or 60
+        args.streams = args.streams or 8
+        if args.mesh:
+            print("[a3gc_tpu] --mesh is not wired for the single-net dip "
+                  "session (KB-scale net — scale out by replication); "
+                  "serving single-device", file=sys.stderr)
+        model = _load_body_model(args)
+        stats = _load_stats(args)
+        assert stats is not None, "dip serving needs stats (--norm path)"
+        cfg, params = _load_dip(args)
+        session = DipStreamingSession(
+            params, cfg, model, window=args.window, stats=stats,
+            streams=args.streams, lookahead=args.lookahead,
+            history=args.history)
+        srv = PoseServer(None, None, None, host=args.host, port=args.port,
+                         max_wait_ms=args.max_wait_ms, session=session,
+                         lookahead=args.lookahead, history=args.history,
+                         # /v1/reload re-discovers the latest dip
+                         # checkpoint and hot-swaps it
+                         reload_fn=lambda: _load_dip(args)[1])
+        streams, window = args.streams, args.window
     else:
         args.window = args.window or 60
         args.streams = args.streams or 8
-        assert args.model != "dip", (
-            "serve drives the 3-stage cascade; the single-stage dip net "
-            "has no serving mode (use evaluate --model dip)")
         model = _load_body_model(args)
         nira = load_adjacency_template()
         cascade, is_graph = _stage_configs(

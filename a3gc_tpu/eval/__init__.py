@@ -6,9 +6,13 @@ from a3gc_tpu.eval.run import (  # noqa: F401
     prepare_graph_inputs,
 )
 from a3gc_tpu.eval.streaming import (  # noqa: F401
+    DipStreamingSession,
     StreamingCascade,
     StreamingSession,
+    make_dip_window_step,
     make_window_step,
+    streaming_outputs,
+    streaming_outputs_multi,
     streaming_predictions,
     streaming_predictions_multi,
 )

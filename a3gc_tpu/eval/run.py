@@ -400,7 +400,8 @@ class DipEvaluator:
         return np.stack(metrics).mean(axis=0), total_time, total_frames
 
     def evaluate_streaming(self, sequences: List[Dict[str, np.ndarray]],
-                           window: int, batch_streams: int = 1):
+                           window: int, lookahead: int = 0,
+                           history: int = 0, batch_streams: int = 1):
         r"""The 5-metric table through the reference's per-net ONLINE
         mode (ref: net_aagc.py:802-812 — ``forward(imu, rnn_state)`` with
         carried state, run window-by-window; the reference never scores
@@ -409,20 +410,30 @@ class DipEvaluator:
         final window uses the sensor-hold tail policy of
         :func:`~a3gc_tpu.eval.streaming.streaming_predictions`.
 
-        ``batch_streams=S`` feeds S sequences' windows per device tick
-        through one batched session (the single-net online step has no
-        cross-window buffering, so a group is simply sensor-hold-padded
-        to its longest member — later padded windows cannot affect
-        earlier emissions, whose outputs are all that is scored);
-        results equal the per-sequence path, wall time drops ~S×.
+        ``lookahead=K`` / ``history=P`` price the same streaming-quality
+        levers as the cascade path on the single-net online mode (its
+        bidirectional LSTM has the identical window-seam problem): K
+        future windows of backward-direction context per emission (+K
+        windows latency), ≤P past windows of leading context (zero
+        added latency) — see :class:`~a3gc_tpu.eval.streaming.
+        StreamingSession`.
+
+        ``batch_streams=S`` multiplexes S sequences per device tick over
+        the serving slots with per-slot active masking and slot
+        RECYCLING on ragged test sets
+        (:func:`~a3gc_tpu.eval.streaming.streaming_outputs_multi` — the
+        same recycle loop as the cascade path); results equal the
+        per-sequence path, wall time drops ~S×.
 
         :return: (mean metric [5, 2], total seconds, total frames)."""
-        from a3gc_tpu.eval.streaming import StreamingSession
+        from a3gc_tpu.eval.streaming import (StreamingSession,
+                                             streaming_outputs_multi)
         from a3gc_tpu.models.pipeline import reduced_global_to_full_local
 
         S = max(1, batch_streams)
         sess = StreamingSession(self.params, self.cfg, window=window,
-                                batch=S)
+                                streams=S, lookahead=lookahead,
+                                history=history)
         pe = PoseEvaluator(self.model, fps=self.fps)
         _metrics = jax.jit(pe.__call__)
         cfg = self.cfg
@@ -449,10 +460,6 @@ class DipEvaluator:
                 jnp.asarray(seq["ori"].reshape(T, 54)[None]),
                 jnp.asarray(seq["acc"].reshape(T, 18)[None]),
                 jnp.asarray(gt)))[0]                      # [T, 60]
-            rem = (-T) % window
-            if rem:
-                imu = np.concatenate(
-                    [imu, np.repeat(imu[-1:], rem, axis=0)])
             prepped.append((imu, gt, T))
 
         def score(out, gt, T):
@@ -469,34 +476,23 @@ class DipEvaluator:
             return np.asarray(_metrics(
                 pose_p, jnp.asarray(gt), jnp.asarray(T)))
 
-        # warmup: the batched step compiles once per [S, window, F]
-        # shape — pay that before the timed loop (the cascade streaming
-        # path's warmup policy), or small test sets report compile time
-        # as throughput
-        sess.step(np.zeros((S, window, cfg.net.n_input), np.float32))
-        sess.reset()
+        # warmup: a (P+K+2)-window zero stream per slot walks every
+        # buffer fill level, the fused at-capacity program and the
+        # flush program, so the timed loop never compiles (the cascade
+        # streaming path's warmup policy)
+        wT = (history + lookahead + 2) * window
+        streaming_outputs_multi(
+            sess, [np.zeros((wT, cfg.net.n_input), np.float32)] * S)
 
-        metrics = []
-        total_time, total_frames = 0.0, 0
-        for g0 in range(0, len(prepped), S):
-            group = prepped[g0:g0 + S]
-            L = max(imu.shape[0] for imu, _, _ in group)
-            batch = np.zeros((S, L, group[0][0].shape[-1]), np.float32)
-            for i in range(S):
-                # a short group is padded by repeating sequences
-                # (their duplicate outputs are discarded)
-                imu = group[min(i, len(group) - 1)][0]
-                batch[i, :imu.shape[0]] = imu
-                batch[i, imu.shape[0]:] = imu[-1]         # sensor-hold
-            sess.reset()
-            t0 = time.perf_counter()
-            outs = [np.asarray(sess.step(batch[:, t:t + window]))
-                    for t in range(0, L, window)]
-            total_time += time.perf_counter() - t0
-            out = np.concatenate(outs, axis=1)        # [S, L, out]
-            for i, (imu, gt, T) in enumerate(group):
-                total_frames += T
-                metrics.append(score(out[i, :T], gt, T))
+        t0 = time.perf_counter()
+        outs = streaming_outputs_multi(sess,
+                                       [imu for imu, _, _ in prepped])
+        total_time = time.perf_counter() - t0
+
+        metrics, total_frames = [], 0
+        for out, (_, gt, T) in zip(outs, prepped):
+            total_frames += T
+            metrics.append(score(out, gt, T))
         return np.stack(metrics).mean(axis=0), total_time, total_frames
 
 

@@ -30,8 +30,11 @@ from a3gc_tpu.models.pipeline import (
     reduced_global_to_full_local,
 )
 
-__all__ = ["StreamingSession", "StreamingCascade", "make_window_step",
-           "shard_window_step", "streaming_predictions"]
+__all__ = ["StreamingSession", "StreamingCascade", "DipStreamingSession",
+           "make_window_step", "make_dip_window_step",
+           "shard_window_step", "streaming_predictions",
+           "streaming_predictions_multi", "streaming_outputs",
+           "streaming_outputs_multi"]
 
 
 def make_window_step(cfg: CascadeConfig, model, stats=None):
@@ -138,43 +141,206 @@ def shard_window_step(step_fn, mesh, zero_states, n_masks: int = 1):
 
 
 class StreamingSession:
-    r"""Stateful streaming wrapper over one pipeline stage.
+    r"""Stateful streaming wrapper over ONE pipeline net — the exact
+    surface of the reference's per-net online mode (``forward(imu,
+    rnn_state)`` + ``reset()``, ref: net_aagc.py:802-812 and the DIP
+    net's, ref: net_aagc.py:1022-1031), with the same serving/quality
+    machinery as :class:`StreamingCascade`:
+
+      * ``streams=S`` multiplexes S independent clients through one
+        compiled program, each with its own carried state slot;
+        ``active`` [S] masks idle slots (their state carries through
+        untouched) and ``reset(stream=i)`` clears one client.
+      * ``lookahead=K`` buffers K future windows per emission (+K
+        windows of latency); ``history=P`` re-runs ≤P already-emitted
+        past windows as leading context at ZERO added latency. The
+        buffered emission is the shared transactional machinery
+        (:meth:`StreamingCascade.emit_buffered`), so state threading is
+        identical to plain windowing — buffering changes emissions only.
 
     >>> sess = StreamingSession(params, cfg, window=60)
-    >>> for imu_window in stream:           # [window, ...feature dims]
-    ...     out = sess.step(imu_window)     # [window, ...output dims]
+    >>> for x_window in stream:             # [window, ...feature dims]
+    ...     out = sess.step(x_window)       # [window, ...output dims]
     >>> sess.reset()                        # next sequence
     """
 
     def __init__(self, params, cfg: PoseNetConfig, window: int = 60,
-                 batch: int = 1):
+                 streams: int = 1, lookahead: int = 0, history: int = 0,
+                 fused: bool = True, batch: Optional[int] = None):
+        if batch is not None:               # legacy alias for streams
+            streams = batch
         self.params = params
         self.cfg = cfg
         self.window = window
-        self.batch = batch
-        self._state = None
+        self.streams = streams
+        self.lookahead = int(lookahead)
+        self.history = int(history)
+        assert self.history >= 0 and self.lookahead >= 0
+        self._buffers = [collections.deque() for _ in range(streams)]
+        from a3gc_tpu.models import nets as _N
+        zero = (_N.graph_net_zero_state if cfg.is_graph
+                else _N.dip_zero_state)
+        # explicit zero state (not None): one compile for first and
+        # later windows (the state pytree structure never changes)
+        self._zero_state = zero(cfg.net, streams)
+        self._state = self._zero_state
+        # the slot axis of every state leaf (reset(stream=i) zeroes its
+        # slice): graph states are [2, S, N, H], dense bidirectional
+        # [2, S, H], dense unidirectional [S, H]
+        self._slot_axis = (1 if (cfg.is_graph or cfg.net.bidirectional)
+                           else 0)
 
-        @jax.jit
-        def _step(params, x, state):
-            return pose_net_forward(params, cfg, x, state)
+        def _raw(params, x, state, active):
+            B, T = x.shape[0], x.shape[1]
+            mask = (active if active.ndim == 2
+                    else jnp.broadcast_to(active[:, None], (B, T))
+                    ).astype(x.dtype)
+            return pose_net_forward(params, cfg, x, state,
+                                    frame_mask=mask)
 
-        self._fn = _step
+        self._fn = jax.jit(_raw)
+        self._fused_fn = None
+        if fused and (self.lookahead or self.history):
+            # steady-state single-dispatch program (same scheme as
+            # StreamingCascade): at-capacity emission + oldest-window
+            # state advance in ONE jit call, the advance input sliced
+            # from the emission context in-device
+            W = window
 
-    def reset(self):
-        r"""Clear the carried recurrent state (ref: net_aagc.py:802-807)."""
-        self._state = None
+            def fused_step(params, x, state, em, advf):
+                out, _ = _raw(params, x, state, em)
+                _, st = _raw(params, x[:, :W], state, advf)
+                return out, st
 
-    def step(self, imu_window: np.ndarray) -> np.ndarray:
-        r"""Process one window [T_w, ...] (or [B, T_w, ...]); returns the
-        stage output with the leading batch dim squeezed for B=1."""
-        x = jnp.asarray(imu_window)
+            self._fused_fn = jax.jit(fused_step)
+
+    def reset(self, stream: Optional[int] = None):
+        r"""Clear the carried recurrent state (ref: net_aagc.py:802-807).
+        ``stream=i`` zeroes only client i's state slice and drops its
+        buffered windows (one client ending its sequence)."""
+        if stream is None:
+            self._state = self._zero_state
+            for b in self._buffers:
+                b.clear()
+        else:
+            idx = (slice(None),) * self._slot_axis + (stream,)
+            self._state = jax.tree_util.tree_map(
+                lambda s: s.at[idx].set(0.0), self._state)
+            self._buffers[stream].clear()
+
+    def _lift(self, x_window):
+        x = np.asarray(x_window, np.float32)
         squeeze = x.ndim == (3 if self.cfg.is_graph else 2)
-        if squeeze:
+        if squeeze:                                     # no stream axis
             x = x[None]
+        assert x.shape[0] == self.streams, (
+            f"got {x.shape[0]} stream rows != configured {self.streams}")
         assert x.shape[1] == self.window, (
             f"window size {x.shape[1]} != configured {self.window}")
-        out, self._state = self._fn(self.params, x, self._state)
-        return np.asarray(out[0] if squeeze else out)
+        return x, squeeze
+
+    def step(self, x_window: np.ndarray, active=None):
+        r"""Process one window [T_w, ...] (or [S, T_w, ...]); returns the
+        net output with the leading stream dim squeezed for streams=1.
+        ``active`` [S] 0/1 marks which clients submitted this tick.
+        With lookahead/history the emission contract matches
+        :meth:`StreamingCascade.step`: streams=1 returns the (lagged)
+        output or None while warming up; S > 1 returns ``(out, emitted
+        [S] bool)``. Call :meth:`flush` after a stream's last window to
+        drain its buffered tail (K ≥ 1 only)."""
+        x, squeeze = self._lift(x_window)
+        if self.lookahead or self.history:
+            return self._step_buffered(x, active)
+        S = self.streams
+        act = (jnp.ones((S,), jnp.float32) if active is None
+               else jnp.asarray(active, jnp.float32).reshape(S))
+        out, self._state = self._fn(self.params, jnp.asarray(x),
+                                    self._state, act)
+        out = np.asarray(out)
+        return out[0] if squeeze else out
+
+    def _step_buffered(self, x, active):
+        r"""Buffered-context emission — :meth:`StreamingCascade.
+        _step_buffered` over ONE net with one carried state (shared
+        transactional driver, same grouped-emission/advance/commit
+        semantics)."""
+        S, W = self.streams, self.window
+        K, P = self.lookahead, self.history
+        act = (np.ones(S, bool) if active is None
+               else np.asarray(active).astype(bool).reshape(S))
+        appended = [i for i in range(S) if act[i]]
+        for i in appended:
+            self._buffers[i].append((x[i].copy(),))
+        state = self._state     # state at the start of the oldest window
+
+        def emission_pass(f, em, ctx):
+            out, _ = self._fn(self.params, jnp.asarray(ctx[0]), state,
+                              jnp.asarray(em))
+            return out
+
+        def advance_pass(advf, adv_ctx):
+            _, st = self._fn(self.params, jnp.asarray(adv_ctx[0]), state,
+                             jnp.asarray(advf))
+            self._state = st
+
+        fused_pass = None
+        if self._fused_fn is not None:
+            def fused_pass(em, ctx, advf):
+                out, st = self._fused_fn(
+                    self.params, jnp.asarray(ctx[0]), state,
+                    jnp.asarray(em), jnp.asarray(advf))
+
+                def commit():   # driver calls AFTER the fetch fenced
+                    self._state = st
+                return out, commit
+
+        out, emitted = StreamingCascade.emit_buffered(
+            self._buffers, act, W, K, P, appended, emission_pass,
+            advance_pass, fused_pass)
+        if S == 1:
+            return out[0] if emitted[0] else None
+        return out, emitted
+
+    def flush(self, stream: Optional[int] = None):
+        r"""Drain buffered tails at end of stream — the chunk semantics
+        of :meth:`StreamingCascade.flush`: one pass over each slot's
+        whole buffer from the carried state, the newest ≤ K un-emitted
+        windows returned, the state advanced to the stream's end.
+        Plain-windowed sessions buffer nothing and return None."""
+        if not (self.lookahead or self.history):
+            return (None if (self.streams == 1 or stream is not None)
+                    else [None] * self.streams)
+        S, W = self.streams, self.window
+        K, P = self.lookahead, self.history
+        sel = [stream] if stream is not None else list(range(S))
+        fills = [len(self._buffers[i]) if i in sel else 0
+                 for i in range(S)]
+        if not any(fills):
+            return None if (S == 1 or stream is not None) else [None] * S
+        Tc = (P + K + 1) * W
+        feat = self._buffers[next(i for i in sel if fills[i])][0][0].shape[1:]
+        ctx = np.zeros((S, Tc) + feat, np.float32)
+        mask = np.zeros((S, Tc), np.float32)    # ones-prefix per slot
+        for i in sel:
+            if fills[i]:
+                ctx[i, :fills[i] * W] = np.concatenate(
+                    [w[0] for w in self._buffers[i]])
+                mask[i, :fills[i] * W] = 1.0
+        out, st = self._fn(self.params, jnp.asarray(ctx), self._state,
+                           jnp.asarray(mask))
+        out = np.asarray(out)       # fetch fences; commit only after
+        self._state = st
+        for i in sel:
+            if fills[i]:
+                self._buffers[i].clear()
+        tails = []
+        for i in range(S):
+            u = fills[i] if fills[i] <= K else K
+            tails.append(out[i, (fills[i] - u) * W:fills[i] * W]
+                         if u else None)
+        if stream is not None:
+            return tails[stream]
+        return tails[0] if S == 1 else tails
 
 
 class StreamingCascade:
@@ -224,8 +390,30 @@ class StreamingCascade:
                  normalize: bool = False, streams: int = 1,
                  lookahead: int = 0, history: int = 0, mesh=None,
                  fused: bool = True):
-        self.params3 = params3
         self.cfg = cfg
+        self.stats = ({k: jnp.asarray(v) for k, v in stats.items()}
+                      if (normalize and stats is not None) else None)
+        # explicit zero states (not None) so the program compiles ONCE: the
+        # state pytree structure is identical on the first and later windows
+        from a3gc_tpu.models import nets as _N
+        zero = (_N.graph_net_zero_state if cfg.is_graph
+                else _N.dip_zero_state)
+        zero_states = tuple(
+            zero(c.net, streams)
+            for c in (cfg.stage1, cfg.stage2, cfg.stage3))
+        step = make_window_step(cfg, model, self.stats)
+        self._init_session(params3, step, zero_states, window, streams,
+                           lookahead, history, mesh, fused)
+
+    def _init_session(self, params3, step, zero_states, window, streams,
+                      lookahead, history, mesh, fused):
+        r"""Shared session wiring over any windowed step function
+        ``step(params, ori, acc, *states, active) -> (pose, *states)``
+        with ``len(zero_states)`` carried state pytrees — the 3-stage
+        cascade here, one net in :class:`DipStreamingSession`. All the
+        buffer/dispatch/flush machinery below is generic over the state
+        tuple length."""
+        self.params3 = params3
         self.window = window
         self.streams = streams
         self.lookahead = int(lookahead)     # bool True (old API) -> K=1
@@ -235,19 +423,10 @@ class StreamingCascade:
         # await emission (lookahead), up to P older ones are kept as
         # past context (history); slot i holds at most P+K+1 windows
         self._buffers = [collections.deque() for _ in range(streams)]
-        self.stats = ({k: jnp.asarray(v) for k, v in stats.items()}
-                      if (normalize and stats is not None) else None)
-        # explicit zero states (not None) so the program compiles ONCE: the
-        # state pytree structure is identical on the first and later windows
-        from a3gc_tpu.models import nets as _N
-        zero = (_N.graph_net_zero_state if cfg.is_graph
-                else _N.dip_zero_state)
-        self._zero_states = tuple(
-            zero(c.net, streams)
-            for c in (cfg.stage1, cfg.stage2, cfg.stage3))
+        self._zero_states = zero_states
         self._states = self._zero_states
         self._pending = None
-        step = make_window_step(cfg, model, self.stats)
+        raw = step
         if mesh is not None:
             # multi-chip ONLINE serving: slots split over mesh['data'],
             # each device carries its shard's recurrent state
@@ -271,14 +450,13 @@ class StreamingCascade:
             # per-window state threading is the designed semantics), so
             # emissions and advanced states are bit-identical to the
             # two-pass path (oracle-tested).
-            raw = make_window_step(cfg, model, self.stats)
             W = window
 
-            def fused_step(params3, o, a, s1, s2, s3, em, advf):
-                full, _, _, _ = raw(params3, o, a, s1, s2, s3, em)
-                _, a1, a2, a3 = raw(params3, o[:, :W], a[:, :W],
-                                    s1, s2, s3, advf)
-                return full, a1, a2, a3
+            def fused_step(params, o, a, *rest):
+                states, (em, advf) = rest[:-2], rest[-2:]
+                full = raw(params, o, a, *states, em)
+                adv = raw(params, o[:, :W], a[:, :W], *states, advf)
+                return (full[0],) + tuple(adv[1:])
 
             if mesh is not None:
                 fused_step = shard_window_step(
@@ -311,9 +489,8 @@ class StreamingCascade:
             f"window size {ori.shape[1]} != configured {self.window}")
         act = (jnp.ones((S,), jnp.float32) if active is None
                else jnp.asarray(active, jnp.float32).reshape(S))
-        s1, s2, s3 = self._states
-        pose, s1, s2, s3 = self._fn(self.params3, ori, acc, s1, s2, s3, act)
-        self._states = (s1, s2, s3)
+        out = self._fn(self.params3, ori, acc, *self._states, act)
+        pose, self._states = out[0], tuple(out[1:])
         if S > 1:
             pose = pose.reshape((S, -1) + pose.shape[1:])
         return pose
@@ -349,19 +526,22 @@ class StreamingCascade:
     def assemble_buffered(buffers, act, W, K, P):
         r"""Peek-assemble the emission/advance inputs WITHOUT mutating
         the buffers: ``(emitted [S] bool, groups {fill: (mask [S] f32,
-        ctx_o [S, fill·W, 54], ctx_a [S, fill·W, 18])}, adv [S] bool,
-        adv_o, adv_a [S, W, *])``. A slot emits once it holds K+1
-        windows (the K newest are future context); its whole buffer —
-        up to P additional PAST windows — is the emission context, so
-        slots are grouped by fill count (one device pass per distinct
-        context length; in steady state all active slots sit at the
-        P+K+1 capacity → one group). ``adv`` marks at-capacity slots
-        whose state advances through their oldest window this tick.
-        Mutation happens in :meth:`commit_buffered` only after the
-        device passes succeed, so a transient device/relay error (which
-        serving catches and survives) cannot leave the buffer and the
-        carried state desynced — a retry of the same window recomputes
-        identically."""
+        ctx)}, adv [S] bool, adv_ctx)``. Buffers hold per-window TUPLES
+        of arrays (the cascade buffers ``(ori [W,54], acc [W,18])``;
+        the single-net session ``(x [W,F],)``) and ``ctx`` / ``adv_ctx``
+        are matching tuples of ``[S, fill·W, ...]`` / ``[S, W, ...]``
+        context arrays (``adv_ctx`` is None when no slot advances).
+        A slot emits once it holds K+1 windows (the K newest are future
+        context); its whole buffer — up to P additional PAST windows —
+        is the emission context, so slots are grouped by fill count
+        (one device pass per distinct context length; in steady state
+        all active slots sit at the P+K+1 capacity → one group).
+        ``adv`` marks at-capacity slots whose state advances through
+        their oldest window this tick. Mutation happens in
+        :meth:`commit_buffered` only after the device passes succeed,
+        so a transient device/relay error (which serving catches and
+        survives) cannot leave the buffer and the carried state
+        desynced — a retry of the same window recomputes identically."""
         S = len(buffers)
         fills = [len(b) for b in buffers]
         emitted = np.array([bool(act[i]) and fills[i] >= K + 1
@@ -370,25 +550,30 @@ class StreamingCascade:
         for i in range(S):
             if emitted[i]:
                 slots_by_fill.setdefault(fills[i], []).append(i)
+
+        def _zeros(T_ctx, ref_slot):
+            # component count/shapes from a non-empty buffer's first window
+            return tuple(np.zeros((S, T_ctx) + c.shape[1:], np.float32)
+                         for c in buffers[ref_slot][0])
+
         groups = {}
         for f, slots in slots_by_fill.items():
-            ctx_o = np.zeros((S, f * W, 54), np.float32)
-            ctx_a = np.zeros((S, f * W, 18), np.float32)
+            ctx = _zeros(f * W, slots[0])
             em = np.zeros(S, np.float32)
             for i in slots:
-                ctx_o[i] = np.concatenate([o for o, _ in buffers[i]])
-                ctx_a[i] = np.concatenate([a for _, a in buffers[i]])
+                for j, comp in enumerate(zip(*buffers[i])):
+                    ctx[j][i] = np.concatenate(comp)
                 em[i] = 1.0
-            groups[f] = (em, ctx_o, ctx_a)
+            groups[f] = (em, ctx)
         cap = P + K + 1
         adv = np.array([bool(emitted[i]) and fills[i] == cap
                         for i in range(S)])
-        adv_o = np.zeros((S, W, 54), np.float32)
-        adv_a = np.zeros((S, W, 18), np.float32)
-        for i in range(S):
-            if adv[i]:
-                adv_o[i], adv_a[i] = buffers[i][0]
-        return emitted, groups, adv, adv_o, adv_a
+        adv_slots = [i for i in range(S) if adv[i]]
+        adv_ctx = _zeros(W, adv_slots[0]) if adv_slots else None
+        for i in adv_slots:
+            for j in range(len(adv_ctx)):
+                adv_ctx[j][i] = buffers[i][0][j]
+        return emitted, groups, adv, adv_ctx
 
     @staticmethod
     def commit_buffered(buffers, adv):
@@ -404,14 +589,15 @@ class StreamingCascade:
                       advance_pass, fused_pass=None):
         r"""The grouped-emission driver shared by the live and artifact
         sessions (their oracle equality holds by construction): assemble
-        per-fill groups, run ``emission_pass(f, em, ctx_o, ctx_a) ->
-        [S, f·W, ...]`` for each (the driver fetches the emitted
-        window's slice — the fetch fences device execution), then
-        ``advance_pass(adv_mask_f32, adv_o, adv_a)`` for at-capacity
-        slots (the callback commits the advanced state in the caller).
+        per-fill groups, run ``emission_pass(f, em, ctx) ->
+        [S, f·W, ...]`` for each (``ctx`` is the per-component context
+        tuple — see :meth:`assemble_buffered`; the driver fetches the
+        emitted window's slice, which fences device execution), then
+        ``advance_pass(adv_mask_f32, adv_ctx)`` for at-capacity slots
+        (the callback commits the advanced state in the caller).
 
-        ``fused_pass(em, ctx_o, ctx_a, advf) -> (full, commit)``, if
-        given, replaces emission_pass + advance_pass for the AT-CAPACITY
+        ``fused_pass(em, ctx, advf) -> (full, commit)``, if given,
+        replaces emission_pass + advance_pass for the AT-CAPACITY
         group — whose emitting slots are by construction exactly the
         advancing slots (``adv``) — with ONE device dispatch; the driver
         calls ``commit()`` (state assignment) only after fetching the
@@ -424,20 +610,20 @@ class StreamingCascade:
         can retry the same window without buffer/state skew; the buffer
         pops commit only after every pass landed. Returns
         ``(pose [S, W, ...] | None, emitted [S] bool)``."""
-        emitted, groups, adv, adv_o, adv_a = \
+        emitted, groups, adv, adv_ctx = \
             StreamingCascade.assemble_buffered(buffers, act, W, K, P)
         pose = None
         if emitted.any():
             advanced = False
             try:
                 for f in sorted(groups):
-                    em, ctx_o, ctx_a = groups[f]
+                    em, ctx = groups[f]
                     commit = None
                     if fused_pass is not None and f == P + K + 1:
                         full, commit = fused_pass(
-                            em, ctx_o, ctx_a, adv.astype(np.float32))
+                            em, ctx, adv.astype(np.float32))
                     else:
-                        full = emission_pass(f, em, ctx_o, ctx_a)
+                        full = emission_pass(f, em, ctx)
                     lo = (f - K - 1) * W    # the emitted window's offset
                     sl = np.asarray(full[:, lo:lo + W])   # fetch fences
                     if pose is None:
@@ -448,7 +634,7 @@ class StreamingCascade:
                         commit()
                         advanced = True
                 if adv.any() and not advanced:
-                    advance_pass(adv.astype(np.float32), adv_o, adv_a)
+                    advance_pass(adv.astype(np.float32), adv_ctx)
             except Exception:
                 for i in appended:
                     buffers[i].pop()
@@ -490,41 +676,44 @@ class StreamingCascade:
             # copies: np.asarray is a no-op view for float32 input,
             # and the buffer must survive the caller reusing arrays
             self._buffers[i].append((ori[i].copy(), acc[i].copy()))
-        s1, s2, s3 = self._states       # state at start of oldest window
+        states = self._states           # state at start of oldest window
 
-        def emission_pass(f, em, ctx_o, ctx_a):
+        def emission_pass(f, em, ctx):
             # over the f buffered windows; read-only on the state (own
             # jit specialization at f·W frames — steady state uses only
             # P+K+1)
-            full, _, _, _ = self._fn(
+            ctx_o, ctx_a = ctx
+            out = self._fn(
                 self.params3, jnp.asarray(ctx_o), jnp.asarray(ctx_a),
-                s1, s2, s3, jnp.asarray(em))
-            return full.reshape((S, f * W) + full.shape[1:])
+                *states, jnp.asarray(em))
+            return out[0].reshape((S, f * W) + out[0].shape[1:])
 
-        def advance_pass(advf, adv_o, adv_a):
+        def advance_pass(advf, adv_ctx):
             # over at-capacity slots' oldest window: the driver's
             # emission fetches already fenced; a failure before the
             # assignment leaves self._states untouched
-            _, a1, a2, a3 = self._fn(
+            adv_o, adv_a = adv_ctx
+            out = self._fn(
                 self.params3, jnp.asarray(adv_o), jnp.asarray(adv_a),
-                s1, s2, s3, jnp.asarray(advf))
-            self._states = (a1, a2, a3)
+                *states, jnp.asarray(advf))
+            self._states = tuple(out[1:])
 
         fused_pass = None
         if self._fused_fn is not None:
             cap = P + K + 1
 
-            def fused_pass(em, ctx_o, ctx_a, advf):
+            def fused_pass(em, ctx, advf):
                 # one dispatch: at-capacity emission + oldest-window
                 # state advance (the advance input is ctx[:, :W] sliced
                 # in-device — no duplicate upload)
-                full, a1, a2, a3 = self._fused_fn(
+                ctx_o, ctx_a = ctx
+                out = self._fused_fn(
                     self.params3, jnp.asarray(ctx_o), jnp.asarray(ctx_a),
-                    s1, s2, s3, jnp.asarray(em), jnp.asarray(advf))
-                full = full.reshape((S, cap * W) + full.shape[1:])
+                    *states, jnp.asarray(em), jnp.asarray(advf))
+                full = out[0].reshape((S, cap * W) + out[0].shape[1:])
 
                 def commit():   # driver calls AFTER the fetch fenced
-                    self._states = (a1, a2, a3)
+                    self._states = tuple(out[1:])
                 return full, commit
 
         pose, emitted = self.emit_buffered(
@@ -595,20 +784,19 @@ class StreamingCascade:
                 ctx_a[i, :fills[i] * W] = np.concatenate(
                     [a for _, a in self._buffers[i]])
                 mask[i, :fills[i] * W] = 1.0
-        s1, s2, s3 = self._states
         # one pass over each slot's whole buffer: emits the un-emitted
         # tail (with its history context leading it) AND advances the
         # state through every buffered window — including history
         # windows the state had not yet moved through (masked steps
         # carry non-flushed slots unchanged)
-        full, s1, s2, s3 = self._fn(self.params3, jnp.asarray(ctx_o),
-                                    jnp.asarray(ctx_a), s1, s2, s3,
-                                    jnp.asarray(mask))
+        out = self._fn(self.params3, jnp.asarray(ctx_o),
+                       jnp.asarray(ctx_a), *self._states,
+                       jnp.asarray(mask))
         # transactional: fetch (fences device execution) BEFORE
         # committing the state/buffers, so a failed pass leaves the
         # session consistent for a retry (serving catches and survives)
-        full = np.asarray(full.reshape((S, Tc) + full.shape[1:]))
-        self._states = (s1, s2, s3)
+        full = np.asarray(out[0].reshape((S, Tc) + out[0].shape[1:]))
+        self._states = tuple(out[1:])
         for i in sel:   # buffers drop only once the fetched pass succeeded
             if fills[i]:
                 self._buffers[i].clear()
@@ -623,6 +811,79 @@ class StreamingCascade:
         if stream is not None:
             return tails[stream]
         return tails[0] if S == 1 else tails
+
+
+def make_dip_window_step(cfg: PoseNetConfig, model, stats):
+    r"""Build the pure windowed SINGLE-NET step — the reference's DIP
+    online mode (ref: net_aagc.py:1022-1031 ``forward(imu, rnn_state)``,
+    evaluate_dip.py:60-84 input prep) as one jittable program:
+    ``step(params, ori, acc, state, active) -> (pose, state)`` takes one
+    raw IMU window (ori [S, T_w, 54], acc [S, T_w, 18]), drops the root
+    sensor's channels, normalizes with the train stats, runs the net with
+    carried state, and converts the reduced global rotations to the full
+    local pose via IK — the same output contract (stream-major flattened
+    [S·T_w, 24, 3, 3]) as :func:`make_window_step`, so the whole serving
+    stack (batcher, buffered emission, flush) runs unchanged on top."""
+    assert cfg.rotsize in (6, 9), (
+        "dip online serving emits full local poses via IK; train the net "
+        "with --rotsize 9 or 6 (ref: net_aagc.py:1060-1075)")
+    om = jnp.asarray(stats["ori_mean_channel"][..., :-9])
+    os_ = jnp.asarray(stats["ori_std_channel"][..., :-9])
+    am = jnp.asarray(stats["acc_mean_channel"][..., :-3])
+    as_ = jnp.asarray(stats["acc_std_channel"][..., :-3])
+    rotsize = cfg.rotsize
+    rep = (3, 3) if rotsize == 9 else (rotsize,)
+
+    def _step(params, ori, acc, state, active):
+        o = (ori[..., :-9] - om) / os_          # no-root trim + normalize
+        a = (acc[..., :-3] - am) / as_          # (ref: evaluate_dip.py:69)
+        x = jnp.concatenate((a, o), axis=-1)    # [S, T_w, 60]
+        B, T = x.shape[0], x.shape[1]
+        mask = (active if active.ndim == 2
+                else jnp.broadcast_to(active[:, None], (B, T))
+                ).astype(x.dtype)
+        out, state = pose_net_forward(params, cfg, x, state,
+                                      frame_mask=mask)
+        pose = reduced_global_to_full_local(
+            out.reshape((-1, JS.n_reduced) + rep), model, rotsize=rotsize)
+        return pose, state
+
+    return _step
+
+
+class DipStreamingSession(StreamingCascade):
+    r"""Online single-net DIP serving with the FULL serving contract of
+    :class:`StreamingCascade` — ``step(ori, acc, active)`` on raw IMU
+    windows returning full local poses, ``reset(stream=i)``,
+    ``lookahead``/``history`` buffered emission, ``flush``, pipelined
+    ``step_async`` — over ONE net with one carried state (the
+    reference's dip online mode, ref: net_aagc.py:1022-1031, which only
+    ever runs one stream in-process with no quality levers). This is
+    what ``cli serve --model dip`` / ``cli stream --model dip`` drive;
+    the HTTP batcher is byte-identical to the cascade server's.
+
+    ``params3`` is inherited as the hot-swappable parameter slot (the
+    serve reload path assigns it); here it holds the ONE net's params.
+
+    Multi-chip ``mesh`` is deliberately not offered: the dip net is
+    KB-scale with independent per-slot state — scale out by replication
+    (docs/PERFORMANCE.md)."""
+
+    def __init__(self, params, cfg: PoseNetConfig, model,
+                 window: int = 60, stats: Dict[str, np.ndarray] = None,
+                 streams: int = 1, lookahead: int = 0, history: int = 0,
+                 fused: bool = True):
+        assert stats is not None, "dip serving needs normalization stats"
+        assert not cfg.is_graph, (
+            "DipStreamingSession drives the dense single net; graph "
+            "cascades stream through StreamingCascade")
+        self.cfg = cfg
+        self.stats = {k: jnp.asarray(v) for k, v in stats.items()}
+        from a3gc_tpu.models import nets as _N
+        zero_states = (_N.dip_zero_state(cfg.net, streams),)
+        step = make_dip_window_step(cfg, model, stats)
+        self._init_session(params, step, zero_states, window, streams,
+                           lookahead, history, mesh=None, fused=fused)
 
 
 def streaming_predictions(session: StreamingCascade, ori: np.ndarray,
@@ -744,6 +1005,123 @@ def streaming_predictions_multi(session: StreamingCascade,
                     if tail is not None:
                         outs[si].append(np.asarray(tail))
                 _, _, T, nw = prepped[si]
+                pred = np.concatenate(outs[si])
+                assert pred.shape[0] == nw * W
+                preds[si] = pred[:T]
+                outs[si] = []
+                session.reset(stream=i)
+                slot_seq[i] = -1
+                live -= 1
+    session.reset()
+    return preds
+
+
+def streaming_outputs(session: StreamingSession, x: np.ndarray) -> np.ndarray:
+    r"""Run ONE full sequence through a ``streams=1``
+    :class:`StreamingSession` exactly as a live client would — the
+    single-net counterpart of :func:`streaming_predictions` (the
+    reference's per-net online mode, ref: net_aagc.py:802-812, fed
+    incrementally), with the identical sensor-hold tail policy: a final
+    partial window is padded by repeating the last frame and the padded
+    frames' outputs discarded. The session is reset before and after.
+
+    :param x: the net's input sequence [T, ...feature dims] (already
+        prepped — e.g. the DIP no-root normalized 60-channel vector).
+    :return: the net's output sequence [T, ...output dims].
+    """
+    assert session.streams == 1, "streaming_outputs drives one slot"
+    W = session.window
+    x = np.asarray(x, np.float32)
+    T = x.shape[0]
+    rem = (-T) % W
+    if rem:
+        x = np.concatenate([x, np.repeat(x[-1:], rem, axis=0)])
+    session.reset()
+    out = []
+    for t in range(0, T + rem, W):
+        o = session.step(x[t:t + W])
+        if o is not None:
+            out.append(np.asarray(o))
+    if session.lookahead:
+        tail = session.flush()
+        if tail is not None:
+            out.append(np.asarray(tail))
+    session.reset()
+    pred = np.concatenate(out)
+    assert pred.shape[0] == T + rem
+    return pred[:T]
+
+
+def streaming_outputs_multi(session: StreamingSession, sequences) -> list:
+    r"""Multiplex MANY sequences over one ``streams=S`` single-net
+    session — the single-net counterpart of
+    :func:`streaming_predictions_multi`, with identical per-sequence
+    semantics: window-by-window feed, sensor-hold tail padding, per-slot
+    lookahead flush, and slot RECYCLING — ragged lengths are handled by
+    per-slot ``active`` masking, and a finished slot is reset and
+    immediately re-used for the next pending sequence, so slot occupancy
+    stays high on ragged test sets (the same recycle loop as the graph
+    cascade path).
+
+    :param sequences: list of input sequences [T, ...]; lengths may
+        differ.
+    :return: list of [T, ...output dims] outputs, same order.
+    """
+    S, W = session.streams, session.window
+    if S == 1:
+        return [streaming_outputs(session, x) for x in sequences]
+    if not sequences:
+        return []
+    prepped = []
+    for x in sequences:
+        x = np.asarray(x, np.float32)
+        T = x.shape[0]
+        rem = (-T) % W
+        if rem:
+            x = np.concatenate([x, np.repeat(x[-1:], rem, axis=0)])
+        prepped.append((x, T, (T + rem) // W))
+    feat = prepped[0][0].shape[1:]
+    n = len(prepped)
+    preds: list = [None] * n
+    outs = [[] for _ in range(n)]
+    session.reset()
+    buffered = bool(session.lookahead or session.history)
+    slot_seq = [-1] * S            # sequence a slot is running (-1 free)
+    cursor = [0] * S               # that sequence's next window index
+    next_seq, live = 0, 0
+    while next_seq < n or live:
+        for i in range(S):         # recycle freed slots onto pending work
+            if slot_seq[i] < 0 and next_seq < n:
+                slot_seq[i], cursor[i] = next_seq, 0
+                next_seq += 1
+                live += 1
+        act = np.zeros((S,), np.float32)
+        x_b = np.zeros((S, W) + feat, np.float32)
+        for i in range(S):
+            si = slot_seq[i]
+            if si >= 0 and cursor[i] < prepped[si][2]:
+                t0 = cursor[i] * W
+                x_b[i] = prepped[si][0][t0:t0 + W]
+                act[i] = 1.0
+        if act.any():
+            out = session.step(x_b, active=act)
+            if buffered:
+                o, emitted = out
+            else:
+                o, emitted = np.asarray(out), act.astype(bool)
+            for i in range(S):
+                if emitted[i]:
+                    outs[slot_seq[i]].append(np.asarray(o[i]))
+                if act[i]:
+                    cursor[i] += 1
+        for i in range(S):         # retire slots whose feed is exhausted
+            si = slot_seq[i]
+            if si >= 0 and cursor[i] >= prepped[si][2]:
+                if session.lookahead:
+                    tail = session.flush(stream=i)
+                    if tail is not None:
+                        outs[si].append(np.asarray(tail))
+                x, T, nw = prepped[si]
                 pred = np.concatenate(outs[si])
                 assert pred.shape[0] == nw * W
                 preds[si] = pred[:T]

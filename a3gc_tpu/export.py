@@ -439,15 +439,17 @@ class ArtifactLookaheadSession:
         # StreamingCascade.emit_buffered
         from a3gc_tpu.eval.streaming import StreamingCascade as _SC
 
-        def emission_pass(f, em, ctx_o, ctx_a):
+        def emission_pass(f, em, ctx):
             # read-only on the state (returned state dropped — artifact
             # steps are functional)
+            ctx_o, ctx_a = ctx
             full, _ = self._mods[f].step(ctx_o, ctx_a, self._states, em)
             return full
 
-        def advance_pass(advf, adv_o, adv_a):
+        def advance_pass(advf, adv_ctx):
             # at-capacity slots' carried state moves through their
             # oldest window
+            adv_o, adv_a = adv_ctx
             _, states = self._mods[1].step(adv_o, adv_a, self._states,
                                            advf)
             self._states = states

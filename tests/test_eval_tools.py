@@ -93,6 +93,118 @@ class TestStreaming:
         assert out.shape == (5, 15, 3)
 
 
+class TestStreamingSessionBuffered:
+    """Lookahead/history on the SINGLE-NET online mode (VERDICT r3 #3):
+    the same buffered transactional emission as StreamingCascade, over
+    one net with one carried state (ref: net_aagc.py:1022-1031)."""
+
+    def _dip(self, h=8, n_out=12):
+        cfg = PoseNetConfig(net=N.DIPConfig(n_input=10, n_output=n_out,
+                                            n_hidden=h), rotsize=3)
+        params = init_pose_net(jax.random.PRNGKey(3), cfg)
+        return cfg, params
+
+    def test_kp_exact_construction(self):
+        """Emission for window k at buffer fill f == one pass over the
+        f·W buffered frames from the state pinned at the oldest buffered
+        window, sliced at the emitted window; the carried state advances
+        through the OLDEST window alone once at capacity; flush emits
+        the un-emitted tail over the whole buffer."""
+        from a3gc_tpu.eval.streaming import StreamingSession as SS
+
+        cfg, params = self._dip()
+        W, K, P = 6, 1, 1
+        cap = P + K + 1
+        T = 5 * W
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(T, 10)).astype(np.float32)
+
+        sess = SS(params, cfg, window=W, lookahead=K, history=P)
+        emitted = []
+        for t in range(0, T, W):
+            o = sess.step(x[t:t + W])
+            if o is not None:
+                emitted.append(o)
+        tail = sess.flush()
+        assert tail is not None and tail.shape[0] == K * W
+        emitted.append(tail)
+        got = np.concatenate(emitted)
+        assert got.shape[0] == T
+
+        # oracle: manual buffer replay with plain jitted forwards
+        import jax.numpy as jnp
+        from a3gc_tpu.models.pipeline import pose_net_forward
+
+        @jax.jit
+        def fwd(params, xx, state):
+            return pose_net_forward(params, cfg, xx, state)
+
+        zero = N.dip_zero_state(cfg.net, 1)
+        state, buf, want = zero, [], []
+        for k in range(T // W):
+            buf.append(x[k * W:(k + 1) * W])
+            f = len(buf)
+            if f >= K + 1:
+                ctx = jnp.asarray(np.concatenate(buf)[None])
+                out, _ = fwd(params, ctx, state)
+                lo = (f - K - 1) * W
+                want.append(np.asarray(out[0, lo:lo + W]))
+            if f == cap:
+                _, state = fwd(params,
+                               jnp.asarray(buf[0][None]), state)
+                buf.pop(0)
+        # flush: one pass over the remaining buffer, newest K windows
+        f = len(buf)
+        ctx = jnp.asarray(np.concatenate(buf)[None])
+        out, _ = fwd(params, ctx, state)
+        want.append(np.asarray(out[0, (f - K) * W:]))
+        np.testing.assert_allclose(got, np.concatenate(want), atol=2e-6)
+
+    def test_multi_equals_single_with_recycle(self):
+        """streams=S multiplexing with ragged lengths and slot recycling
+        == the per-sequence path, plain AND buffered."""
+        from a3gc_tpu.eval.streaming import (
+            StreamingSession as SS, streaming_outputs,
+            streaming_outputs_multi)
+
+        cfg, params = self._dip()
+        W = 5
+        rng = np.random.default_rng(1)
+        # 5 ragged sequences over 2 slots forces recycling; non-multiple
+        # lengths cover the sensor-hold tail
+        seqs = [rng.normal(size=(t, 10)).astype(np.float32)
+                for t in (23, 11, 17, 9, 30)]
+
+        for kw in ({}, {"lookahead": 1, "history": 1},
+                   {"history": 2}):
+            single = SS(params, cfg, window=W, **kw)
+            want = [streaming_outputs(single, s) for s in seqs]
+            multi = SS(params, cfg, window=W, streams=2, **kw)
+            got = streaming_outputs_multi(multi, seqs)
+            for i, (w, g) in enumerate(zip(want, got)):
+                assert g.shape == w.shape
+                np.testing.assert_allclose(
+                    g, w, atol=2e-5, err_msg=f"seq {i} kw={kw}")
+
+    def test_graph_net_buffered_smoke(self):
+        """The buffered session also drives a graph single net (any
+        reference PoseNet has the online mode, ref: net_aagc.py:802)."""
+        from a3gc_tpu.eval.streaming import StreamingSession as SS
+
+        nira = load_adjacency_template()
+        cfg = PoseNetConfig(net=N.GraphNetConfig(
+            cell="a3gc", units_in=12, units_out=3, units_hidden=8),
+            rotsize=3)
+        params = init_pose_net(jax.random.PRNGKey(0), cfg, nira)
+        sess = SS(params, cfg, window=4, lookahead=1)
+        rng = np.random.default_rng(2)
+        outs = [sess.step(rng.normal(size=(4, 15, 12)).astype(np.float32))
+                for _ in range(3)]
+        assert outs[0] is None and outs[1].shape == (4, 15, 3)
+        assert sess.flush().shape == (4, 15, 3)
+        assert all(np.isfinite(o).all() for o in outs[1:])
+
+
 class TestDipEvaluator:
     @pytest.mark.parametrize("rotsize", [9, 6])
     def test_runs_and_is_finite(self, model, rotsize):
@@ -147,7 +259,17 @@ class TestDipEvaluator:
         bat_mean, _, fr2 = ev.evaluate_streaming(seqs2, window=30,
                                                  batch_streams=2)
         assert fr1 == fr2 == T + 2 * T2
-        np.testing.assert_allclose(bat_mean, one_mean, atol=0.1)
+        # the multiplexed path recycles slots but is semantically the
+        # per-sequence path — fp32 noise only
+        np.testing.assert_allclose(bat_mean, one_mean, atol=1e-3)
+
+        # the quality levers price through the dip online mode too
+        kp_mean, _, fr3 = ev.evaluate_streaming(
+            seqs2, window=30, lookahead=1, history=1, batch_streams=2)
+        kp_one, _, _ = ev.evaluate_streaming(seqs2, window=30,
+                                             lookahead=1, history=1)
+        assert fr3 == fr1 and np.isfinite(kp_mean).all()
+        np.testing.assert_allclose(kp_mean, kp_one, atol=1e-3)
 
 
 class TestFlatCascadeEvaluator:

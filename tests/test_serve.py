@@ -648,3 +648,128 @@ class TestLookaheadServing:
             assert st == 400 and "error" in err
         finally:
             plain.shutdown()
+
+
+class TestDipServing:
+    """serve --model dip: the single-net online mode (ref:
+    net_aagc.py:1022-1031) behind the SAME HTTP batcher as the cascade —
+    concurrent clients match independent DipStreamingSessions, and the
+    buffered (K) variant warms up then matches too."""
+
+    @pytest.fixture(scope="class")
+    def dip(self):
+        cfg = PoseNetConfig(net=N.DIPConfig(n_input=60, n_output=15 * 9,
+                                            n_hidden=16), rotsize=9)
+        params = init_pose_net(jax.random.PRNGKey(7), cfg)
+        stats = {
+            "ori_mean_channel": np.zeros(54, np.float32),
+            "ori_std_channel": np.ones(54, np.float32),
+            "acc_mean_channel": np.zeros(18, np.float32),
+            "acc_std_channel": np.ones(18, np.float32),
+        }
+        return cfg, params, stats
+
+    def test_concurrent_clients_match_single_sessions(self, dip, model):
+        from scipy.spatial.transform import Rotation
+
+        from a3gc_tpu.eval.streaming import DipStreamingSession
+        from a3gc_tpu.serve import PoseServer
+
+        cfg, params, stats = dip
+        W, n_clients, n_windows = 6, 2, 3
+        session = DipStreamingSession(params, cfg, model, window=W,
+                                      stats=stats, streams=3)
+        srv = PoseServer(None, None, None, port=0, max_wait_ms=20.0,
+                         session=session)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        addr = srv.address
+        try:
+            rng = np.random.default_rng(8)
+            ori = Rotation.random(n_clients * n_windows * W * 6,
+                                  random_state=9).as_matrix().reshape(
+                n_clients, n_windows * W, 54).astype(np.float32)
+            acc = rng.normal(scale=0.5,
+                             size=(n_clients, n_windows * W, 18)
+                             ).astype(np.float32)
+
+            def client(ci):
+                st, sess = _request(addr, "POST", "/v1/session")
+                assert st == 200, sess
+                slot = sess["slot"]
+                poses = []
+                for w in range(n_windows):
+                    sl = slice(w * W, (w + 1) * W)
+                    st, out = _request(addr, "POST", "/v1/step", {
+                        "slot": slot,
+                        "ori": ori[ci, sl].tolist(),
+                        "acc": acc[ci, sl].tolist()})
+                    assert st == 200, out
+                    poses.append(np.asarray(out["pose"], np.float32))
+                st, _ = _request(addr, "DELETE", f"/v1/session/{slot}")
+                assert st == 200
+                return np.concatenate(poses)
+
+            with ThreadPoolExecutor(n_clients) as ex:
+                served = list(ex.map(client, range(n_clients)))
+
+            for ci in range(n_clients):
+                ref = DipStreamingSession(params, cfg, model, window=W,
+                                          stats=stats)
+                expect = []
+                for w in range(n_windows):
+                    sl = slice(w * W, (w + 1) * W)
+                    expect.append(ref.step(ori[ci, sl], acc[ci, sl]))
+                np.testing.assert_allclose(
+                    served[ci], np.concatenate(expect), atol=3e-5,
+                    err_msg=f"client {ci}")
+        finally:
+            srv.shutdown()
+
+    def test_buffered_dip_server_warmup_then_matches(self, dip, model):
+        from scipy.spatial.transform import Rotation
+
+        from a3gc_tpu.eval.streaming import DipStreamingSession
+        from a3gc_tpu.serve import PoseServer
+
+        cfg, params, stats = dip
+        W, K, P, n_windows = 6, 1, 1, 4
+        session = DipStreamingSession(params, cfg, model, window=W,
+                                      stats=stats, streams=2,
+                                      lookahead=K, history=P)
+        srv = PoseServer(None, None, None, port=0, max_wait_ms=5.0,
+                         session=session, lookahead=K, history=P)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        addr = srv.address
+        try:
+            ori = Rotation.random(n_windows * W * 6, random_state=10
+                                  ).as_matrix().reshape(
+                n_windows * W, 54).astype(np.float32)
+            acc = np.random.default_rng(11).normal(
+                scale=0.5, size=(n_windows * W, 18)).astype(np.float32)
+
+            ref = DipStreamingSession(params, cfg, model, window=W,
+                                      stats=stats, lookahead=K, history=P)
+            _, info = _request(addr, "POST", "/v1/session")
+            slot = info["slot"]
+            for w in range(n_windows):
+                sl = slice(w * W, (w + 1) * W)
+                status, out = _request(addr, "POST", "/v1/step", {
+                    "slot": slot, "ori": ori[sl].tolist(),
+                    "acc": acc[sl].tolist()})
+                expect = ref.step(ori[sl], acc[sl])
+                if w < K:
+                    assert status == 202 and out.get("warmup"), out
+                    assert expect is None
+                else:
+                    assert status == 200, out
+                    np.testing.assert_allclose(
+                        np.asarray(out["pose"], np.float32), expect,
+                        atol=3e-5, err_msg=f"window {w}")
+            # flush drains the K-window buffered tail
+            st, out = _request(addr, "POST", "/v1/flush", {"slot": slot})
+            assert st == 200 and out["frames"] == K * W
+            np.testing.assert_allclose(
+                np.asarray(out["pose"], np.float32), ref.flush(),
+                atol=3e-5)
+        finally:
+            srv.shutdown()
