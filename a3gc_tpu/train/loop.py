@@ -463,18 +463,63 @@ class StageRunner:
                     out_specs=P("data"))(data, idx)
 
             loss_fn, optimizer = self._loss_fn, self.optimizer
+            k = self.cfg.accum_steps
 
-            def core(state, data, idx, weight, rng):
-                raw = gather(data, idx)
-                if weight is not None:
-                    raw["_weight"] = weight.reshape(-1)
-                loss, grads = jax.value_and_grad(loss_fn)(state.params,
-                                                          raw, rng)
+            def _update(state, loss, grads):
                 updates, opt_state = optimizer.update(
                     grads, state.opt_state, state.params)
                 params = optax.apply_updates(state.params, updates)
                 return (TrainState(params, opt_state, state.step + 1),
                         loss)
+
+            def core(state, data, idx, weight, rng):
+                if k == 1:
+                    raw = gather(data, idx)
+                    if weight is not None:
+                        raw["_weight"] = weight.reshape(-1)
+                    loss, grads = jax.value_and_grad(loss_fn)(
+                        state.params, raw, rng)
+                    return _update(state, loss, grads)
+                # --accum composes with the sharded corpus: each scan
+                # iteration gathers ITS OWN B/k microbatch rows (each
+                # shard contributes b/k of its local rows, so every
+                # microbatch stays 'data'-sharded with no cross-chip
+                # corpus traffic) — peak activation memory is one
+                # microbatch, and the weighted accumulation is the same
+                # exact-mean math as _make_train_step's _accum_step.
+                D, b = idx.shape
+                idxs = jnp.moveaxis(
+                    idx.reshape(D, k, b // k), 1, 0)    # [k, D, b/k]
+                ws = (None if weight is None
+                      else jnp.moveaxis(
+                          weight.reshape(D, k, b // k), 1, 0))
+                rngs = jax.random.split(rng, k)
+                zeros = jax.tree_util.tree_map(jnp.zeros_like,
+                                               state.params)
+
+                def body(carry, inp):
+                    if ws is not None:
+                        i, w_mb, r = inp
+                    else:
+                        (i, r), w_mb = inp, None
+                    raw = gather(data, i)
+                    if w_mb is not None:
+                        raw["_weight"] = w_mb.reshape(-1)
+                    loss, grads = jax.value_and_grad(loss_fn)(
+                        state.params, raw, r)
+                    w = jnp.sum(w_mb) if w_mb is not None else 1.0
+                    c_loss, c_w, c_grads = carry
+                    return (c_loss + loss * w, c_w + w,
+                            jax.tree_util.tree_map(
+                                lambda c, g: c + g * w, c_grads,
+                                grads)), None
+
+                xs = (idxs, ws, rngs) if ws is not None else (idxs, rngs)
+                (loss_sum, w_sum, grad_sum), _ = jax.lax.scan(
+                    body, (jnp.zeros(()), jnp.zeros(()), zeros), xs)
+                grads = jax.tree_util.tree_map(lambda g: g / w_sum,
+                                               grad_sum)
+                return _update(state, loss_sum / w_sum, grads)
 
             train_step = partial(jax.jit,
                                  donate_argnums=_donate_state())(core)
@@ -522,10 +567,17 @@ class StageRunner:
         dd = getattr(sampler, "device_data", None)
         if dd is not None and self.mesh is not None:
             # sharded device-resident corpus (put_device_sharded): each
-            # chip holds N/D rows and gathers its own B/D batch rows
-            assert self.cfg.accum_steps == 1, (
-                "--device_data with --mesh does not compose with --accum "
-                "(the sharded gather feeds the monolithic step)")
+            # chip holds N/D rows and gathers its own B/D batch rows;
+            # --accum microbatches the gather itself (see
+            # _device_sharded_steps), so each shard's local rows must
+            # split evenly into accum_steps microbatches
+            assert (self.cfg.batch_size
+                    % (self.mesh.shape.get("data", 1)
+                       * self.cfg.accum_steps) == 0), (
+                f"batch_size={self.cfg.batch_size} must divide evenly "
+                f"over data axis x accum_steps "
+                f"({self.mesh.shape.get('data', 1)} x "
+                f"{self.cfg.accum_steps})")
             spec = getattr(next(iter(dd.values())).sharding, "spec", ())
             assert len(spec) and spec[0] == "data", (
                 "a mesh runner needs a put_device_sharded(...) corpus "
@@ -679,37 +731,73 @@ class StageRunner:
         w = jnp.asarray(weights, jnp.float32)
         return float(jnp.stack(losses) @ w / w.sum())
 
-    def eval_full_sequences(self, sequences) -> float:
+    def eval_full_sequences(self, sequences, batch: int = None) -> float:
         r"""Full-sequence validation (the reference's ``--fse`` flag,
-        ref: train_a3gc_tp.py:18,212-216): each variable-length sequence is
-        evaluated at batch 1 on an end-padded power-of-two bucket with frame
-        masking — loss values are exactly the native-length ones."""
+        ref: train_a3gc_tp.py:18,212-216): each variable-length sequence
+        is evaluated at its native length on an end-padded power-of-two
+        bucket with frame masking — per-sequence losses are exactly the
+        native-length ones, and the result is their plain mean (each
+        sequence weighs equally, the reference's batch-1 semantics).
+
+        BATCHED: sequences group by bucket length and run ``batch`` rows
+        per device pass (default: the runner's eval chunk size, rounded
+        to the mesh data axis), each group zero-padded to the full batch
+        (pad rows carry ``n_valid=0`` and score 0) — one compile per
+        distinct bucket length, mesh-sharded via the runner's ``_put``.
+        Results are bit-identical to the per-sequence path up to fp32
+        reduction order (oracle-tested)."""
         from a3gc_tpu.eval.run import bucket_length
 
         assemble = DP.graph_batch if self.graph else DP.flat_batch
         wire = stage_inputs_graph if self.graph else stage_inputs_flat
         rotsize = self.stage_cfg.rotsize if self.stage == 3 else 9
+        d = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
+        fb = batch or self._eval_b
+        fb = max(d, (fb // d) * d)          # mesh-divisible batch rows
 
         @jax.jit
         def step(params, raw, n_valid):
-            batch = assemble(raw, self.stats, None, rotsize=rotsize)
-            inputs, target = wire(batch, self.stage, train=False)
-            mask = (jnp.arange(inputs.shape[1])[None] < n_valid).astype(
-                inputs.dtype)
+            # per-ROW frame-masked loss [B]: pose_loss's masked mean,
+            # un-pooled over the batch so every sequence weighs equally
+            batch_ = assemble(raw, self.stats, None, rotsize=rotsize)
+            inputs, target = wire(batch_, self.stage, train=False)
+            mask = (jnp.arange(inputs.shape[1])[None]
+                    < n_valid[:, None]).astype(inputs.dtype)
             pred, _ = pose_net_forward(params, self.stage_cfg, inputs,
                                        frame_mask=mask)
-            return pose_loss(pred.reshape(target.shape), target,
-                             frame_mask=mask)
+            err = jnp.sum(jnp.square(target - pred.reshape(target.shape)),
+                          axis=-1)                       # [B, T, ...mid]
+            w = mask.reshape(mask.shape + (1,) * (err.ndim - 2))
+            per_frame = err[0, 0].size if err.ndim > 2 else 1.0
+            denom = n_valid.astype(err.dtype) * per_frame
+            return (jnp.sum(err * w, axis=tuple(range(1, err.ndim)))
+                    / jnp.maximum(denom, 1.0))
 
-        total = 0.0
+        groups = {}
         for seq in sequences:
             T = len(next(iter(seq.values())))
-            L = bucket_length(T)
-            raw = {k: np.pad(np.asarray(v)[None],
-                             [(0, 0), (0, L - T)] + [(0, 0)] * (v.ndim - 1))
-                   for k, v in seq.items()}
-            total += float(step(self.state.params, raw, jnp.asarray(T)))
-        return total / max(len(sequences), 1)
+            groups.setdefault(bucket_length(T), []).append((seq, T))
+
+        total, count = 0.0, 0
+        for L, group in sorted(groups.items()):
+            for g0 in range(0, len(group), fb):
+                chunk = group[g0:g0 + fb]
+                n_valid = np.zeros(fb, np.int32)
+                raw = None
+                for i, (seq, T) in enumerate(chunk):
+                    if raw is None:
+                        raw = {k: np.zeros((fb, L) + np.asarray(v).shape[1:],
+                                           np.asarray(v).dtype)
+                               for k, v in seq.items()}
+                    for k, v in seq.items():
+                        raw[k][i, :T] = v
+                    n_valid[i] = T
+                per_seq = np.asarray(step(self.state.params,
+                                          self._put(raw),
+                                          jnp.asarray(n_valid)))
+                total += float(per_seq[:len(chunk)].sum())
+                count += len(chunk)
+        return total / max(count, 1)
 
 
 class DIPRunner:
