@@ -40,7 +40,21 @@ __all__ = ["gcn_lstm_scan_pallas", "bi_gcn_lstm_pallas",
 
 # --- shared multi-stream helpers (LSTM + G-GRU kernels) --------------------
 
+def _tree_f32(tree):
+    """Cast every floating leaf to fp32. The whole-scan kernels are
+    internally fp32 (fp32 VMEM scratch/state/outputs; bf16 speed comes
+    from the dot ``precision``, not the array dtype), so bf16 inputs —
+    e.g. a bf16-trained eval forward at small batch, where the backend
+    auto-select engages pallas — must be upcast at the boundary or the
+    state-init ``swap`` rejects the dtype mix."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32)
+        if (hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            and a.dtype != jnp.float32) else a, tree)
+
+
 def _streams_per_chunk(n_streams: int, n_nodes: int) -> int:
+
     """Largest divisor of n_streams whose rows fit one MXU row tile."""
     return max(k for k in range(1, n_streams + 1)
                if n_streams % k == 0 and k * n_nodes <= 128)
@@ -352,6 +366,7 @@ def bi_gcn_lstm_pallas(params2, x: jnp.ndarray, state2, *,
     dummy streams whose n_valid is 0 (their state never updates), so any
     stream count works; the kernel mixes 8-stream chunks sequentially.
     """
+    params2, x, state2 = _tree_f32((params2, x, state2))
     B, T, N, F = x.shape
     h2, c2 = state2
 
@@ -526,6 +541,7 @@ def bi_ggru_pallas(params2, x: jnp.ndarray, state2, *,
     ([B, T, N, 2H], h2). ``state2``: h [2, B, N, H]. B > 1 folds streams
     onto the row axis (padded to a multiple of 8 past 128 rows, zero-length
     dummy streams) with per-stream ``n_valid``."""
+    params2, x, state2 = _tree_f32((params2, x, state2))
     B, T, N, F = x.shape
     h2 = state2
 
@@ -659,6 +675,7 @@ def bi_lstm_pallas(layer_params2, x: jnp.ndarray, state2, *,
     DIP biLSTM layer at inference: x [B, T, F] → ([B, T, 2H], (h2, c2)).
     ``layer_params2``: nets.LSTMLayerParams with leading direction axis;
     ``state2``: (h, c) each [2, B, H]."""
+    layer_params2, x, state2 = _tree_f32((layer_params2, x, state2))
     B, T, F = x.shape
     h2, c2 = state2
     u2 = (jnp.einsum("btf,dfg->dtbg", x, layer_params2.w_ih,
@@ -785,6 +802,7 @@ def bi_gcn_lstm_pallas_dirfused(params2, x: jnp.ndarray, state2, *,
     r"""Direction-row-fused bidirectional layer (batch 1): ONE kernel, T grid
     steps total (vs 2·T across two launches), same numerical results as
     layers.bi_rnn. x [1, T, N, F] → ([1, T, N, 2H], state2)."""
+    params2, x, state2 = _tree_f32((params2, x, state2))
     assert x.shape[0] == 1, "dirfused path is batch-1"
     T, N, F = x.shape[1], x.shape[2], x.shape[3]
     H = params2.bias.shape[-1]

@@ -483,3 +483,28 @@ def test_dip_pallas_ad_matches_xla():
     _, tp_ = jax.jvp(lambda p: loss(p, net_p), (params,), (t,))
     _, tx = jax.jvp(lambda p: loss(p, net_x), (params,), (t,))
     np.testing.assert_allclose(float(tp_), float(tx), rtol=1e-5)
+
+
+def test_bf16_inputs_upcast_at_the_boundary(nira):
+    """bf16 params/inputs/state (a bf16-trained eval forward at small
+    batch, where the backend auto-select engages pallas) must not trip
+    the fp32 VMEM scratch — the wrappers upcast at the boundary and the
+    result matches the fp32 kernel to bf16 storage noise."""
+    from a3gc_tpu.models import nets as N
+    from a3gc_tpu.models.pipeline import (PoseNetConfig, init_pose_net,
+                                          pose_net_forward)
+
+    cfg = PoseNetConfig(net=N.GraphNetConfig(
+        cell="a3gc", units_in=12, units_out=3, units_hidden=8,
+        backend="pallas", pallas_interpret="always"), rotsize=3)
+    params = init_pose_net(jax.random.PRNGKey(0), cfg, nira)
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 9, 15, 12)).astype(np.float32)
+
+    out32, _ = pose_net_forward(params, cfg, jnp.asarray(x))
+    bf = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, params)
+    out16, _ = pose_net_forward(bf, cfg, jnp.asarray(x, jnp.bfloat16))
+    np.testing.assert_allclose(np.asarray(out16, np.float32),
+                               np.asarray(out32), atol=0.05)
