@@ -35,6 +35,56 @@ def _add_cache_flag(p):
                         "through remote-compile PJRT relays")
 
 
+QUALITY_PRESETS = {
+    # named (window, lookahead K, history P) bundles from the measured
+    # trained-checkpoint divergence grid (docs/validation/
+    # STREAMING_TRADEOFF.md) — one flag instead of three:
+    #   latency:  (60, K=0, P=1) zero added latency, -38% divergence
+    #             vs plain windowing, 3x compute
+    #   balanced: (60, K=1, P=1) +1 window (1 s) latency, -79%, 4x
+    #   max:      (60, K=1, P=2) +1 window latency, -91% (0.37 deg
+    #             mean residual), 5x compute
+    "latency": (60, 0, 1),
+    "balanced": (60, 1, 1),
+    "max": (60, 1, 2),
+}
+
+
+def _add_quality_flag(p):
+    p.add_argument("--quality", choices=tuple(QUALITY_PRESETS),
+                   default=None,
+                   help="streaming-quality preset: a named (window, "
+                        "lookahead, history) bundle from the measured "
+                        "divergence grid (STREAMING_TRADEOFF.md). "
+                        "latency = zero added latency (-38%% divergence); "
+                        "balanced = +1 window latency (-79%%); max = +1 "
+                        "window latency, 5x compute (-91%%). Explicit "
+                        "--window/--streaming/--lookahead/--history "
+                        "override the preset's components")
+
+
+def _apply_quality(args):
+    r"""Resolve ``--quality`` into (window, lookahead, history): the
+    preset fills values the user left at their defaults; explicit flags
+    override its components. On ``evaluate`` the preset implies
+    ``--streaming``."""
+    if not getattr(args, "quality", None):
+        return
+    W, K, P = QUALITY_PRESETS[args.quality]
+    if getattr(args, "lookahead", None) == 0:
+        args.lookahead = K
+    if getattr(args, "history", None) == 0:
+        args.history = P
+    if hasattr(args, "streaming"):          # evaluate: implies --streaming
+        if not args.streaming:
+            args.streaming = W
+    elif isinstance(getattr(args, "window", None), list):   # export bundle
+        if args.window == [60]:
+            args.window = [W]
+    elif getattr(args, "window", None) is None:             # stream/serve
+        args.window = W
+
+
 def _add_common_model_flags(p):
     p.add_argument("--model", choices=MODEL_CHOICES, default="a3gc")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
@@ -388,6 +438,7 @@ def _load_cascade_params(args, cascade, is_graph, nira):
 
 
 def cmd_evaluate(args):
+    _apply_quality(args)
     from a3gc_tpu.compat import (
         dip_params_from_state_dict, graph_net_params_from_state_dict,
         load_torch_checkpoint)
@@ -585,6 +636,7 @@ def cmd_stream(args):
     from a3gc_tpu.data.factory.dipimu import load_test_sequences
     from a3gc_tpu.eval.streaming import StreamingCascade
 
+    _apply_quality(args)
     assert not (args.pipelined and (args.lookahead or args.history)), (
         "--pipelined does not compose with --lookahead/--history "
         "(both buffer windows); drop one")
@@ -886,6 +938,7 @@ def cmd_export(args):
     artifact runs from bare jax with no model code or checkpoint files
     (the deployment story the reference lacks: serving it needs torch +
     net_aagc.py + the .tar files, ref: evaluate_a3gc_tp.py:125-145)."""
+    _apply_quality(args)
     from a3gc_tpu.data import load_adjacency_template
     from a3gc_tpu.export import (export_bundle, export_streaming_cascade,
                                  save_exported)
@@ -950,6 +1003,8 @@ def cmd_serve(args):
     --streams concurrent clients share ONE compiled multi-stream program;
     requests arriving within --max_wait_ms coalesce into one device step."""
     import json as _json
+
+    _apply_quality(args)
 
     from a3gc_tpu.data import load_adjacency_template
     from a3gc_tpu.serve import PoseServer
@@ -1270,6 +1325,7 @@ def build_parser():
                    help="with --batch_streams: shard the streams over all "
                         "devices' data axis (shard_map; each device runs "
                         "its own kernels on its local streams)")
+    _add_quality_flag(e)
     e.add_argument("--streaming", type=int, default=0, metavar="W",
                    help="evaluate through the ONLINE path: feed each "
                         "sequence as W-frame windows with carried state "
@@ -1337,6 +1393,7 @@ def build_parser():
     st.add_argument("--mid1", type=int, default=-1)
     st.add_argument("--mid2", type=int, default=-1)
     st.add_argument("--mid3", type=int, default=-1)
+    _add_quality_flag(st)
     st.set_defaults(fn=cmd_stream)
 
     ex = sub.add_parser("export", help="AOT deployment export: serialize "
@@ -1376,6 +1433,7 @@ def build_parser():
     ex.add_argument("--mid1", type=int, default=-1)
     ex.add_argument("--mid2", type=int, default=-1)
     ex.add_argument("--mid3", type=int, default=-1)
+    _add_quality_flag(ex)
     ex.set_defaults(fn=cmd_export)
 
     pp = sub.add_parser("preprocess", help="offline data factory")
@@ -1448,6 +1506,7 @@ def build_parser():
     sv.add_argument("--mid1", type=int, default=-1)
     sv.add_argument("--mid2", type=int, default=-1)
     sv.add_argument("--mid3", type=int, default=-1)
+    _add_quality_flag(sv)
     sv.set_defaults(fn=cmd_serve)
 
     c = sub.add_parser("convert-checkpoint",

@@ -168,3 +168,58 @@ class TestCompilationCacheFlag:
             assert cache.is_dir() and len(list(cache.iterdir())) > 0
         finally:
             jax.config.update("jax_compilation_cache_dir", None)
+
+
+class TestQualityPresets:
+    """--quality {latency,balanced,max}: named (window, K, P) bundles
+    from the measured divergence grid (VERDICT r3 weak #1), accepted
+    uniformly by stream/serve/export/evaluate."""
+
+    def test_presets_resolve_per_command(self):
+        from a3gc_tpu.cli import (QUALITY_PRESETS, _apply_quality,
+                                  build_parser)
+
+        base = {
+            "stream": ["--input", "x.npz"],
+            "serve": [],
+            "export": ["--output", "d"],
+            "evaluate": ["--datasets", "x.npz"],
+        }
+        for cmd, extra in base.items():
+            for name, (W, K, P) in QUALITY_PRESETS.items():
+                args = build_parser().parse_args(
+                    [cmd] + extra + ["--quality", name])
+                _apply_quality(args)
+                assert args.lookahead == K and args.history == P, (
+                    cmd, name)
+                if cmd == "evaluate":
+                    assert args.streaming == W   # preset implies streaming
+                elif cmd == "export":
+                    assert args.window == [W]
+                else:
+                    assert args.window == W
+
+    def test_explicit_flags_override_preset(self):
+        from a3gc_tpu.cli import _apply_quality, build_parser
+
+        args = build_parser().parse_args(
+            ["stream", "--input", "x.npz", "--quality", "max",
+             "--window", "120", "--history", "4"])
+        _apply_quality(args)
+        assert args.window == 120 and args.history == 4
+        assert args.lookahead == 1                  # filled by the preset
+
+        args = build_parser().parse_args(
+            ["evaluate", "--datasets", "x.npz", "--quality", "balanced",
+             "--streaming", "30"])
+        _apply_quality(args)
+        assert args.streaming == 30
+        assert (args.lookahead, args.history) == (1, 1)
+
+    def test_no_quality_is_a_noop(self):
+        from a3gc_tpu.cli import _apply_quality, build_parser
+
+        args = build_parser().parse_args(["stream", "--input", "x.npz"])
+        _apply_quality(args)
+        assert args.window is None and args.lookahead == 0
+        assert args.history == 0
