@@ -123,6 +123,14 @@ def maybe(name, fn, complete_rows=None):
 
 
 def main():
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon sitecustomize hijacks backend selection; the env var
+        # alone does NOT keep a CPU smoke off the (single-tenant) chip
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import jax._src.xla_bridge as xb
+        if not xb.backends_are_initialized():
+            xb._backend_factories.pop("axon", None)
     if not REUSE:
         shutil.rmtree(WORK, ignore_errors=True)
     os.makedirs(WORK, exist_ok=True)

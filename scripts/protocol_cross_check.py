@@ -297,10 +297,18 @@ def main():
         # angle metrics: 0.05 deg (half the 0.1 deg SIP parity budget;
         # residual deltas are angle EXTRACTION on ill-conditioned
         # rotations — measured: reference evaluator on our predictions is
-        # bit-identical to on its own, docs/validation/PROTOCOL_CROSSCHECK.md)
-        assert abs(ours[0] - ref[0]) < 0.05, "SIP parity >0.05 deg"
-        assert abs(ours[1] - ref[1]) < 0.05, "angular parity >0.05 deg"
-        assert abs(ours[2] - ref[2]) < 0.05, "positional parity >0.05 cm"
+        # bit-identical to on its own, docs/validation/PROTOCOL_CROSSCHECK.md).
+        # Near-singular predictions (min singular value < 0.01 — barely-
+        # trained nets) put cv2-vs-SVD extraction in implementation-defined
+        # territory; the budget there is 0.2 deg with prediction parity
+        # (above) still the hard 5e-5 gate.
+        angle_budget = 0.05 if min_sv >= 0.01 else 0.2
+        assert abs(ours[0] - ref[0]) < angle_budget, \
+            f"SIP parity >{angle_budget} deg"
+        assert abs(ours[1] - ref[1]) < angle_budget, \
+            f"angular parity >{angle_budget} deg"
+        assert abs(ours[2] - ref[2]) < angle_budget, \
+            f"positional parity >{angle_budget} cm"
 
     if args.out:
         if os.path.exists(args.out):   # merge per-model sections

@@ -130,6 +130,60 @@ def boundary_analysis(smpl, run_dir):
     return out
 
 
+def dip_boundary_analysis(smpl, dip_dir, stats_npz):
+    r"""Window-seam 3rd-difference profile for the SINGLE-NET dip online
+    mode (DipStreamingSession) on the learned checkpoint: the dip biLSTM
+    emits edge slices under one lever exactly like the cascade, so K>=1
+    AND P>=1 together should collapse its boundary jerk the same way."""
+    import numpy as np
+    from scipy.spatial.transform import Rotation
+
+    from a3gc_tpu.cli import _load_dip, build_parser
+    from a3gc_tpu.data.stats import load_stats
+    from a3gc_tpu.eval.streaming import DipStreamingSession
+    from a3gc_tpu.smpl import load_parametric_model
+
+    args = build_parser().parse_args([
+        "evaluate", "--model", "dip", "--path", dip_dir,
+        "--type", "pretrain", "--datasets", "unused.npz"])
+    cfg, params = _load_dip(args)
+    body = load_parametric_model(smpl)
+    stats = dict(np.load(stats_npz))
+
+    def profile(pred, W):
+        x = pred.reshape(pred.shape[0], -1)
+        j = np.abs(np.diff(x, n=3, axis=0)).max(axis=1)
+        f = np.arange(len(j))
+        b = ((f + 2) % W < 4) | ((f + 2) % W > W - 4)
+        return {"boundary_max": round(float(j[b].max()), 4),
+                "boundary_mean": round(float(j[b].mean()), 4),
+                "interior_max": round(float(j[~b].max()), 4),
+                "interior_mean": round(float(j[~b].mean()), 4)}
+
+    Tr = 600
+    ori = Rotation.random(Tr * 6, random_state=41).as_matrix() \
+        .reshape(Tr, 54).astype(np.float32)
+    acc = np.random.default_rng(1).normal(
+        scale=0.5, size=(Tr, 18)).astype(np.float32)
+    rows = {}
+    W = 60
+    for K, P in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        sess = DipStreamingSession(params, cfg, body, window=W,
+                                   stats=stats, lookahead=K, history=P)
+        out = []
+        for t in range(0, Tr, W):
+            o = sess.step(ori[t:t + W], acc[t:t + W])
+            if o is not None:
+                out.append(np.asarray(o))
+        if K:
+            out.append(np.asarray(sess.flush()))
+        pred = np.concatenate(out)
+        rows[f"K={K} P={P}"] = profile(pred, W)
+        print(f"[dip boundary] K={K} P={P}: {rows[f'K={K} P={P}']}",
+              flush=True)
+    return rows
+
+
 def main():
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         import jax
@@ -179,14 +233,15 @@ def main():
         json.dump({"wall_s": round(time.time() - t0, 1)}, open(done, "w"))
         print(f"[train] {time.time() - t0:.0f}s")
 
-    def evaluate(tag, extra):
+    def evaluate(tag, extra, model="a3gc", path=None):
         buf = io.StringIO()
         cwd = os.getcwd()
         os.chdir(WORK)
         try:
             with contextlib.redirect_stdout(buf):
-                cli(["evaluate", "--model", "a3gc", "--smpl", smpl,
-                     "--path", run_dir, "--type", "pretrain",
+                cli(["evaluate", "--model", model, "--smpl", smpl,
+                     "--path", path or run_dir, "--type", "pretrain",
+                     "--data_root", WORK,
                      "--datasets", paths["test"]] + extra)
         finally:
             os.chdir(cwd)
@@ -212,10 +267,52 @@ def main():
 
     boundary = boundary_analysis(smpl, run_dir)
 
+    # --- DIP single-net online mode (round-3 VERDICT #3): the same
+    # grid + seam analysis on the reference's per-net online surface
+    # (ref: net_aagc.py:1022-1031) — its bidirectional LSTM has the
+    # identical window-seam problem, and the K/P levers now apply ---
+    stats_dir = os.path.join(WORK, "stats")
+    os.makedirs(stats_dir, exist_ok=True)
+    stats_npz = os.path.join(stats_dir, "all_train_stats.npz")
+    if not os.path.exists(stats_npz):
+        cli(["stats", "--inputs", paths["train"], "--output", stats_npz])
+    dip_dir = os.path.join(runs, "learn_dip")
+    done_dip = os.path.join(runs, "learn_dip.done")
+    if reuse and os.path.exists(done_dip):
+        print("[train dip] reusing finished run")
+    else:
+        shutil.rmtree(dip_dir, ignore_errors=True)
+        t0 = time.time()
+        cli(["train", "--model", "dip", "-b", batch, "--epochs", epochs,
+             "--patience", "5", "--seed", "0", "--dtype", "float32",
+             "--name", "learn_dip", "--save_root", runs, "--smpl", smpl,
+             "--data_root", WORK, "--train_data", paths["train"],
+             "--valid_data", paths["valid"]])
+        json.dump({"wall_s": round(time.time() - t0, 1)},
+                  open(done_dip, "w"))
+        print(f"[train dip] {time.time() - t0:.0f}s")
+
+    dip_rows = [("offline", evaluate("dip offline", [], model="dip",
+                                     path=dip_dir))]
+    for W, K, P in GRID:
+        tag = f"stream W={W}" + (f" K={K}" if K else "") \
+            + (f" P={P}" if P else "")
+        extra = ["--streaming", str(W)]
+        if K:
+            extra += ["--lookahead", str(K)]
+        if P:
+            extra += ["--history", str(P)]
+        dip_rows.append((tag, evaluate("dip " + tag, extra, model="dip",
+                                       path=dip_dir)))
+
+    dip_boundary = dip_boundary_analysis(smpl, dip_dir, stats_npz)
+
     names = list(rows[0][1].keys())
     with open(os.path.join(OUT, "STREAMING_METRICS.json"), "w") as f:
         json.dump({"rows": [{"config": t, **m} for t, m in rows],
+                   "dip_rows": [{"config": t, **m} for t, m in dip_rows],
                    "boundary": boundary,
+                   "dip_boundary": dip_boundary,
                    "n_test": L.N_TEST, "t_test": L.T_TEST,
                    "epochs": epochs}, f, indent=1)
     off = rows[0][1]
@@ -268,6 +365,36 @@ def main():
                 f"| {name} | {cfgname} | {p['boundary_max']} | "
                 f"{p['boundary_mean']} | {p['interior_max']} | "
                 f"{p['interior_mean']} |")
+    lines += [
+        "",
+        "## DIP single-net online mode (same levers, same physics)",
+        "",
+        "The reference's OTHER online surface — the single DIP net "
+        "(ref: net_aagc.py:1022-1031) — through the identical grid "
+        "(`evaluate --model dip --streaming W [--lookahead K "
+        "--history P]`, learned dip checkpoint):",
+        "",
+        "| config | " + " | ".join(n.split(" (")[0] for n in names)
+        + " |",
+        "|---|" + "---|" * len(names),
+    ]
+    for t, m in dip_rows:
+        lines.append("| " + t + " | "
+                     + " | ".join(f"{m[n]:.2f}" for n in names) + " |")
+    lines += [
+        "",
+        "Seam profile of the dip streamed predictions "
+        "(DipStreamingSession, W=60) — K/P collapse the dip biLSTM's "
+        "boundary jerk exactly like the cascade's:",
+        "",
+        "| config | boundary max | boundary mean | interior max | "
+        "interior mean |",
+        "|---|---|---|---|---|",
+    ]
+    for cfgname, pr in dip_boundary.items():
+        lines.append(
+            f"| {cfgname} | {pr['boundary_max']} | {pr['boundary_mean']} "
+            f"| {pr['interior_max']} | {pr['interior_mean']} |")
     lines += [
         "",
         "Operating guidance refined: for ACCURACY at a latency budget, "
