@@ -1028,7 +1028,9 @@ def cmd_serve(args):
                 args.artifact, streams=args.streams, window=args.window))
         srv = PoseServer(None, None, None, host=args.host, port=args.port,
                          max_wait_ms=args.max_wait_ms, session=session,
-                         lookahead=args.lookahead, history=args.history)
+                         lookahead=args.lookahead, history=args.history,
+                         recycle_rss_mb=args.recycle_rss_mb,
+                         allow_recycle=True)
         streams, window = session.streams, session.window
     elif args.model == "dip":
         # single-net dip serving (the reference's online mode,
@@ -1053,6 +1055,8 @@ def cmd_serve(args):
         srv = PoseServer(None, None, None, host=args.host, port=args.port,
                          max_wait_ms=args.max_wait_ms, session=session,
                          lookahead=args.lookahead, history=args.history,
+                         recycle_rss_mb=args.recycle_rss_mb,
+                         allow_recycle=True,
                          # /v1/reload re-discovers the latest dip
                          # checkpoint and hot-swaps it
                          reload_fn=lambda: _load_dip(args)[1])
@@ -1077,6 +1081,8 @@ def cmd_serve(args):
                          port=args.port, max_wait_ms=args.max_wait_ms,
                          mesh=mesh, lookahead=args.lookahead,
                          history=args.history,
+                         recycle_rss_mb=args.recycle_rss_mb,
+                         allow_recycle=True,
                          # POST /v1/reload re-discovers the latest
                          # checkpoints (training can keep writing to
                          # --path) and hot-swaps them into live sessions
@@ -1499,6 +1505,15 @@ def build_parser():
                     help="serve from a `cli export` deployment artifact "
                          "directory (geometry from its manifest; ignores "
                          "checkpoint/stats/model flags)")
+    sv.add_argument("--recycle_rss_mb", type=int, default=0,
+                    help="self-recycle when the process RSS exceeds this "
+                         "(MB): drain in-flight work, snapshot every live "
+                         "session's carried state, exec a fresh process "
+                         "that inherits the listening socket and resumes "
+                         "the sessions — the mitigation for the relay "
+                         "client's per-call host-buffer leak "
+                         "(docs/PERFORMANCE.md). POST /v1/recycle "
+                         "triggers one on demand. 0 = off")
     sv.add_argument("--path", type=str, default="")
     sv.add_argument("--torch_checkpoints", nargs="+", default=None)
     sv.add_argument("--type", choices=("pretrain", "finetuning"),

@@ -44,6 +44,10 @@ from __future__ import annotations
 
 import collections
 import json
+import os
+import pickle
+import socket
+import sys
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -51,7 +55,42 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["PoseServer"]
+__all__ = ["PoseServer", "session_snapshot", "session_restore"]
+
+# env handshake for the state-preserving exec recycle (see
+# PoseServer._do_recycle): the re-exec'd process inherits the listening
+# socket fd and restores slot states/buffers from the snapshot file
+_FD_ENV = "A3GC_SERVE_FD"
+_RESTORE_ENV = "A3GC_RESTORE_STATE"
+
+
+def session_snapshot(sess) -> dict:
+    r"""Serialize a serving session's mutable state to plain host data:
+    the carried recurrent-state pytree and (buffered modes) the per-slot
+    window deques. Works for StreamingCascade / DipStreamingSession /
+    ArtifactSession / ArtifactLookaheadSession — they all keep state in
+    ``_states`` and buffers in ``_buffers``. Parameters are NOT included
+    (the restored process re-resolves them from its own argv: checkpoint
+    discovery or the artifact)."""
+    import jax
+
+    snap = {"states": jax.tree_util.tree_map(np.asarray, sess._states)}
+    if hasattr(sess, "_buffers"):
+        snap["buffers"] = [list(b) for b in sess._buffers]
+    return snap
+
+
+def session_restore(sess, snap: dict) -> None:
+    r"""Inverse of :func:`session_snapshot` onto a freshly built session
+    of the same geometry (the next step's jit re-places the arrays)."""
+    import jax
+    import jax.numpy as jnp
+
+    sess._states = jax.tree_util.tree_map(jnp.asarray, snap["states"])
+    if "buffers" in snap and hasattr(sess, "_buffers"):
+        for b, saved in zip(sess._buffers, snap["buffers"]):
+            b.clear()
+            b.extend(saved)
 
 
 class _Batcher:
@@ -82,6 +121,8 @@ class _Batcher:
                                     # false success for a swap that was
                                     # overwritten before being applied
         self.stop = False
+        self.recycling = False      # refuse new work while quiescing
+        self.ticking = False        # a device step is executing lock-free
         # serving counters (read under self.lock)
         self.n_ticks = 0
         self.n_requests = 0
@@ -92,7 +133,7 @@ class _Batcher:
 
     def acquire(self) -> Optional[int]:
         with self.lock:
-            if not self.free:
+            if not self.free or self.recycling:
                 return None
             slot = self.free.pop()
             self.results.pop(slot, None)   # drop any orphan of a dead waiter
@@ -121,6 +162,8 @@ class _Batcher:
                 # both waiters share the results[slot] mailbox — a step
                 # racing a flush would cross-wire the two responses
                 raise ValueError(f"slot {slot} has a flush in flight")
+            if self.recycling:
+                raise RuntimeError("server recycling; retry shortly")
             self.pending[slot] = (ori, acc)
             self.cond.notify_all()
             while slot not in self.results:
@@ -153,6 +196,8 @@ class _Batcher:
             if slot in self.pending or slot in self.flushing \
                     or slot in self.flush_inflight:
                 raise ValueError(f"slot {slot} has a request in flight")
+            if self.recycling:
+                raise RuntimeError("server recycling; retry shortly")
             self.flushing.add(slot)
             self.cond.notify_all()
             while slot not in self.results:
@@ -179,6 +224,22 @@ class _Batcher:
             while not applied.is_set() and not self.stop:
                 self.cond.wait(timeout=0.1)
             return applied.is_set()
+
+    def quiesce(self) -> list:
+        r"""Recycle preparation: refuse new work, wait until every
+        in-flight request (pending steps, executing tick, owed flushes,
+        releases, reload swaps) has drained, and return the occupied
+        slots. The caller snapshots the session afterwards -- the
+        dispatcher is guaranteed idle and stays idle (``recycling``
+        rejects new steps/flushes and ``acquire`` returns None)."""
+        with self.cond:
+            self.recycling = True
+            self.cond.notify_all()
+            while (self.pending or self.ticking or self.flushing
+                   or self.flush_inflight or self.releasing
+                   or self.reload_queue) and not self.stop:
+                self.cond.wait(timeout=0.1)
+            return sorted(set(range(self.S)) - self.free)
 
     def stats(self) -> dict:
         with self.lock:
@@ -269,6 +330,7 @@ class _Batcher:
                     if len(self.pending) < n_busy:
                         self.cond.wait(timeout=self.max_wait)
                     batch, self.pending = self.pending, {}
+                    self.ticking = True
             if flush_now:
                 # drains execute lock-free; the next loop iteration
                 # serves any steps that queued meanwhile
@@ -311,6 +373,7 @@ class _Batcher:
                 print(f"[a3gc_tpu.serve] {err}", file=sys.stderr)
             dt = time.perf_counter() - t0
             with self.cond:
+                self.ticking = False
                 self.n_ticks += 1
                 self.n_requests += len(batch)
                 if err:
@@ -335,7 +398,8 @@ class PoseServer:
                  streams: int = 8, stats=None, normalize: bool = False,
                  host: str = "127.0.0.1", port: int = 8765,
                  max_wait_ms: float = 5.0, session=None, reload_fn=None,
-                 mesh=None, lookahead: int = 0, history: int = 0):
+                 mesh=None, lookahead: int = 0, history: int = 0,
+                 recycle_rss_mb: int = 0, allow_recycle: bool = False):
         if session is None:
             from a3gc_tpu.eval.streaming import StreamingCascade
 
@@ -366,7 +430,22 @@ class PoseServer:
         self.batcher = _Batcher(sess, streams, window, max_wait_ms,
                                 lookahead=lookahead, history=history)
         self.window = window
+        # exec-recycle handoff: restore slot states/buffers + occupancy
+        # saved by the pre-exec process (see _do_recycle)
+        restore = os.environ.pop(_RESTORE_ENV, None)
+        if restore and os.path.exists(restore):
+            with open(restore, "rb") as f:
+                snap = pickle.load(f)
+            session_restore(sess, snap["session"])
+            with self.batcher.lock:
+                for slot in snap["occupied"]:
+                    self.batcher.free.discard(slot)
+            os.unlink(restore)
+            print(f"[a3gc_tpu.serve] recycled: restored "
+                  f"{len(snap['occupied'])} live session(s)",
+                  file=sys.stderr, flush=True)
         batcher, W = self.batcher, window
+        server = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):          # quiet
@@ -410,6 +489,23 @@ class PoseServer:
                             "error": "server shutting down; reload not "
                                      "applied"})
                     return self._json(200, {"reloaded": True})
+                if self.path == "/v1/recycle":
+                    # operator-triggered state-preserving process recycle
+                    # (the relay-client RSS leak mitigation — see
+                    # docs/PERFORMANCE.md): drain, snapshot, exec a fresh
+                    # process that inherits the listening socket and
+                    # restores every live session's carried state
+                    if server._recycle_unsupported is not None:
+                        return self._json(501, {
+                            "error": server._recycle_unsupported})
+                    self._json(200, {"recycling": True})
+                    try:
+                        self.wfile.flush()
+                        self.connection.shutdown(socket.SHUT_RDWR)
+                    except OSError:
+                        pass
+                    server._do_recycle()     # does not return (execve)
+                    return
                 if self.path == "/v1/flush":
                     # drain a slot's buffered lookahead tail (the last K
                     # windows would otherwise be discarded by DELETE)
@@ -514,7 +610,96 @@ class PoseServer:
                     return self._json(200, {})
                 return self._json(404, {"error": "unknown endpoint"})
 
-        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        inherited = os.environ.pop(_FD_ENV, None)
+        if inherited is not None:
+            # recycled process: adopt the pre-exec listening socket, so
+            # the address (and clients' connects) survive the handoff
+            sock = socket.socket(fileno=int(inherited))
+            self.httpd = ThreadingHTTPServer(
+                sock.getsockname()[:2], Handler, bind_and_activate=False)
+            self.httpd.socket.close()       # the unbound placeholder
+            self.httpd.socket = sock        # already bound + listening
+            self.httpd.server_address = sock.getsockname()[:2]
+        else:
+            self.httpd = ThreadingHTTPServer((host, port), Handler)
+        # recycle support: a mesh session's states are sharded (scale
+        # serving by replication instead — docs/PERFORMANCE.md), and a
+        # non-CLI (in-process) server has no argv to re-exec
+        if not allow_recycle:
+            # recycle re-execs `python -m a3gc_tpu.cli <argv[1:]>`; only
+            # a CLI-launched server has an argv that reproduces itself
+            self._recycle_unsupported = (
+                "recycle requires a CLI-launched server "
+                "(`a3gc-tpu serve ...`)")
+        elif mesh is not None:
+            self._recycle_unsupported = (
+                "recycle is not supported for --mesh serving (sharded "
+                "states; scale by replication)")
+        else:
+            self._recycle_unsupported = None
+        self._recycling = False
+        self._recycle_lock = threading.Lock()
+        if recycle_rss_mb and self._recycle_unsupported is None:
+            t = threading.Thread(target=self._rss_watchdog,
+                                 args=(recycle_rss_mb,), daemon=True)
+            t.start()
+
+    @staticmethod
+    def _rss_mb() -> float:
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        return int(line.split()[1]) / 1024.0
+        except OSError:
+            pass
+        return 0.0
+
+    def _rss_watchdog(self, limit_mb: int):
+        r"""Self-recycle when RSS crosses the limit: the axon relay
+        client leaks host transfer buffers (~134 KB per jit call with
+        fresh inputs — attributed with a pure-jax repro, docs/validation/
+        SERVE_SOAK.md; framework code is leak-free on CPU), so a
+        long-lived chip-attached server grows without bound. The recycle
+        drains in-flight work, snapshots every live session's carried
+        state, and execs a fresh process that inherits the listening
+        socket — clients keep their slots and state; they see a pause
+        (axon re-init + compile; seconds from an artifact) and must
+        retry requests that land in it."""
+        while True:
+            time.sleep(10.0)
+            if self._recycle_unsupported is None \
+                    and self._rss_mb() > limit_mb:
+                print(f"[a3gc_tpu.serve] RSS {self._rss_mb():.0f} MB > "
+                      f"{limit_mb} MB — recycling", file=sys.stderr,
+                      flush=True)
+                self._do_recycle()
+
+    def _do_recycle(self):
+        r"""Drain, snapshot, exec. Does not return."""
+        with self._recycle_lock:
+            if self._recycling:      # concurrent trigger: first one wins
+                return
+            self._recycling = True
+        occupied = self.batcher.quiesce()
+        path = os.path.join(
+            os.environ.get("TMPDIR", "/tmp"),
+            f"a3gc_serve_recycle_{os.getpid()}.pkl")
+        with open(path, "wb") as f:
+            pickle.dump({"session": session_snapshot(self.batcher.sess),
+                         "occupied": occupied}, f)
+        fd = self.httpd.fileno()
+        os.set_inheritable(fd, True)
+        env = dict(os.environ)
+        env[_RESTORE_ENV] = path
+        env[_FD_ENV] = str(fd)
+        sys.stdout.flush()
+        sys.stderr.flush()
+        # re-exec through the CLI module: works for `python -m
+        # a3gc_tpu.cli serve ...` and the `a3gc-tpu` console script alike
+        os.execve(sys.executable,
+                  [sys.executable, "-m", "a3gc_tpu.cli"] + sys.argv[1:],
+                  env)
 
     @property
     def address(self):

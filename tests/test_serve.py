@@ -773,3 +773,172 @@ class TestDipServing:
                 atol=3e-5)
         finally:
             srv.shutdown()
+
+
+class TestRecycle:
+    """State-preserving process recycle (VERDICT r3 #4 — the relay
+    client leaks host buffers per jit call; a long-lived server must
+    survive without operator babysitting)."""
+
+    def test_snapshot_restore_roundtrip(self, setup, model):
+        """snapshot -> fresh session -> restore == uninterrupted, incl.
+        the buffered (K, P) window deques mid-warmup."""
+        from scipy.spatial.transform import Rotation
+
+        from a3gc_tpu.eval.streaming import StreamingCascade
+        from a3gc_tpu.serve import session_restore, session_snapshot
+
+        cfg, params3 = setup
+        W, K, P = 6, 1, 1
+        ori = Rotation.random(5 * W * 6, random_state=20).as_matrix(
+        ).reshape(5, W, 54).astype(np.float32)
+        acc = np.random.default_rng(21).normal(
+            scale=0.5, size=(5, W, 18)).astype(np.float32)
+
+        cont = StreamingCascade(params3, cfg, model, window=W,
+                                lookahead=K, history=P)
+        first = StreamingCascade(params3, cfg, model, window=W,
+                                 lookahead=K, history=P)
+        for i in range(3):      # 3 windows in: at capacity, buffers full
+            cont.step(ori[i], acc[i])
+            first.step(ori[i], acc[i])
+        snap = session_snapshot(first)
+
+        second = StreamingCascade(params3, cfg, model, window=W,
+                                  lookahead=K, history=P)
+        session_restore(second, snap)
+        for i in (3, 4):
+            want = cont.step(ori[i], acc[i])
+            got = second.step(ori[i], acc[i])
+            np.testing.assert_allclose(got, want, atol=2e-6,
+                                       err_msg=f"window {i}")
+        np.testing.assert_allclose(second.flush(), cont.flush(),
+                                   atol=2e-6)
+
+    def test_quiesce_rejects_new_work(self, setup, model):
+        """quiesce(): returns occupied slots, then acquire -> None and
+        step raises; an in-process (non-CLI) server 501s /v1/recycle."""
+        from a3gc_tpu.serve import PoseServer
+
+        cfg, params3 = setup
+        W = 6
+        srv = PoseServer(params3, cfg, model, window=W, streams=2, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        addr = srv.address
+        try:
+            _, info = _request(addr, "POST", "/v1/session")
+            slot = info["slot"]
+            occupied = srv.batcher.quiesce()
+            assert occupied == [slot]
+            assert srv.batcher.acquire() is None
+            with pytest.raises(RuntimeError, match="recycling"):
+                srv.batcher.step(slot, np.zeros((W, 54), np.float32),
+                                 np.zeros((W, 18), np.float32))
+            st, out = _request(addr, "POST", "/v1/recycle")
+            assert st == 501 and "CLI-launched" in out["error"]
+        finally:
+            srv.shutdown()
+
+
+@pytest.mark.slow
+class TestRecycleE2E:
+    def test_exec_recycle_preserves_sessions(self, model, tmp_path):
+        """Subprocess `cli serve` on CPU: acquire, step, POST
+        /v1/recycle, the fresh exec'd process inherits the socket and
+        the slot's carried state — the next window equals an
+        uninterrupted local session's."""
+        import os
+        import subprocess
+        import sys
+        import time as _time
+
+        import jax as _jax
+        from scipy.spatial.transform import Rotation
+
+        from a3gc_tpu.data import load_adjacency_template
+        from a3gc_tpu.eval.streaming import StreamingCascade
+        from a3gc_tpu.smpl import write_synthetic_smpl_pickle
+        from a3gc_tpu.utils import save_params
+
+        nira = load_adjacency_template()
+
+        def g(ui, uo, h, rot):
+            return PoseNetConfig(net=N.GraphNetConfig(
+                cell="a3gc", units_in=ui, units_out=uo, units_hidden=h),
+                rotsize=rot)
+
+        cfg = CascadeConfig(stage1=g(12, 3, 8, 3), stage2=g(15, 3, 8, 3),
+                            stage3=g(15, 9, 8, 9))
+        params3 = tuple(init_pose_net(_jax.random.PRNGKey(i), c, nira)
+                        for i, c in enumerate((cfg.stage1, cfg.stage2,
+                                               cfg.stage3)))
+        ckpt = tmp_path / "ckpts"
+        for i, p in enumerate(params3):
+            save_params(p, str(ckpt), i + 1, 0, finetuning=True)
+        smpl = write_synthetic_smpl_pickle(str(tmp_path / "s.pkl"),
+                                           n_vertices=120)
+        W = 6
+        env = {"PATH": os.environ.get("PATH", ""),
+               "PYTHONPATH": os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))),
+               "JAX_PLATFORMS": "cpu", "HOME": os.environ.get("HOME", "/"),
+               "TMPDIR": str(tmp_path)}
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "a3gc_tpu.cli", "serve",
+             "--hu1", "8", "--hu2", "8", "--hu3", "8",
+             "--path", str(ckpt), "--smpl", smpl, "--window", str(W),
+             "--streams", "2", "--port", "0", "--recycle_rss_mb", "0"],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, env=env)
+        try:
+            line = proc.stdout.readline()
+            addr_str = json.loads(line)["serving"]     # http://h:p
+            host, port = addr_str.rsplit("//", 1)[1].rsplit(":", 1)
+            addr = (host, int(port))
+
+            ori = Rotation.random(3 * W * 6, random_state=30).as_matrix(
+            ).reshape(3, W, 54).astype(np.float32)
+            acc = np.random.default_rng(31).normal(
+                scale=0.5, size=(3, W, 18)).astype(np.float32)
+
+            st, info = _request(addr, "POST", "/v1/session")
+            assert st == 200, info
+            slot = info["slot"]
+            st, out0 = _request(addr, "POST", "/v1/step", {
+                "slot": slot, "ori": ori[0].tolist(),
+                "acc": acc[0].tolist()})
+            assert st == 200, out0
+
+            # trigger the state-preserving exec recycle
+            try:
+                _request(addr, "POST", "/v1/recycle")
+            except Exception:
+                pass            # the connection may die mid-handoff
+            # the fresh process inherits the socket; poll until revived
+            deadline = _time.time() + 180
+            while True:
+                assert _time.time() < deadline, "server did not revive"
+                try:
+                    st, stats = _request(addr, "GET", "/v1/stats")
+                    if st == 200:
+                        break
+                except Exception:
+                    _time.sleep(2.0)
+            assert stats["active_sessions"] == 1    # the slot survived
+
+            st, out1 = _request(addr, "POST", "/v1/step", {
+                "slot": slot, "ori": ori[1].tolist(),
+                "acc": acc[1].tolist()})
+            assert st == 200, out1
+
+            # oracle: uninterrupted local session
+            ref = StreamingCascade(params3, cfg, model, window=W)
+            w0 = ref.step(ori[0], acc[0])
+            w1 = ref.step(ori[1], acc[1])
+            np.testing.assert_allclose(
+                np.asarray(out0["pose"], np.float32), w0, atol=3e-5)
+            np.testing.assert_allclose(
+                np.asarray(out1["pose"], np.float32), w1, atol=3e-5)
+        finally:
+            proc.kill()
+            proc.wait()
