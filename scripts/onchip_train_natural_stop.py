@@ -177,8 +177,13 @@ def main():
     # --- F: fast config to natural stop ---
     b_fast = str(min(256, max(FS.N_TRAIN // 4, 1)))
     f_key = f"F_fast_{FAST_DTYPE}_b{b_fast}"
+    # accum=2: monolithic B=256 + the resident corpus does not fit the
+    # 16 GB HBM (docs/validation/DEVICE_DATA.md) — this is the measured-
+    # best r3 config (bf16 B=256 accum=2)
+    accum_f = "2" if int(b_fast) >= 256 else "1"
     wall_f, rows_f = maybe("natural_fast", lambda: cli(
         ["train", "-b", b_fast, "--dtype", FAST_DTYPE, "--device_data",
+         "--accum", accum_f,
          "--steps_per_dispatch", "8", "--name", "natural_fast"] + common))
     report["runs"][f_key] = {
         "wall_s": wall_f, "stages": stage_summary(rows_f, max_epochs=int(EPOCH_CAP)),
