@@ -723,16 +723,60 @@ class StreamingCascade:
             return pose[0] if emitted[0] else None
         return pose, emitted
 
+    def run_windows(self, ori, acc):
+        r"""Feed consecutive windows with UPLOAD-AHEAD overlap: window
+        k+1's host->device transfer runs while window k executes; the
+        fetch of k's pose stays synchronous, so results and state
+        threading are identical to a :meth:`step` loop. Measured through
+        the axon relay (docs/validation/PROFILE_ASYNC.md): 30.7 ms per
+        60-frame window vs 43.3 sync and 36.1 deferred-fetch
+        (step_async) -- the H2D RPC hides entirely behind the execute
+        while the D2H fetch (which step_async overlaps at the cost of
+        one window of result latency) stays ordered. Use when the
+        CLIENT already holds the next window (sequence replay, file
+        streaming, batched evaluation); a live client that produces
+        windows in real time has nothing to upload ahead.
+
+        ``ori``/``acc``: [n, W, ...] stacked windows (plain streams=1
+        session only -- buffered K/P modes own their dispatch shape).
+        Returns the [n, W, ...] poses; state advances exactly as with
+        per-window step() calls.
+        """
+        assert self.streams == 1 and not (self.lookahead or self.history
+                                          ) and self._pending is None, (
+            "run_windows drives a plain streams=1 session")
+        import jax
+
+        n = ori.shape[0]
+        act = jnp.ones((1,), jnp.float32)
+        nxt = (jax.device_put(np.ascontiguousarray(ori[0])[None]),
+               jax.device_put(np.ascontiguousarray(acc[0])[None]))
+        poses = []
+        for k in range(n):
+            cur = nxt
+            out = self._fn(self.params3, cur[0], cur[1], *self._states,
+                           act)
+            if k + 1 < n:
+                # H2D of k+1 overlaps the in-flight execute of k
+                nxt = (jax.device_put(
+                           np.ascontiguousarray(ori[k + 1])[None]),
+                       jax.device_put(
+                           np.ascontiguousarray(acc[k + 1])[None]))
+            poses.append(np.asarray(out[0]))    # fetch fences k
+            self._states = tuple(out[1:])
+        return np.stack(poses)
+
     def step_async(self, ori_window: np.ndarray,
                    acc_window: np.ndarray) -> Optional[np.ndarray]:
         r"""Pipelined streaming: dispatch this window and return the
         PREVIOUS window's pose (None right after reset). Device execution
         of window k overlaps the host round-trip of window k-1's result —
-        intended for directly-attached devices where the D2H transfer can
-        overlap compute. NOTE measured through this environment's remote
-        TPU relay it is SLOWER than :meth:`step` (56 vs 38 ms/window — the
-        in-flight execute and transfer RPCs contend on the tunnel); prefer
-        synchronous :meth:`step` there. Call :meth:`flush` after the last
+        at the cost of ONE WINDOW of result latency. Relay measurements
+        moved between rounds: r3 measured it slower than step() (56 vs
+        38 ms/window); the round-4 profile (PROFILE_ASYNC.md) has it
+        faster (36.1 vs 43.3) but still behind the latency-neutral
+        upload-ahead :meth:`run_windows` (30.7) — prefer that when the
+        next window is already known. Call :meth:`flush` after the last
         window."""
         assert not (self.lookahead or self.history), (
             "step_async (pipelined) does not compose with buffered "
@@ -916,14 +960,23 @@ def streaming_predictions(session: StreamingCascade, ori: np.ndarray,
         acc = np.concatenate([acc, np.repeat(acc[-1:], rem, axis=0)])
     session.reset()
     out = []
-    for t in range(0, T + rem, W):
-        pose = session.step(ori[t:t + W], acc[t:t + W])
-        if pose is not None:
-            out.append(np.asarray(pose))
-    if session.lookahead:
-        tail = session.flush()
-        if tail is not None:
-            out.append(np.asarray(tail))
+    if not (session.lookahead or session.history):
+        # plain windowing: the whole sequence is known, so upload-ahead
+        # overlap applies (-29% per-window wall through the relay;
+        # results identical to the step loop -- oracle-tested)
+        n = (T + rem) // W
+        poses = session.run_windows(ori.reshape(n, W, 54),
+                                    acc.reshape(n, W, 18))
+        out = [p for p in poses]
+    else:
+        for t in range(0, T + rem, W):
+            pose = session.step(ori[t:t + W], acc[t:t + W])
+            if pose is not None:
+                out.append(np.asarray(pose))
+        if session.lookahead:
+            tail = session.flush()
+            if tail is not None:
+                out.append(np.asarray(tail))
     session.reset()
     pred = np.concatenate(out)
     assert pred.shape[0] == T + rem

@@ -397,6 +397,8 @@ def main():
             f"| {pr['interior_max']} | {pr['interior_mean']} |")
     lines += [
         "",
+        "DIP-specific conclusion: the dense net has NO attention layers, so history buys it nothing (P alone leaves jerk at or above plain windowing) while lookahead K=1 alone collapses its boundary jerk to interior levels -- for dip online serving the lever is `--lookahead 1`; spend nothing on history. (The cascade needs BOTH because its attention wants past context.)",
+        "",
         "Operating guidance refined: for ACCURACY at a latency budget, "
         "history still beats lookahead (STREAMING_TRADEOFF.md); for "
         "SMOOTHNESS (jerk/jitter — what a rendering consumer feels), "

@@ -14,7 +14,8 @@ from a3gc_tpu.eval.worst_frames import (
     select_extreme_frames,
 )
 from a3gc_tpu.models import nets as N
-from a3gc_tpu.models.pipeline import PoseNetConfig, init_pose_net
+from a3gc_tpu.models.pipeline import (CascadeConfig, PoseNetConfig,
+                                      init_pose_net)
 from a3gc_tpu.smpl import load_parametric_model, write_synthetic_smpl_pickle
 
 
@@ -91,6 +92,56 @@ class TestStreaming:
         for _ in range(3):
             out = sess.step(np.zeros((5, 15, 12), np.float32))
         assert out.shape == (5, 15, 3)
+
+
+class TestRunWindows:
+    """Upload-ahead window driver (PROFILE_ASYNC: -29% per-window wall
+    through the relay): results and carried state must be identical to
+    the per-window step loop."""
+
+    def test_equals_step_loop(self, model):
+        from scipy.spatial.transform import Rotation
+
+        from a3gc_tpu.eval.streaming import (StreamingCascade,
+                                             streaming_predictions)
+
+        nira = load_adjacency_template()
+
+        def g(ui, uo, h, rot):
+            return PoseNetConfig(net=N.GraphNetConfig(
+                cell="a3gc", units_in=ui, units_out=uo, units_hidden=h),
+                rotsize=rot)
+
+        cfg = CascadeConfig(stage1=g(12, 3, 8, 3), stage2=g(15, 3, 8, 3),
+                            stage3=g(15, 9, 8, 9))
+        params3 = tuple(init_pose_net(jax.random.PRNGKey(i), c, nira)
+                        for i, c in enumerate((cfg.stage1, cfg.stage2,
+                                               cfg.stage3)))
+        W, n = 5, 4
+        ori = Rotation.random(n * W * 6, random_state=50).as_matrix(
+        ).reshape(n, W, 54).astype(np.float32)
+        acc = np.random.default_rng(51).normal(
+            scale=0.5, size=(n, W, 18)).astype(np.float32)
+
+        a = StreamingCascade(params3, cfg, model, window=W)
+        b = StreamingCascade(params3, cfg, model, window=W)
+        got = a.run_windows(ori, acc)
+        want = np.stack([np.asarray(b.step(ori[k], acc[k]))
+                         for k in range(n)])
+        np.testing.assert_allclose(got, want, atol=0)       # identical
+        for x, y in zip(jax.tree_util.tree_leaves(a._states),
+                        jax.tree_util.tree_leaves(b._states)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=0)
+
+        # streaming_predictions now routes plain sessions through it;
+        # partial-tail sensor-hold semantics unchanged
+        T = n * W - 3
+        flat_o = ori.reshape(-1, 54)[:T]
+        flat_a = acc.reshape(-1, 18)[:T]
+        a.reset()
+        pred = streaming_predictions(a, flat_o, flat_a)
+        assert pred.shape[0] == T
 
 
 class TestStreamingSessionBuffered:
