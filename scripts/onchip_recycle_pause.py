@@ -1,0 +1,267 @@
+r"""Client-observed RECYCLE PAUSE: live-checkpoint vs artifact serving.
+
+The state-preserving exec recycle (`serve --recycle_rss_mb` /
+`POST /v1/recycle`, the relay-leak mitigation validated by
+onchip_serve_soak_recycle.py) restarts the process; clients keep their
+slots and state but see an outage while the fresh process re-initializes
+the backend and re-compiles the serving program. This drill measures
+that outage the way a client sees it — the wall time of one step request
+issued immediately after `/v1/recycle` returns (the inherited listening
+socket queues the connection until the re-exec'd server accepts) — for
+the two deployment styles:
+
+  * live checkpoints (`serve --path ...`): the pause pays backend init
+    + a full live trace/lower/compile of the serving program.
+  * artifact (`serve --artifact ...`): the pause pays backend init + the
+    deserialized-program compile only (~8-15 s on chip,
+    docs/validation/EXPORT_ONCHIP.md) — export already paid lowering.
+
+Also re-checks program continuity: a fresh slot's step on a fixed window
+returns the same bytes before and after the recycle (zero state + same
+params ⇒ bit-equal poses).
+
+Artifacts: docs/validation/RECYCLE_PAUSE.{md,json}.
+Single-tenant chip: run serially (never alongside another chip process).
+
+    python scripts/onchip_recycle_pause.py
+CPU smoke (tiny nets, xla-backend artifact):
+    JAX_PLATFORMS=cpu HU=8 python scripts/onchip_recycle_pause.py
+"""
+
+import http.client
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+OUT = os.path.join(ROOT, "docs", "validation")
+
+HU = int(os.environ.get("HU", "256"))
+W = int(os.environ.get("W", "60"))
+STREAMS = 8
+SMOKE = os.environ.get("JAX_PLATFORMS") == "cpu"
+
+
+def _req(addr, method, path, body=None, timeout=900):
+    conn = http.client.HTTPConnection(*addr, timeout=timeout)
+    try:
+        conn.request(method, path,
+                     body=None if body is None else json.dumps(body),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        return resp.status, json.loads(resp.read())
+    finally:
+        conn.close()
+
+
+def _bin_step(addr, slot, ori, acc, timeout=900):
+    body = (np.asarray([slot], "<u4").tobytes()
+            + np.ascontiguousarray(ori, "<f4").tobytes()
+            + np.ascontiguousarray(acc, "<f4").tobytes())
+    conn = http.client.HTTPConnection(*addr, timeout=timeout)
+    try:
+        conn.request("POST", "/v1/step", body=body,
+                     headers={"Content-Type": "application/octet-stream"})
+        resp = conn.getresponse()
+        raw = resp.read()
+        if resp.status != 200:
+            raise RuntimeError(f"step {resp.status}: {raw[:200]!r}")
+        return np.frombuffer(raw, "<f4")
+    finally:
+        conn.close()
+
+
+def _serve_env():
+    env = dict(os.environ)
+    if SMOKE:
+        # keep the CPU smoke's server off the single-tenant chip: env
+        # alone doesn't beat the axon sitecustomize — drop it
+        env["PYTHONPATH"] = ROOT
+    return env
+
+
+def _spawn(args_tail, err_path):
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "a3gc_tpu.cli", "serve"] + args_tail
+        + ["--port", "0"],
+        stdout=subprocess.PIPE, stderr=open(err_path, "w"),
+        text=True, env=_serve_env())
+    info = json.loads(proc.stdout.readline())
+    host, port = info["serving"].rsplit("//", 1)[1].rsplit(":", 1)
+    return proc, (host, int(port))
+
+
+def _drill(name, args_tail, work, probe_ori, probe_acc):
+    r"""Spawn → time cold start → probe → recycle → time pause → probe."""
+    proc, addr = _spawn(args_tail, os.path.join(work, f"{name}.err"))
+    print(f"[{name}] serving on {addr}", flush=True)
+    try:
+        # cold start: first step pays backend init + compile
+        _, out = _req(addr, "POST", "/v1/session")
+        slot = out["slot"]
+        t0 = time.time()
+        pre = _bin_step(addr, slot, probe_ori, probe_acc)
+        cold = time.time() - t0
+        print(f"[{name}] cold start {cold:.1f}s", flush=True)
+        # steady-state request for contrast
+        t0 = time.time()
+        _bin_step(addr, slot, probe_ori, probe_acc)
+        warm = time.time() - t0
+        # a second slot holds CARRIED state across the recycle: step it
+        # once pre-recycle, once post — the post step must differ from
+        # the first (state advanced), proving restore didn't zero it
+        _, out2 = _req(addr, "POST", "/v1/session")
+        slot2 = out2["slot"]
+        carried_pre = _bin_step(addr, slot2, probe_ori, probe_acc)
+
+        st, _ = _req(addr, "POST", "/v1/recycle")
+        assert st == 200, f"recycle returned {st}"
+        t0 = time.time()
+        # a FRESH slot post-recycle: zero state + same params ⇒ its first
+        # step must equal the pre-recycle first step bit-for-bit
+        deadline = time.time() + 1800
+        post = None
+        while time.time() < deadline:
+            try:
+                st, out = _req(addr, "POST", "/v1/session", timeout=30)
+                if st != 200:
+                    time.sleep(1.0)
+                    continue
+                post = _bin_step(addr, out["slot"], probe_ori, probe_acc,
+                                 timeout=900)
+                break
+            except Exception:
+                time.sleep(1.0)
+        pause = time.time() - t0
+        assert post is not None, f"{name}: no recovery within 30 min"
+        print(f"[{name}] recycle pause {pause:.1f}s", flush=True)
+        carried_post = _bin_step(addr, slot2, probe_ori, probe_acc)
+        return {
+            "config": name,
+            "cold_start_s": round(cold, 1),
+            "warm_step_s": round(warm, 3),
+            "recycle_pause_s": round(pause, 1),
+            "fresh_slot_bit_equal": bool(np.array_equal(pre, post)),
+            "carried_state_advanced": bool(
+                not np.array_equal(carried_post, carried_pre)),
+        }
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
+def main():
+    # the orchestrator stays OFF the chip (single-tenant)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax._src.xla_bridge as xb
+    if not xb.backends_are_initialized():
+        xb._backend_factories.pop("axon", None)
+
+    from scipy.spatial.transform import Rotation
+
+    from a3gc_tpu.data import load_adjacency_template
+    from a3gc_tpu.models import nets as N
+    from a3gc_tpu.models.pipeline import (CascadeConfig, PoseNetConfig,
+                                          init_pose_net)
+    from a3gc_tpu.smpl import write_synthetic_smpl_pickle
+    from a3gc_tpu.utils import save_params
+
+    work = tempfile.mkdtemp(prefix="a3gc_recycle_pause_")
+    nira = load_adjacency_template()
+
+    def g(ui, uo, h, rot):
+        return PoseNetConfig(net=N.GraphNetConfig(
+            cell="a3gc", units_in=ui, units_out=uo, units_hidden=h),
+            rotsize=rot)
+
+    cfg = CascadeConfig(stage1=g(12, 3, HU, 3),
+                        stage2=g(15, 3, max(HU // 4, 8), 3),
+                        stage3=g(15, 9, max(HU // 2, 8), 9))
+    for i, c in enumerate((cfg.stage1, cfg.stage2, cfg.stage3)):
+        save_params(init_pose_net(jax.random.PRNGKey(i), c, nira),
+                    os.path.join(work, "ckpts"), i + 1, 0,
+                    finetuning=True)
+    smpl = write_synthetic_smpl_pickle(os.path.join(work, "smpl.pkl"),
+                                       n_vertices=432)
+
+    size = ["--hu1", str(HU), "--hu2", str(max(HU // 4, 8)),
+            "--hu3", str(max(HU // 2, 8))]
+    base = ["--path", os.path.join(work, "ckpts"), "--smpl", smpl,
+            "--window", str(W), "--streams", str(STREAMS)]
+
+    # export the deployment artifact once (chip: pallas Mosaic kernels;
+    # CPU smoke: portable xla) — the artifact server's recycle pays only
+    # the deserialized compile
+    art = os.path.join(work, "artifact")
+    backend = "xla" if SMOKE else "pallas"
+    t0 = time.time()
+    r = subprocess.run(
+        [sys.executable, "-m", "a3gc_tpu.cli", "export"] + size + [
+            "--path", os.path.join(work, "ckpts"), "--smpl", smpl,
+            "--window", str(W), "--streams", str(STREAMS),
+            "--backend", backend, "--output", art],
+        env=_serve_env(), cwd=ROOT)
+    assert r.returncode == 0, "export failed"
+    export_s = round(time.time() - t0, 1)
+    print(f"[export] {backend} artifact in {export_s}s", flush=True)
+
+    rng = np.random.default_rng(0)
+    probe_ori = Rotation.random(W * 6, random_state=1).as_matrix() \
+        .reshape(W, 54).astype(np.float32)
+    probe_acc = rng.normal(scale=0.5, size=(W, 18)).astype(np.float32)
+
+    rows = [
+        _drill("live_checkpoints", size + base, work, probe_ori,
+               probe_acc),
+        _drill("artifact",
+               ["--artifact", art, "--streams", str(STREAMS),
+                "--window", str(W)], work, probe_ori, probe_acc),
+    ]
+
+    result = {"window": W, "streams": STREAMS, "hu1": HU,
+              "backend": backend, "export_s": export_s,
+              "smoke": SMOKE, "rows": rows}
+    os.makedirs(OUT, exist_ok=True)
+    with open(os.path.join(OUT, "RECYCLE_PAUSE.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    live, arti = rows
+    md = f"""# Recycle pause: live checkpoints vs deployment artifact
+
+One step request issued the moment `POST /v1/recycle` returns — the
+client-observed outage of the state-preserving exec recycle
+(`--recycle_rss_mb` / SERVE_SOAK_RECYCLE.md), for the two deployment
+styles ({STREAMS}-slot server, W={W}, real net sizes).
+
+| config | cold start | warm step | recycle pause | fresh-slot bit-equal | carried state advanced |
+|---|---|---|---|---|---|
+| live checkpoints | {live['cold_start_s']} s | {live['warm_step_s'] * 1e3:.0f} ms | **{live['recycle_pause_s']} s** | {live['fresh_slot_bit_equal']} | {live['carried_state_advanced']} |
+| artifact | {arti['cold_start_s']} s | {arti['warm_step_s'] * 1e3:.0f} ms | **{arti['recycle_pause_s']} s** | {arti['fresh_slot_bit_equal']} | {arti['carried_state_advanced']} |
+
+The artifact server's pause skips trace+lowering (paid once at
+`cli export`, {export_s} s here): deployments that need tight recycle
+windows should serve `--artifact` (docs/validation/EXPORT_ONCHIP.md
+measured ~8 s deserialized compile vs ~5-6 min live on chip).
+Program continuity holds in both: a fresh slot reproduces the exact
+pre-recycle bytes, and a slot with carried state resumes from its
+restored (not zeroed) state.
+
+Raw: RECYCLE_PAUSE.json.
+"""
+    with open(os.path.join(OUT, "RECYCLE_PAUSE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps(result, indent=1))
+    print("wrote", os.path.join(OUT, "RECYCLE_PAUSE.md"))
+
+
+if __name__ == "__main__":
+    main()
