@@ -469,7 +469,21 @@ class PoseServer:
                     slot = batcher.acquire()
                     if slot is None:
                         return self._json(503, {"error": "no free slots"})
-                    return self._json(200, {"slot": slot, "window": W})
+                    try:
+                        return self._json(200,
+                                          {"slot": slot, "window": W})
+                    except OSError:
+                        # the client gave up before the response landed
+                        # (typical for acquires queued in the listening
+                        # socket's backlog across a recycle pause): it
+                        # never learned the slot id, so delivering it
+                        # would leak the slot forever — un-acquire. The
+                        # slot was never stepped, so its state is still
+                        # the reset one from its previous release.
+                        with batcher.lock:
+                            batcher.results.pop(slot, None)
+                            batcher.free.add(slot)
+                        raise
                 if self.path == "/v1/reload":
                     # checkpoint hot-reload: re-discover + swap the cascade
                     # params without dropping sessions (their carried

@@ -49,6 +49,11 @@ RSS_LIMIT_MB = int(os.environ.get("RSS_LIMIT_MB", "3600"))
 HU = int(os.environ.get("HU", "256"))
 W = int(os.environ.get("W", "60"))
 STREAMS = 8
+# ARTIFACT=1 soaks the RECOMMENDED deployment config: `serve --artifact
+# --recycle_rss_mb` (exported program; ~22 s recycle pauses instead of
+# minutes — docs/validation/RECYCLE_PAUSE.md)
+ARTIFACT = os.environ.get("ARTIFACT", "") == "1"
+TAG = "_ARTIFACT" if ARTIFACT else ""
 
 
 def rss_mb(pid: int) -> float:
@@ -132,13 +137,29 @@ def main():
     # sitecustomize or the 'cpu' server lands on the single-tenant chip
     if env.get("JAX_PLATFORMS") == "cpu":
         env["PYTHONPATH"] = ROOT
+    size = ["--hu1", str(HU), "--hu2", str(max(HU // 4, 8)),
+            "--hu3", str(max(HU // 2, 8))]
+    if ARTIFACT:
+        # the RECOMMENDED production config behind the relay: artifact
+        # serving (recycle pause ~22 s, RECYCLE_PAUSE.md) + RSS watchdog
+        art = os.path.join(work, "artifact")
+        backend = "xla" if env.get("JAX_PLATFORMS") == "cpu" else "pallas"
+        r = subprocess.run(
+            [sys.executable, "-m", "a3gc_tpu.cli", "export"] + size + [
+                "--path", os.path.join(work, "ckpts"), "--smpl", smpl,
+                "--window", str(W), "--streams", str(STREAMS),
+                "--backend", backend, "--output", art],
+            env=env, cwd=ROOT)
+        assert r.returncode == 0, "export failed"
+        serve_args = ["--artifact", art, "--streams", str(STREAMS),
+                      "--window", str(W)]
+    else:
+        serve_args = size + ["--path", os.path.join(work, "ckpts"),
+                             "--smpl", smpl, "--window", str(W),
+                             "--streams", str(STREAMS)]
     proc = subprocess.Popen(
-        [sys.executable, "-m", "a3gc_tpu.cli", "serve",
-         "--hu1", str(HU), "--hu2", str(max(HU // 4, 8)),
-         "--hu3", str(max(HU // 2, 8)),
-         "--path", os.path.join(work, "ckpts"), "--smpl", smpl,
-         "--window", str(W), "--streams", str(STREAMS), "--port", "0",
-         "--recycle_rss_mb", str(RSS_LIMIT_MB)],
+        [sys.executable, "-m", "a3gc_tpu.cli", "serve"] + serve_args
+        + ["--port", "0", "--recycle_rss_mb", str(RSS_LIMIT_MB)],
         stdout=subprocess.PIPE, stderr=open(
             os.path.join(work, "server.err"), "w"),
         text=True, env=env)
@@ -222,6 +243,7 @@ def main():
     time.sleep(2.0)
 
     result = {
+        "artifact_serving": ARTIFACT,
         "soak_seconds": SOAK_SECONDS,
         "rss_limit_mb": RSS_LIMIT_MB,
         "window": W, "streams": STREAMS, "hu1": HU,
@@ -239,13 +261,13 @@ def main():
     proc.wait(timeout=30)
 
     os.makedirs(OUT, exist_ok=True)
-    with open(os.path.join(OUT, "SERVE_SOAK_RECYCLE.json"), "w") as f:
+    with open(os.path.join(OUT, "SERVE_SOAK_RECYCLE" + TAG + ".json"), "w") as f:
         json.dump(result, f, indent=1)
     ok = (result["probes_bit_exact"] == result["probes"]
           and result["probes"] > 0)
-    md = f"""# Serving endurance with self-recycle (SERVE_SOAK v2)
+    md = f"""# Serving endurance with self-recycle (SERVE_SOAK v2{TAG.replace("_", ": ").lower()})
 
-`cli serve --recycle_rss_mb {RSS_LIMIT_MB}` on the chip for
+`cli serve {"--artifact " if ARTIFACT else ""}--recycle_rss_mb {RSS_LIMIT_MB}` on the chip for
 {SOAK_SECONDS} s, {STREAMS - 1} spamming clients + 1 probe slot.
 
 - requests served: {result['requests']} ({result['failures']} failures,
@@ -259,13 +281,13 @@ def main():
 - PID stable across recycles (exec, not respawn): {result['pid_stable']}
 
 Verdict: {'BOUNDED — the leak mitigation holds' if ok else 'REVIEW'}.
-Raw series: SERVE_SOAK_RECYCLE.json.
+Raw series: SERVE_SOAK_RECYCLE{TAG}.json.
 """
-    with open(os.path.join(OUT, "SERVE_SOAK_RECYCLE.md"), "w") as f:
+    with open(os.path.join(OUT, "SERVE_SOAK_RECYCLE" + TAG + ".md"), "w") as f:
         f.write(md)
     print(json.dumps({k: v for k, v in result.items()
                       if k != "rss_series"}, indent=1))
-    print("wrote", os.path.join(OUT, "SERVE_SOAK_RECYCLE.md"))
+    print("wrote", os.path.join(OUT, "SERVE_SOAK_RECYCLE" + TAG + ".md"))
 
 
 if __name__ == "__main__":

@@ -323,6 +323,67 @@ class TestRobustness:
             srv.shutdown()
 
 
+class TestAcquireUndeliverable:
+    def test_failed_acquire_response_returns_slot(self, setup, model):
+        """An acquire whose HTTP response cannot be delivered (client
+        abandoned the connection — typical for acquires queued in the
+        listening backlog across a recycle pause) must NOT leak the
+        slot: the client never learned its id, so the handler
+        un-acquires it (serve.py /v1/session OSError path)."""
+        import io
+
+        from a3gc_tpu.serve import PoseServer
+
+        cfg, params3 = setup
+        srv = PoseServer(params3, cfg, model, window=4, streams=2, port=0)
+        # httpd.shutdown() blocks unless serve_forever is running
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            handler_cls = srv.httpd.RequestHandlerClass
+
+            class _FailingWfile(io.RawIOBase):
+                def writable(self):
+                    return True
+
+                def write(self, b):
+                    raise BrokenPipeError(32, "client gone")
+
+                def flush(self):
+                    pass
+
+            class _FakeSock:
+                def __init__(self, raw):
+                    self._raw = raw
+
+                def makefile(self, mode, *a, **k):
+                    if "r" in mode:
+                        return io.BytesIO(self._raw)
+                    return _FailingWfile()
+
+                def sendall(self, b):
+                    raise BrokenPipeError(32, "client gone")
+
+                def close(self):
+                    pass
+
+                def shutdown(self, how):
+                    pass
+
+                def setsockopt(self, *a):
+                    pass
+
+            free_before = set(srv.batcher.free)
+            req = b"POST /v1/session HTTP/1.1\r\nHost: t\r\n\r\n"
+            try:
+                handler_cls(_FakeSock(req), ("127.0.0.1", 1), srv.httpd)
+            except OSError:
+                pass  # the broken pipe propagating out of the handler
+            assert set(srv.batcher.free) == free_before, (
+                "undeliverable acquire leaked a slot")
+        finally:
+            srv.shutdown()
+
+
 class TestServerOps:
     def test_stats_and_hot_reload(self, setup, model):
         """GET /v1/stats reports serving counters; POST /v1/reload swaps
