@@ -19,7 +19,10 @@ FAIL=0
 echo "== 1/4 wheel builds and installs standalone"
 if [ "${SKIP_WHEEL:-0}" != "1" ]; then
     rm -rf /tmp/release_gate_wheel
-    python -m pip wheel --no-deps -w /tmp/release_gate_wheel . -q
+    # --no-build-isolation: setuptools is baked into the image and the
+    # rig has zero egress (pip cannot reach pypi for an isolated env)
+    python -m pip wheel --no-deps --no-build-isolation \
+        -w /tmp/release_gate_wheel . -q
     ls /tmp/release_gate_wheel/*.whl
     python - <<'EOF'
 import zipfile, glob
