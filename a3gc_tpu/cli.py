@@ -40,13 +40,20 @@ QUALITY_PRESETS = {
     # trained-checkpoint divergence grid (docs/validation/
     # STREAMING_TRADEOFF.md) — one flag instead of three:
     #   latency:  (60, K=0, P=1) zero added latency, -38% divergence
-    #             vs plain windowing, 3x compute
-    #   balanced: (60, K=1, P=1) +1 window (1 s) latency, -79%, 4x
-    #   max:      (60, K=1, P=2) +1 window latency, -91% (0.37 deg
-    #             mean residual), 5x compute
+    #             vs plain windowing (2.45 deg mean), 3x compute
+    #   balanced: (60, K=1, P=1) +1 window (1 s) latency, -79%
+    #             (0.83 deg), 4x compute
+    #   max:      (60, K=1, P=4) SAME +1-window latency as balanced (P
+    #             is compute-only), -96% (0.18 deg mean), 7x compute —
+    #             maximal quality at the 1 s latency budget
+    #   ultra:    (120, 1, 2) latency-tolerant tier: 2 s windows + 2 s
+    #             lookahead = 4 s total latency, -99% (0.06 deg mean)
+    #             at only 5x compute — window size dominates K and P at
+    #             fixed compute (the round-4 grid finding)
     "latency": (60, 0, 1),
     "balanced": (60, 1, 1),
-    "max": (60, 1, 2),
+    "max": (60, 1, 4),
+    "ultra": (120, 1, 2),
 }
 
 
@@ -57,32 +64,39 @@ def _add_quality_flag(p):
                         "lookahead, history) bundle from the measured "
                         "divergence grid (STREAMING_TRADEOFF.md). "
                         "latency = zero added latency (-38%% divergence); "
-                        "balanced = +1 window latency (-79%%); max = +1 "
-                        "window latency, 5x compute (-91%%). Explicit "
+                        "balanced = +1 window (1 s) latency (-79%%); "
+                        "max = same 1 s latency, 7x compute (-96%%, "
+                        "0.18 deg mean); ultra = 4 s latency, 2 s "
+                        "windows (-99%%, 0.06 deg). Explicit "
                         "--window/--streaming/--lookahead/--history "
-                        "override the preset's components")
+                        "override the preset's components (an explicit "
+                        "0 wins over the preset)")
 
 
 def _apply_quality(args):
     r"""Resolve ``--quality`` into (window, lookahead, history): the
-    preset fills values the user left at their defaults; explicit flags
-    override its components. On ``evaluate`` the preset implies
-    ``--streaming``."""
-    if not getattr(args, "quality", None):
-        return
-    W, K, P = QUALITY_PRESETS[args.quality]
-    if getattr(args, "lookahead", None) == 0:
-        args.lookahead = K
-    if getattr(args, "history", None) == 0:
-        args.history = P
-    if hasattr(args, "streaming"):          # evaluate: implies --streaming
-        if not args.streaming:
-            args.streaming = W
-    elif isinstance(getattr(args, "window", None), list):   # export bundle
-        if args.window == [60]:
-            args.window = [W]
-    elif getattr(args, "window", None) is None:             # stream/serve
-        args.window = W
+    preset fills values the user left unset; explicit flags override its
+    components (``--lookahead``/``--history`` parse to None so an
+    explicit 0 is distinguishable from the default and wins over the
+    preset). On ``evaluate`` the preset implies ``--streaming``."""
+    if getattr(args, "quality", None):
+        W, K, P = QUALITY_PRESETS[args.quality]
+        if getattr(args, "lookahead", None) is None:
+            args.lookahead = K
+        if getattr(args, "history", None) is None:
+            args.history = P
+        if hasattr(args, "streaming"):      # evaluate: implies --streaming
+            if not args.streaming:
+                args.streaming = W
+        elif isinstance(getattr(args, "window", None), list):  # export
+            if args.window == [60]:
+                args.window = [W]
+        elif getattr(args, "window", None) is None:            # stream/serve
+            args.window = W
+    # no preset (or preset applied): unset K/P mean plain windowing
+    for attr in ("lookahead", "history"):
+        if getattr(args, attr, 0) is None:
+            setattr(args, attr, 0)
 
 
 def _add_common_model_flags(p):
@@ -1338,10 +1352,10 @@ def build_parser():
                         "(the cli stream/serve code path) and score the "
                         "emissions with the same 5-metric table — prices "
                         "a streaming deployment in the published metrics")
-    e.add_argument("--lookahead", type=int, default=0, metavar="K",
+    e.add_argument("--lookahead", type=int, default=None, metavar="K",
                    help="with --streaming: buffer K future windows before "
                         "each emission (+K windows latency)")
-    e.add_argument("--history", type=int, default=0, metavar="P",
+    e.add_argument("--history", type=int, default=None, metavar="P",
                    help="with --streaming: re-run up to P past windows as "
                         "leading context per emission (zero added latency)")
     e.set_defaults(fn=cmd_evaluate)
@@ -1360,7 +1374,8 @@ def build_parser():
     st.add_argument("--pipelined", action="store_true",
                     help="overlap device execution with the host round-trip "
                          "(results lag one window; hides per-call latency)")
-    st.add_argument("--lookahead", type=int, nargs="?", const=1, default=0,
+    st.add_argument("--lookahead", type=int, nargs="?", const=1,
+                    default=None,
                     metavar="K",
                     help="K-window lookahead (bare flag = 1): each emitted "
                          "window's backward direction also sees the next K "
@@ -1372,7 +1387,8 @@ def build_parser():
                          "the npz ground truth with the reference "
                          "5-metric table (the accuracy of THIS "
                          "window/lookahead/history configuration)")
-    st.add_argument("--history", type=int, nargs="?", const=1, default=0,
+    st.add_argument("--history", type=int, nargs="?", const=1,
+                    default=None,
                     metavar="P",
                     help="P-window history (bare flag = 1): each emission "
                          "re-runs up to P already-emitted past windows as "
@@ -1416,12 +1432,12 @@ def build_parser():
     ex.add_argument("--streams", type=int, nargs="+", default=[1],
                     help="serving slots compiled into the program "
                          "(several values -> bundle)")
-    ex.add_argument("--lookahead", type=int, default=0, metavar="K",
+    ex.add_argument("--lookahead", type=int, default=None, metavar="K",
                     help="also export the window multiples a lookahead-K "
                          "deployment needs ({W..(K+1)W} per stream count) "
                          "so `serve/stream --artifact --lookahead K` can "
                          "run buffered emissions from the bundle")
-    ex.add_argument("--history", type=int, default=0, metavar="P",
+    ex.add_argument("--history", type=int, default=None, metavar="P",
                     help="also export the window multiples a history-P "
                          "deployment needs ({W..(P+K+1)W} per stream "
                          "count) for `serve/stream --artifact --history`")
@@ -1490,13 +1506,13 @@ def build_parser():
     sv.add_argument("--mesh", action="store_true",
                     help="shard the serving slots over all devices' data "
                          "axis (multi-chip online serving)")
-    sv.add_argument("--lookahead", type=int, default=0,
+    sv.add_argument("--lookahead", type=int, default=None,
                     help="K-window lookahead: emissions lag K windows but "
                          "each emitted window's backward direction sees K "
                          "extra windows of future context (lower "
                          "streaming-vs-offline divergence; ~(K+2)x "
                          "compute)")
-    sv.add_argument("--history", type=int, default=0,
+    sv.add_argument("--history", type=int, default=None,
                     help="P-window history: emissions re-run up to P past "
                          "windows as leading attention context (lower "
                          "divergence at zero added latency; composes with "

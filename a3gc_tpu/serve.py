@@ -48,6 +48,7 @@ import os
 import pickle
 import socket
 import sys
+import tempfile
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -109,8 +110,15 @@ class _Batcher:
         self.lock = threading.Lock()
         self.cond = threading.Condition(self.lock)
         self.free = set(range(streams))
-        self.pending = {}           # slot -> (ori, acc)
+        self.pending = {}           # slot -> (ori, acc, seq | None)
         self.results = {}           # slot -> pose | ("error", msg)
+        # at-most-once window application: clients may tag each step with
+        # a per-slot sequence number; a retried already-applied window
+        # (typical after an exec-recycle ate the response) is answered
+        # from this cache instead of re-stepped — re-stepping would apply
+        # the window to the carried state a SECOND time
+        self.seq_applied = {}       # slot -> last applied seq
+        self.seq_result = {}        # slot -> its (non-error) result
         self.releasing = set()      # slots whose reset the dispatcher owes
         self.flushing = set()       # slots whose lookahead-tail drain the
                                     # dispatcher owes (see flush())
@@ -137,6 +145,8 @@ class _Batcher:
                 return None
             slot = self.free.pop()
             self.results.pop(slot, None)   # drop any orphan of a dead waiter
+            self.seq_applied.pop(slot, None)
+            self.seq_result.pop(slot, None)
             return slot
 
     def release(self, slot: int) -> bool:
@@ -153,7 +163,8 @@ class _Batcher:
                 self.cond.wait(timeout=0.1)
             return True
 
-    def step(self, slot: int, ori: np.ndarray, acc: np.ndarray):
+    def step(self, slot: int, ori: np.ndarray, acc: np.ndarray,
+             seq: Optional[int] = None):
         with self.cond:
             if not (0 <= slot < self.S) or slot in self.free \
                     or slot in self.releasing:
@@ -162,9 +173,14 @@ class _Batcher:
                 # both waiters share the results[slot] mailbox — a step
                 # racing a flush would cross-wire the two responses
                 raise ValueError(f"slot {slot} has a flush in flight")
+            if seq is not None and self.seq_applied.get(slot) == seq:
+                # retried already-applied window (the response was lost —
+                # e.g. across an exec-recycle): answer from the cache,
+                # do NOT advance the carried state a second time
+                return self.seq_result[slot]
             if self.recycling:
                 raise RuntimeError("server recycling; retry shortly")
-            self.pending[slot] = (ori, acc)
+            self.pending[slot] = (ori, acc, seq)
             self.cond.notify_all()
             while slot not in self.results:
                 self.cond.wait(timeout=0.1)
@@ -239,6 +255,18 @@ class _Batcher:
                    or self.flush_inflight or self.releasing
                    or self.reload_queue) and not self.stop:
                 self.cond.wait(timeout=0.1)
+            # also let waiter threads consume delivered results before the
+            # snapshot (bounded: a result whose waiter died stays orphaned
+            # forever — its client is gone and will never retry). Without
+            # this, a recycle racing a just-finished tick could execve
+            # before the responses were written; the clients would retry
+            # windows the snapshotted state had already absorbed. The seq
+            # cache (step(seq=)) makes such retries safe regardless; this
+            # wait keeps even untagged clients out of the race in practice.
+            deadline = time.monotonic() + 2.0
+            while self.results and not self.stop \
+                    and time.monotonic() < deadline:
+                self.cond.wait(timeout=0.05)
             return sorted(set(range(self.S)) - self.free)
 
     def stats(self) -> dict:
@@ -308,6 +336,8 @@ class _Batcher:
                     had_req |= self.results.pop(slot, _gone) is not _gone
                     if had_req:  # un-hang a step/flush racing the release
                         self.results[slot] = ("error", "session released")
+                    self.seq_applied.pop(slot, None)
+                    self.seq_result.pop(slot, None)
                     self.free.add(slot)
                 if self.releasing:
                     self.releasing.clear()
@@ -346,9 +376,9 @@ class _Batcher:
                     self.flush_inflight.difference_update(flush_now)
                     self.cond.notify_all()
                 continue
-            ori = np.stack([batch.get(i, (zero_o, zero_a))[0]
+            ori = np.stack([batch.get(i, (zero_o, zero_a, None))[0]
                             for i in range(self.S)])
-            acc = np.stack([batch.get(i, (zero_o, zero_a))[1]
+            acc = np.stack([batch.get(i, (zero_o, zero_a, None))[1]
                             for i in range(self.S)])
             active = np.asarray([1.0 if i in batch else 0.0
                                  for i in range(self.S)], np.float32)
@@ -388,6 +418,13 @@ class _Batcher:
                     else:
                         self.results[i] = (poses[i] if self.S > 1
                                            else poses)
+                    seq = batch[i][2]
+                    if seq is not None and not err:
+                        # the window is now applied to i's carried state;
+                        # remember (seq, result) so a retry of THIS window
+                        # is answered from cache instead of re-applied
+                        self.seq_applied[i] = seq
+                        self.seq_result[i] = self.results[i]
                 self.cond.notify_all()
 
 
@@ -435,11 +472,25 @@ class PoseServer:
         restore = os.environ.pop(_RESTORE_ENV, None)
         if restore and os.path.exists(restore):
             with open(restore, "rb") as f:
+                # unpickling is code execution: refuse a snapshot that is
+                # not OURS and PRIVATE (mkstemp wrote it 0600 — a swapped
+                # file in a shared /tmp fails one of these checks)
+                st = os.fstat(f.fileno())
+                if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+                    raise RuntimeError(
+                        f"refusing recycle snapshot {restore}: owned by "
+                        f"uid {st.st_uid} with mode {oct(st.st_mode)} "
+                        f"(need our uid and no group/other access)")
                 snap = pickle.load(f)
             session_restore(sess, snap["session"])
             with self.batcher.lock:
                 for slot in snap["occupied"]:
                     self.batcher.free.discard(slot)
+                for slot, (seq, res) in snap.get("seq", {}).items():
+                    # carried so a window retried ACROSS the recycle is
+                    # answered from cache, not re-applied to the state
+                    self.batcher.seq_applied[slot] = seq
+                    self.batcher.seq_result[slot] = res
             os.unlink(restore)
             print(f"[a3gc_tpu.serve] recycled: restored "
                   f"{len(snap['occupied'])} live session(s)",
@@ -563,25 +614,40 @@ class PoseServer:
                               == "application/octet-stream")
                     try:
                         raw = self.rfile.read(n)
+                        seq = None
                         if binary:
                             need = 4 + 4 * W * (54 + 18)
-                            if len(raw) != need:
+                            if len(raw) == need + 4:
+                                # extended header: uint32 slot + uint32 seq
+                                # (per-slot window sequence number; a
+                                # retried already-applied seq is answered
+                                # from cache — see _Batcher.step)
+                                head = np.frombuffer(raw, "<u4", 2)
+                                slot, seq = int(head[0]), int(head[1])
+                                off = 8
+                            elif len(raw) == need:
+                                slot = int(np.frombuffer(raw, "<u4", 1)[0])
+                                off = 4
+                            else:
                                 raise ValueError(
                                     f"need {need} bytes: uint32 slot + "
-                                    f"f32 ori[{W},54] + f32 acc[{W},18]")
-                            slot = int(np.frombuffer(raw, "<u4", 1)[0])
-                            flat = np.frombuffer(raw, "<f4", offset=4)
+                                    f"f32 ori[{W},54] + f32 acc[{W},18] "
+                                    f"(or {need + 4} with a uint32 seq "
+                                    f"after the slot)")
+                            flat = np.frombuffer(raw, "<f4", offset=off)
                             ori = flat[:W * 54].reshape(W, 54)
                             acc = flat[W * 54:].reshape(W, 18)
                         else:
                             req = json.loads(raw)
                             slot = int(req["slot"])
+                            if req.get("seq") is not None:
+                                seq = int(req["seq"])
                             ori = np.asarray(req["ori"], np.float32)
                             acc = np.asarray(req["acc"], np.float32)
                         if ori.shape != (W, 54) or acc.shape != (W, 18):
                             raise ValueError(
                                 f"need ori [{W},54] and acc [{W},18]")
-                        pose = batcher.step(slot, ori, acc)
+                        pose = batcher.step(slot, ori, acc, seq=seq)
                     except (KeyError, ValueError, TypeError) as e:
                         return self._json(400, {"error": str(e)})
                     except RuntimeError as e:
@@ -682,12 +748,18 @@ class PoseServer:
         retry requests that land in it."""
         while True:
             time.sleep(10.0)
-            if self._recycle_unsupported is None \
-                    and self._rss_mb() > limit_mb:
+            with self._recycle_lock:
+                if self._recycling:
+                    # a recycle is already draining (quiesce can take
+                    # seconds waiting on an in-flight tick) — stop
+                    # watching instead of re-logging every 10 s
+                    return
+            if self._rss_mb() > limit_mb:
                 print(f"[a3gc_tpu.serve] RSS {self._rss_mb():.0f} MB > "
                       f"{limit_mb} MB — recycling", file=sys.stderr,
                       flush=True)
                 self._do_recycle()
+                return          # only reached if a concurrent trigger won
 
     def _do_recycle(self):
         r"""Drain, snapshot, exec. Does not return."""
@@ -696,12 +768,19 @@ class PoseServer:
                 return
             self._recycling = True
         occupied = self.batcher.quiesce()
-        path = os.path.join(
-            os.environ.get("TMPDIR", "/tmp"),
-            f"a3gc_serve_recycle_{os.getpid()}.pkl")
-        with open(path, "wb") as f:
+        # mkstemp: 0600 + unpredictable name, so another local user in a
+        # shared /tmp can neither pre-create nor swap the snapshot between
+        # dump and load (the restore side re-verifies ownership/mode
+        # before unpickling — see PoseServer.__init__)
+        tmp_fd, path = tempfile.mkstemp(
+            prefix="a3gc_serve_recycle_", suffix=".pkl",
+            dir=os.environ.get("TMPDIR", "/tmp"))
+        with os.fdopen(tmp_fd, "wb") as f:
             pickle.dump({"session": session_snapshot(self.batcher.sess),
-                         "occupied": occupied}, f)
+                         "occupied": occupied,
+                         "seq": {s: (self.batcher.seq_applied[s],
+                                     self.batcher.seq_result.get(s))
+                                 for s in self.batcher.seq_applied}}, f)
         fd = self.httpd.fileno()
         os.set_inheritable(fd, True)
         env = dict(os.environ)

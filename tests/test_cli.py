@@ -216,6 +216,36 @@ class TestQualityPresets:
         assert args.streaming == 30
         assert (args.lookahead, args.history) == (1, 1)
 
+    def test_explicit_zero_overrides_preset(self):
+        """ADVICE r4: an explicit --lookahead 0 / --history 0 must win
+        over the preset (the flags parse to None so 0 is
+        distinguishable from the default)."""
+        from a3gc_tpu.cli import _apply_quality, build_parser
+
+        args = build_parser().parse_args(
+            ["serve", "--quality", "balanced", "--lookahead", "0"])
+        _apply_quality(args)
+        assert args.lookahead == 0          # explicit zero, not preset K
+        assert args.history == 1            # preset still fills history
+
+        args = build_parser().parse_args(
+            ["stream", "--input", "x.npz", "--quality", "max",
+             "--history", "0"])
+        _apply_quality(args)
+        assert args.history == 0
+        assert args.lookahead == 1
+
+    def test_preset_values_track_measured_grid(self):
+        """The round-4 grid (STREAMING_TRADEOFF.md) obsoleted the r4
+        presets: max must be maximal at its +1-window latency budget
+        ((60,1,4) = 0.18 deg) and ultra exposes the window-dominates
+        finding ((120,1,2) = 0.058 deg at 5x compute)."""
+        from a3gc_tpu.cli import QUALITY_PRESETS
+
+        assert QUALITY_PRESETS["max"] == (60, 1, 4)
+        assert QUALITY_PRESETS["ultra"] == (120, 1, 2)
+        assert QUALITY_PRESETS["latency"][1] == 0   # zero added latency
+
     def test_no_quality_is_a_noop(self):
         from a3gc_tpu.cli import _apply_quality, build_parser
 

@@ -284,6 +284,111 @@ class TestBinaryProtocol:
             srv.shutdown()
 
 
+class TestSeqDedup:
+    """At-most-once window application (ADVICE r4): a step tagged with a
+    per-slot sequence number that was already applied is answered from
+    the cache, NOT re-applied to the carried state — the guard clients
+    need to retry safely across an exec-recycle that ate a response."""
+
+    def test_retried_seq_returns_cache_without_restep(self, setup, model):
+        from a3gc_tpu.eval.streaming import StreamingCascade
+        from a3gc_tpu.serve import PoseServer
+        from scipy.spatial.transform import Rotation
+
+        cfg, params3 = setup
+        W = 5
+        srv = PoseServer(params3, cfg, model, window=W, streams=2, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        addr = srv.address
+        try:
+            ori = Rotation.random(2 * W * 6, random_state=40).as_matrix(
+            ).reshape(2, W, 54).astype(np.float32)
+            acc = np.random.default_rng(41).normal(
+                scale=0.5, size=(2, W, 18)).astype(np.float32)
+            _, info = _request(addr, "POST", "/v1/session")
+            slot = info["slot"]
+
+            st, out0 = _request(addr, "POST", "/v1/step", {
+                "slot": slot, "seq": 0, "ori": ori[0].tolist(),
+                "acc": acc[0].tolist()})
+            assert st == 200
+            # retry the SAME seq (garbage payload: it must not be applied)
+            st, retry = _request(addr, "POST", "/v1/step", {
+                "slot": slot, "seq": 0,
+                "ori": np.zeros((W, 54)).tolist(),
+                "acc": np.zeros((W, 18)).tolist()})
+            assert st == 200
+            np.testing.assert_array_equal(
+                np.asarray(retry["pose"], np.float32),
+                np.asarray(out0["pose"], np.float32))
+            # the next window proves the state advanced exactly once
+            st, out1 = _request(addr, "POST", "/v1/step", {
+                "slot": slot, "seq": 1, "ori": ori[1].tolist(),
+                "acc": acc[1].tolist()})
+            assert st == 200
+            ref = StreamingCascade(params3, cfg, model, window=W)
+            w0 = ref.step(ori[0], acc[0])
+            w1 = ref.step(ori[1], acc[1])
+            np.testing.assert_allclose(
+                np.asarray(out0["pose"], np.float32), w0, atol=3e-5)
+            np.testing.assert_allclose(
+                np.asarray(out1["pose"], np.float32), w1, atol=3e-5)
+
+            # release clears the seq cache: a NEW session reusing the slot
+            # with the same seq numbers must not see stale results
+            _request(addr, "DELETE", f"/v1/session/{slot}")
+            _, info2 = _request(addr, "POST", "/v1/session")
+            st, fresh = _request(addr, "POST", "/v1/step", {
+                "slot": info2["slot"], "seq": 0, "ori": ori[1].tolist(),
+                "acc": acc[1].tolist()})
+            assert st == 200
+            ref2 = StreamingCascade(params3, cfg, model, window=W)
+            np.testing.assert_allclose(
+                np.asarray(fresh["pose"], np.float32),
+                ref2.step(ori[1], acc[1]), atol=3e-5)
+        finally:
+            srv.shutdown()
+
+    def test_binary_seq_header(self, setup, model):
+        """Binary wire format: uint32 slot + uint32 seq + payload (4
+        bytes longer than the untagged form) — retried seq bit-equal."""
+        from a3gc_tpu.serve import PoseServer
+        from scipy.spatial.transform import Rotation
+
+        cfg, params3 = setup
+        W = 5
+        srv = PoseServer(params3, cfg, model, window=W, streams=2, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        addr = srv.address
+        try:
+            ori = Rotation.random(W * 6, random_state=42).as_matrix(
+            ).reshape(W, 54).astype(np.float32)
+            acc = np.random.default_rng(43).normal(
+                scale=0.5, size=(W, 18)).astype(np.float32)
+            _, info = _request(addr, "POST", "/v1/session")
+            slot = info["slot"]
+
+            def bin_step(payload):
+                conn = http.client.HTTPConnection(*addr, timeout=30)
+                conn.request("POST", "/v1/step", body=payload,
+                             headers={"Content-Type":
+                                      "application/octet-stream"})
+                resp = conn.getresponse()
+                out = resp.read()
+                conn.close()
+                return resp.status, out
+
+            body = (np.asarray([slot, 7], "<u4").tobytes()
+                    + ori.astype("<f4").tobytes()
+                    + acc.astype("<f4").tobytes())
+            st, out0 = bin_step(body)
+            assert st == 200
+            st, retry = bin_step(body)
+            assert st == 200 and retry == out0
+        finally:
+            srv.shutdown()
+
+
 class TestRobustness:
     def test_invalid_slots_rejected_server_survives(self, setup, model):
         """Unacquired/out-of-range slots -> 4xx, and the dispatcher keeps
@@ -966,7 +1071,7 @@ class TestRecycleE2E:
             assert st == 200, info
             slot = info["slot"]
             st, out0 = _request(addr, "POST", "/v1/step", {
-                "slot": slot, "ori": ori[0].tolist(),
+                "slot": slot, "seq": 0, "ori": ori[0].tolist(),
                 "acc": acc[0].tolist()})
             assert st == 200, out0
 
@@ -987,8 +1092,20 @@ class TestRecycleE2E:
                     _time.sleep(2.0)
             assert stats["active_sessions"] == 1    # the slot survived
 
+            # the seq cache survived the exec handoff: retrying window
+            # 0's seq against the RESTORED process answers from cache
+            # (identical pose) instead of re-applying the window to the
+            # already-advanced carried state (ADVICE r4 medium)
+            st, replay = _request(addr, "POST", "/v1/step", {
+                "slot": slot, "seq": 0, "ori": ori[0].tolist(),
+                "acc": acc[0].tolist()})
+            assert st == 200, replay
+            np.testing.assert_array_equal(
+                np.asarray(replay["pose"], np.float32),
+                np.asarray(out0["pose"], np.float32))
+
             st, out1 = _request(addr, "POST", "/v1/step", {
-                "slot": slot, "ori": ori[1].tolist(),
+                "slot": slot, "seq": 1, "ori": ori[1].tolist(),
                 "acc": acc[1].tolist()})
             assert st == 200, out1
 
