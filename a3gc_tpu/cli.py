@@ -73,6 +73,15 @@ def _add_quality_flag(p):
                         "0 wins over the preset)")
 
 
+def _require(cond, msg):
+    r"""Validate user input: exit with an actionable message instead of
+    an assert (which vanishes under ``python -O`` and then surfaces as
+    an opaque downstream error). ADVICE r3/r4 pattern, applied to every
+    user-reachable precondition."""
+    if not cond:
+        raise SystemExit(f"error: {msg}")
+
+
 def _apply_quality(args):
     r"""Resolve ``--quality`` into (window, lookahead, history): the
     preset fills values the user left unset; explicit flags override its
@@ -214,9 +223,9 @@ def cmd_train(args):
         # backend use — jax.devices() then lists every process's chips
         # and the mesh below spans them all (parallel/multihost.py)
         from a3gc_tpu.parallel import initialize_multihost
-        assert not getattr(args, "fse", False), (
-            "--fse full-sequence validation is single-process "
-            "(unsharded batch-1 jits); drop it for --coordinator runs")
+        _require(not getattr(args, "fse", False),
+                 "--fse full-sequence validation is single-process "
+                 "(unsharded batch-1 jits); drop it for --coordinator runs")
         pid, nproc = initialize_multihost(
             args.coordinator, args.num_processes, args.process_id)
         args.mesh = True        # the global mesh is the point
@@ -241,9 +250,10 @@ def cmd_train(args):
                      steps_per_dispatch=args.steps_per_dispatch,
                      eval_batch_size=args.eval_batch)
     if tc.steps_per_dispatch > 1:
-        assert args.device_data, (
-            "--steps_per_dispatch needs --device_data (the scanned steps "
-            "gather their batches from the device-resident corpus)")
+        _require(args.device_data,
+                 "--steps_per_dispatch needs --device_data (the scanned "
+                 "steps gather their batches from the device-resident "
+                 "corpus)")
 
     nira = load_adjacency_template()
     stats = _load_stats(args) if args.norm else None
@@ -271,7 +281,8 @@ def cmd_train(args):
     if args.mesh or args.tp > 1:
         from a3gc_tpu.config import MeshConfig
         n = jax.device_count()
-        assert n % args.tp == 0, f"--tp {args.tp} must divide {n} devices"
+        _require(n % args.tp == 0,
+                 f"--tp {args.tp} must divide {n} devices")
         mesh = make_mesh(MeshConfig(data=n // args.tp, model=args.tp))
     runners = {}
     stage_cfgs = {1: cascade.stage1, 2: cascade.stage2, 3: cascade.stage3}
@@ -349,19 +360,22 @@ def _train_dip(args, tc, train, valid, steps):
         # checkpoint's weights (finetuning restarts the epoch count)
         from a3gc_tpu.utils import discover_latest, restore_params
         found = discover_latest(args.resume, 1, phase=None)
-        assert found, f"no checkpoint found in {args.resume}"
+        _require(found, f"no checkpoint found in {args.resume}")
         params = restore_params(found[0], params)
         from a3gc_tpu.parallel import is_coordinator
         if is_coordinator():
             print(f"resumed from {found[0]}")
     stats = _load_stats(args)
-    assert stats is not None, "DIP training needs normalization stats"
+    _require(stats is not None,
+             "DIP training needs normalization stats (--norm with "
+             "shipped stats, or --data_root with stats files)")
     mesh = None
     if args.mesh or args.tp > 1:
         from a3gc_tpu.config import MeshConfig
         from a3gc_tpu.parallel import make_mesh
         n = jax.device_count()
-        assert n % args.tp == 0, f"--tp {args.tp} must divide {n} devices"
+        _require(n % args.tp == 0,
+                 f"--tp {args.tp} must divide {n} devices")
         mesh = make_mesh(MeshConfig(data=n // args.tp, model=args.tp))
     runner = DIPRunner(cfg, params, tc, steps, stats, mesh=mesh)
 
@@ -443,7 +457,8 @@ def _load_cascade_params(args, cascade, is_graph, nira):
             template = init_pose_net(jax.random.PRNGKey(i), scfg, nira)
             found = discover_latest(args.path, i + 1, phase=args.type,
                                     epoch=pins[i] if pins[i] >= 0 else None)
-            assert found, f"no checkpoint for stage {i+1} in {args.path}"
+            _require(found,
+                     f"no checkpoint for stage {i + 1} in {args.path}")
             params3.append(restore_params(found[0], template))
         else:
             # fresh init (benchmarking / smoke runs without checkpoints)
@@ -595,7 +610,7 @@ def _load_dip(args):
         template = init_pose_net(jax.random.PRNGKey(0), cfg)
         found = discover_latest(args.path, 1, phase=args.type,
                                 epoch=args.mid1 if args.mid1 >= 0 else None)
-        assert found, f"no DIP checkpoint in {args.path}"
+        _require(found, f"no DIP checkpoint in {args.path}")
         params = restore_params(found[0], template)
     return cfg, params
 
@@ -608,7 +623,9 @@ def _evaluate_dip(args, model):
 
     cfg, params = _load_dip(args)
     stats = _load_stats(args)
-    assert stats is not None, "DIP evaluation needs normalization stats"
+    _require(stats is not None,
+             "DIP evaluation needs normalization stats (--norm with "
+             "shipped stats, or --data_root with stats files)")
     if getattr(args, "mesh", False):
         print("[a3gc_tpu] --mesh is not wired for the single-net dip "
               "evaluator (KB-scale net, single-chip dispatch-bound); "
@@ -651,11 +668,12 @@ def cmd_stream(args):
     from a3gc_tpu.eval.streaming import StreamingCascade
 
     _apply_quality(args)
-    assert not (args.pipelined and (args.lookahead or args.history)), (
-        "--pipelined does not compose with --lookahead/--history "
-        "(both buffer windows); drop one")
-    assert not (args.evaluate and (args.streams or 1) > 1), (
-        "--evaluate runs the per-sequence streaming path; drop --streams")
+    _require(not (args.pipelined and (args.lookahead or args.history)),
+             "--pipelined does not compose with --lookahead/--history "
+             "(both buffer windows); drop one")
+    _require(not (args.evaluate and (args.streams or 1) > 1),
+             "--evaluate runs the per-sequence streaming path; drop "
+             "--streams")
     sequences = load_test_sequences(args.input)
     if args.artifact:
         # stream through a `cli export` deployment artifact: geometry from
@@ -664,26 +682,26 @@ def cmd_stream(args):
         from a3gc_tpu.export import (ArtifactLookaheadSession,
                                      ArtifactSession, ExportedBundle,
                                      load_exported)
-        assert not args.pipelined, (
-            "--pipelined drives the live session; artifacts use plain "
-            "step()")
+        _require(not args.pipelined,
+                 "--pipelined drives the live session; artifacts use "
+                 "plain step()")
         if args.lookahead or args.history:
             session = ArtifactLookaheadSession(
                 ExportedBundle(args.artifact), streams=args.streams,
                 window=args.window, lookahead=args.lookahead,
                 history=args.history)
-            assert session.streams == 1, (
-                "artifact lookahead/history streaming is single-stream "
-                "here; multi-client buffered serving is `serve "
-                "--artifact --lookahead/--history`")
+            _require(session.streams == 1,
+                     "artifact lookahead/history streaming is "
+                     "single-stream here; multi-client buffered serving "
+                     "is `serve --artifact --lookahead/--history`")
         else:
             session = ArtifactSession(load_exported(
                 args.artifact, streams=args.streams, window=args.window))
         args.window, args.streams = session.window, session.streams
         if session.streams > 1:
-            assert not args.evaluate, (
-                "--evaluate needs a single-stream session; select a "
-                "streams=1 geometry from the bundle (--streams 1)")
+            _require(not args.evaluate,
+                     "--evaluate needs a single-stream session; select "
+                     "a streams=1 geometry from the bundle (--streams 1)")
             return _stream_multi(args, None, None, None, None, sequences,
                                  session=session)
         W = args.window
@@ -701,10 +719,14 @@ def cmd_stream(args):
             print("[a3gc_tpu] --mesh is not wired for the single-net dip "
                   "session (KB-scale net — scale out by replication); "
                   "running single-device", file=sys.stderr)
-        assert not args.pipelined or not (args.lookahead or args.history)
+        _require(not args.pipelined
+                 or not (args.lookahead or args.history),
+                 "--pipelined does not compose with --lookahead/"
+                 "--history; drop one")
         model = _load_body_model(args)
         stats = _load_stats(args)
-        assert stats is not None, "dip streaming needs stats (--norm path)"
+        _require(stats is not None,
+                 "dip streaming needs stats (--norm path)")
         cfg, params = _load_dip(args)
         W = args.window
         sess = DipStreamingSession(params, cfg, model, window=W,
@@ -1060,7 +1082,8 @@ def cmd_serve(args):
                   "serving single-device", file=sys.stderr)
         model = _load_body_model(args)
         stats = _load_stats(args)
-        assert stats is not None, "dip serving needs stats (--norm path)"
+        _require(stats is not None,
+                 "dip serving needs stats (--norm path)")
         cfg, params = _load_dip(args)
         session = DipStreamingSession(
             params, cfg, model, window=args.window, stats=stats,
@@ -1190,7 +1213,7 @@ def cmd_convert(args):
 
     if args.to_torch:
         return _convert_to_torch(args)
-    assert args.torch, "give --torch (import) or --to_torch (export)"
+    _require(args.torch, "give --torch (import) or --to_torch (export)")
     sd = load_torch_checkpoint(args.torch)
     if args.model in ("tp", "dip"):
         params = dip_params_from_state_dict(sd)

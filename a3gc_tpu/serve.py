@@ -448,14 +448,15 @@ class PoseServer:
             # e.g. an export.ArtifactSession / ArtifactLookaheadSession
             # serving a deployment artifact (bundle)
             window, streams = session.window, session.streams
-            assert (getattr(session, "lookahead", 0) == lookahead
-                    and getattr(session, "history", 0) == history), (
-                f"session lookahead/history "
-                f"({getattr(session, 'lookahead', 0)}/"
-                f"{getattr(session, 'history', 0)}) != requested "
-                f"({lookahead}/{history}); buffered serving from an "
-                f"artifact needs an ArtifactLookaheadSession over a "
-                f"bundle exported with --lookahead/--history")
+            if (getattr(session, "lookahead", 0) != lookahead
+                    or getattr(session, "history", 0) != history):
+                raise ValueError(
+                    f"session lookahead/history "
+                    f"({getattr(session, 'lookahead', 0)}/"
+                    f"{getattr(session, 'history', 0)}) != requested "
+                    f"({lookahead}/{history}); buffered serving from an "
+                    f"artifact needs an ArtifactLookaheadSession over a "
+                    f"bundle exported with --lookahead/--history")
         sess = session
         # compile outside the serving path (buffered modes reach the
         # steady-state (P+K+1)·W emission program only on the
