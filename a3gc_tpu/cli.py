@@ -590,9 +590,11 @@ def cmd_evaluate(args):
         print(PoseEvaluator.format(mean))
 
 
-def _load_dip(args):
+def _load_dip(args, allow_init=False):
     r"""DIP net config + params, from --torch_checkpoints or --path
-    discovery (shared by evaluate/stream/serve --model dip)."""
+    discovery (shared by evaluate/stream/serve/export --model dip).
+    ``allow_init`` permits a fresh random init when no checkpoint source
+    is given (benchmarking / smoke exports, like the cascade loader)."""
     import jax
     from a3gc_tpu.compat import (dip_params_from_state_dict,
                                  load_torch_checkpoint)
@@ -606,6 +608,8 @@ def _load_dip(args):
     if args.torch_checkpoints:
         params = dip_params_from_state_dict(
             load_torch_checkpoint(args.torch_checkpoints[0]))
+    elif allow_init and not args.path:
+        params = init_pose_net(jax.random.PRNGKey(0), cfg)
     else:
         template = init_pose_net(jax.random.PRNGKey(0), cfg)
         found = discover_latest(args.path, 1, phase=args.type,
@@ -983,10 +987,20 @@ def cmd_export(args):
     nira = load_adjacency_template()
     cascade, is_graph = _stage_configs(
         args, precision=args.precision or "default")
-    assert cascade is not None, "--model dip is a single net; export the tp " \
-        "cascade or use convert-checkpoint for single nets"
-    params3 = _load_cascade_params(args, cascade, is_graph, nira)
-    stats = _load_stats(args) if args.norm else None
+    if cascade is None:
+        # single-net dip online program (ref: net_aagc.py:1022-1031,
+        # evaluate_dip.py:88-91): same artifact layout/serving stack,
+        # family='dip'; stats are baked in unconditionally (the dip
+        # input prep always normalizes, evaluate_dip.py:69)
+        stats = _load_stats(args)
+        _require(stats is not None,
+                 "dip export needs normalization stats (--norm with the "
+                 "shipped stats, or --data_root with stats files)")
+        net_cfg, net_params = _load_dip(args, allow_init=True)
+    else:
+        net_cfg, net_params = cascade, _load_cascade_params(
+            args, cascade, is_graph, nira)
+        stats = _load_stats(args) if args.norm else None
 
     geometries = [(s, w) for s in args.streams for w in args.window]
     if args.lookahead or args.history:
@@ -1009,7 +1023,7 @@ def cmd_export(args):
         # (streams, window) — a deployment serves every geometry from
         # one artifact (jax.export symbolic dims can't cover the stream
         # axis: the Mosaic kernels have static grids)
-        export_bundle(args.output, params3, cascade, model,
+        export_bundle(args.output, net_params, net_cfg, model,
                       geometries, stats=stats, normalize=args.norm,
                       backend=args.backend, platforms=args.platforms)
         total = sum(os.path.getsize(os.path.join(dp, f))
@@ -1020,14 +1034,21 @@ def cmd_export(args):
         return
 
     (streams, window), = geometries
-    exp_step, exp_init, manifest = export_streaming_cascade(
-        params3, cascade, model, window=window, streams=streams,
-        stats=stats, normalize=args.norm, backend=args.backend,
-        platforms=args.platforms)
+    if cascade is None:
+        from a3gc_tpu.export import export_streaming_dip
+        exp_step, exp_init, manifest = export_streaming_dip(
+            net_params, net_cfg, model, window=window, streams=streams,
+            stats=stats, backend=args.backend, platforms=args.platforms)
+    else:
+        exp_step, exp_init, manifest = export_streaming_cascade(
+            net_params, net_cfg, model, window=window, streams=streams,
+            stats=stats, normalize=args.norm, backend=args.backend,
+            platforms=args.platforms)
     save_exported(args.output, exp_step, exp_init, manifest)
     sizes = {f: os.path.getsize(os.path.join(args.output, f))
              for f in os.listdir(args.output)}
-    print(f"exported {manifest['family']} cascade "
+    print(f"exported {manifest['family']} "
+          f"{'net' if cascade is None else 'cascade'} "
           f"(window={manifest['window']}, streams={manifest['streams']}, "
           f"backend={manifest['backend']}, "
           f"platforms={','.join(manifest['platforms'])}) -> {args.output} "

@@ -45,7 +45,8 @@ from jax import export as jax_export
 from a3gc_tpu.eval.streaming import make_window_step
 from a3gc_tpu.models.pipeline import CascadeConfig
 
-__all__ = ["export_streaming_cascade", "save_exported", "load_exported",
+__all__ = ["export_streaming_cascade", "export_streaming_dip",
+           "save_exported", "load_exported",
            "ExportedCascade", "export_bundle", "ExportedBundle",
            "ArtifactSession", "ArtifactLookaheadSession",
            "lookahead_geometries"]
@@ -57,15 +58,19 @@ _BUNDLE = "bundle.json"
 _FORMAT_VERSION = 1
 
 
-def _override_backend(cfg: CascadeConfig, backend: str) -> CascadeConfig:
-    r"""Pin the scan backend of every stage net (GraphNetConfig.backend /
+def _override_backend(cfg, backend: str):
+    r"""Pin the scan backend of every net (GraphNetConfig.backend /
     DIPConfig.backend) so the exported lowering is deterministic instead of
     depending on the platform of the exporting process. A pallas export
     additionally pins ``pallas_interpret='never'``: interpret mode on a CPU
-    exporting host would silently bake plain XLA ops into the artifact."""
+    exporting host would silently bake plain XLA ops into the artifact.
+    Accepts a 3-stage :class:`CascadeConfig` or a single-net
+    ``PoseNetConfig`` (the dip export)."""
     net_kw = {"backend": backend}
     if backend == "pallas":
         net_kw["pallas_interpret"] = "never"
+    if not hasattr(cfg, "stage1"):          # single-net PoseNetConfig
+        return cfg.replace(net=cfg.net.replace(**net_kw))
     stages = {
         name: stage.replace(net=stage.net.replace(**net_kw))
         for name, stage in (("stage1", cfg.stage1), ("stage2", cfg.stage2),
@@ -92,25 +97,41 @@ def export_streaming_cascade(
     exported objects are ``jax.export.Exported`` (call ``.serialize()`` or
     use :func:`save_exported`). Parameters, stats, and the body model are
     closed over — they become constants of the StableHLO module."""
-    assert backend in ("xla", "pallas"), backend
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown backend {backend!r}")
     if platforms is None:
         platforms = ["tpu"] if backend == "pallas" else ["cpu", "tpu"]
-    if backend == "pallas":
-        assert list(platforms) == ["tpu"], (
-            "the Pallas kernels are Mosaic TPU programs; use "
-            "backend='xla' for a portable artifact")
+    if backend == "pallas" and list(platforms) != ["tpu"]:
+        raise ValueError("the Pallas kernels are Mosaic TPU programs; "
+                         "use backend='xla' for a portable artifact")
 
     cfg = _override_backend(cfg, backend)
     stats_j = ({k: jnp.asarray(v) for k, v in stats.items()}
                if (normalize and stats is not None) else None)
     step = make_window_step(cfg, model, stats_j)
     zero = _zero_states(cfg, streams)
+    exp_step, exp_init = _export_program(step, params3, zero, window,
+                                         streams, backend, platforms)
+    manifest = _base_manifest(
+        family=(cfg.stage1.net.cell if cfg.is_graph else "tp"),
+        window=window, streams=streams, rotsize=cfg.stage3.rotsize,
+        backend=backend, platforms=platforms,
+        normalized=bool(stats_j is not None))
+    return exp_step, exp_init, manifest
+
+
+def _export_program(step, params, zero, window: int, streams: int,
+                    backend: str, platforms):
+    r"""jax.export the windowed step + zero-state init over any step
+    function ``step(params, ori, acc, *states, active) -> (pose,
+    *states)`` with the states tuple ``zero`` (3-stage cascade or the
+    dip single net). Params (and everything ``step`` closes over —
+    stats, the body model) become constants of the StableHLO module."""
 
     def _step(ori, acc, states, active):
-        s1, s2, s3 = states
-        pose, s1, s2, s3 = step(params3, ori, acc, s1, s2, s3, active)
-        pose = pose.reshape((streams, window) + pose.shape[1:])
-        return pose, (s1, s2, s3)
+        out = step(params, ori, acc, *states, active)
+        pose = out[0].reshape((streams, window) + out[0].shape[1:])
+        return pose, tuple(out[1:])
 
     aval = lambda shape: jax.ShapeDtypeStruct(shape, jnp.float32)
     in_avals = (aval((streams, window, 54)), aval((streams, window, 18)),
@@ -133,17 +154,20 @@ def export_streaming_cascade(
                                      **kwargs)(*in_avals)
     exp_init = jax_export.export(jax.jit(lambda: zero),
                                  platforms=list(platforms))()
+    return exp_step, exp_init
 
-    rotsize = cfg.stage3.rotsize
-    manifest = {
+
+def _base_manifest(family: str, window: int, streams: int, rotsize: int,
+                   backend: str, platforms, normalized: bool) -> dict:
+    return {
         "format_version": _FORMAT_VERSION,
-        "family": (cfg.stage1.net.cell if cfg.is_graph else "tp"),
+        "family": family,
         "window": window,
         "streams": streams,
         "rotsize": rotsize,
         "backend": backend,
         "platforms": list(platforms),
-        "normalized": bool(stats_j is not None),
+        "normalized": normalized,
         "inputs": {
             "ori": [streams, window, 54], "acc": [streams, window, 18],
             "active": [streams],
@@ -151,6 +175,47 @@ def export_streaming_cascade(
         "outputs": {"pose": [streams, window, 24, 3, 3]},
         "jax_version": jax.__version__,
     }
+
+
+def export_streaming_dip(params, cfg, model, window: int = 60,
+                         streams: int = 1,
+                         stats: Optional[Dict[str, np.ndarray]] = None,
+                         backend: str = "xla",
+                         platforms: Optional[Sequence[str]] = None):
+    r"""Export the SINGLE-NET dip online program — the reference's dip
+    online mode (ref: net_aagc.py:1022-1031 ``forward(imu, rnn_state)``,
+    evaluate_dip.py:88-91) as a deployment artifact: one windowed step
+    (no-root trim → normalize → net → IK, carried state, per-slot
+    masking) with params, stats, and the body model baked in. Same
+    artifact layout/manifest as the cascade export, ``family='dip'``;
+    the runtime (:class:`ExportedCascade`, :class:`ArtifactSession`,
+    :class:`ArtifactLookaheadSession`) is generic over the carried state
+    tuple, so dip artifacts serve through the identical stack.
+
+    ``stats`` is MANDATORY (the dip input prep normalizes; there is no
+    un-normalized dip online mode, ref: evaluate_dip.py:69)."""
+    from a3gc_tpu.eval.streaming import make_dip_window_step
+    from a3gc_tpu.models import nets as N
+
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if stats is None:
+        raise ValueError("dip export needs normalization stats "
+                         "(evaluate_dip.py:69 normalizes unconditionally)")
+    if platforms is None:
+        platforms = ["tpu"] if backend == "pallas" else ["cpu", "tpu"]
+    if backend == "pallas" and list(platforms) != ["tpu"]:
+        raise ValueError("the Pallas kernels are Mosaic TPU programs; "
+                         "use backend='xla' for a portable artifact")
+
+    cfg = _override_backend(cfg, backend)
+    step = make_dip_window_step(cfg, model, stats)
+    zero = (N.dip_zero_state(cfg.net, streams),)
+    exp_step, exp_init = _export_program(step, params, zero, window,
+                                         streams, backend, platforms)
+    manifest = _base_manifest(
+        family="dip", window=window, streams=streams, rotsize=cfg.rotsize,
+        backend=backend, platforms=platforms, normalized=True)
     return exp_step, exp_init, manifest
 
 
@@ -193,13 +258,24 @@ def export_bundle(directory: str, params3: Tuple, cfg: CascadeConfig,
         s{S}_w{W}/manifest.json  ordinary single-geometry artifacts
         s{S}_w{W}/step.jaxexport
         s{S}_w{W}/init.jaxexport
+
+    ``cfg`` may be a 3-stage :class:`CascadeConfig` or a single-net
+    ``PoseNetConfig`` — the latter bundles dip online programs
+    (:func:`export_streaming_dip`; ``params3`` then holds the one net's
+    params and ``stats`` is mandatory).
     """
+    single_net = not hasattr(cfg, "stage1")
     index = {"format_version": _FORMAT_VERSION, "geometries": []}
     for streams, window in geometries:
-        exp_step, exp_init, manifest = export_streaming_cascade(
-            params3, cfg, model, window=window, streams=streams,
-            stats=stats, normalize=normalize, backend=backend,
-            platforms=platforms)
+        if single_net:
+            exp_step, exp_init, manifest = export_streaming_dip(
+                params3, cfg, model, window=window, streams=streams,
+                stats=stats, backend=backend, platforms=platforms)
+        else:
+            exp_step, exp_init, manifest = export_streaming_cascade(
+                params3, cfg, model, window=window, streams=streams,
+                stats=stats, normalize=normalize, backend=backend,
+                platforms=platforms)
         sub = f"s{streams}_w{window}"
         save_exported(os.path.join(directory, sub), exp_step, exp_init,
                       manifest)
