@@ -248,7 +248,9 @@ def cmd_train(args):
                      seed=args.seed, dtype=args.dtype,
                      accum_steps=args.accum,
                      steps_per_dispatch=args.steps_per_dispatch,
-                     eval_batch_size=args.eval_batch)
+                     eval_batch_size=args.eval_batch,
+                     keep_checkpoints=args.keep,
+                     min_save_delta=args.min_delta)
     if tc.steps_per_dispatch > 1:
         _require(args.device_data,
                  "--steps_per_dispatch needs --device_data (the scanned "
@@ -399,6 +401,7 @@ def _train_dip(args, tc, train, valid, steps):
     multihost = jax.process_count() > 1
 
     best, tol = float("inf"), 0
+    last_saved, written = float("inf"), []
     with GracefulInterrupt() as gi:
         _interrupted = interrupt_checker(gi, mesh)
         runner.interrupt = None if multihost else gi
@@ -421,8 +424,17 @@ def _train_dip(args, tc, train, valid, steps):
                  "valid_loss": valid_loss})
             if valid_loss < best:
                 best, tol = valid_loss, 0
-                save_params(runner.state.params, save_dir, 1, epoch,
-                            finetuning=tc.finetuning)
+                # same retention policy as run_cascade_training: bound
+                # disk, leave the early-stop bookkeeping untouched
+                if valid_loss < last_saved - tc.min_save_delta:
+                    path = save_params(runner.state.params, save_dir, 1,
+                                       epoch, finetuning=tc.finetuning)
+                    last_saved = valid_loss
+                    if tc.keep_checkpoints > 0:
+                        from a3gc_tpu.train.loop import _remove_checkpoint
+                        written.append(path)
+                        while len(written) > tc.keep_checkpoints:
+                            _remove_checkpoint(written.pop(0))
             else:
                 tol += 1
             if tol > tc.patience:
@@ -1297,6 +1309,20 @@ def build_parser():
                         "and hoists the input projections, so it can OOM "
                         "at batch sizes training fits; chunking bounds it "
                         "— the loss is the exact size-weighted mean")
+    t.add_argument("--keep", type=int, default=0, metavar="N",
+                   help="checkpoint retention: keep only the newest N "
+                        "improvement checkpoints this run writes "
+                        "(0 = reference behavior, keep all). Natural-stop "
+                        "runs at deep LR decay otherwise pile up 50+ "
+                        "noise-level improvements (docs/validation/"
+                        "TRAIN_NATURAL_STOP.md). Previous runs' files and "
+                        "preemption-interrupt checkpoints are never "
+                        "pruned; resume/discovery see the newest kept")
+    t.add_argument("--min_delta", type=float, default=0.0,
+                   help="checkpoint retention: only write an improvement "
+                        "checkpoint when the valid loss beats the last "
+                        "SAVED one by more than this (early stopping is "
+                        "unaffected — this bounds disk writes only)")
     t.add_argument("--lr", type=float, default=1e-3)
     t.add_argument("--weight-decay", "--wd", dest="weight_decay", type=float,
                    default=0.0,

@@ -162,6 +162,21 @@ class TrainConfig:
                                  # small-batch epochs on a relay-attached
                                  # TPU; losses are fetched per dispatch, so
                                  # logging granularity is unchanged.
+    keep_checkpoints: int = 0    # retention: keep only the newest N
+                                 # improvement checkpoints written by THIS
+                                 # run (0 = reference behavior, keep all,
+                                 # ref: train_a3gc_tp.py:254-258). Long
+                                 # natural-stop runs at deep LR decay
+                                 # otherwise pile up 50+ noise-level
+                                 # improvements (TRAIN_NATURAL_STOP.md).
+                                 # Checkpoints from previous runs and
+                                 # preemption/interrupt checkpoints are
+                                 # never pruned.
+    min_save_delta: float = 0.0  # retention: only WRITE an improvement
+                                 # checkpoint when valid loss improved on
+                                 # the last SAVED one by more than this
+                                 # (early-stop bookkeeping is unchanged —
+                                 # this bounds disk writes, not training)
     eval_batch_size: int = 0     # validation forward batch. 0 = auto:
                                  # min(batch_size, 128). Eval has no remat
                                  # (nothing to rematerialize without a

@@ -935,6 +935,7 @@ def run_cascade_training(
         # processes would break at different steps and diverge)
         runner.interrupt = None if multihost else interrupt
         best, tol = float("inf"), 0
+        last_saved, written = float("inf"), []
         for epoch in range(cfg.start_epoch, cfg.max_epochs):
             t0 = time.time()
             salt = stage * 10000 + epoch
@@ -961,10 +962,32 @@ def run_cascade_training(
                         "seconds": time.time() - t0})
             if valid_loss < best:
                 best, tol = valid_loss, 0
-                if save_fn:
-                    save_fn(stage, epoch, runner.state.params)
+                # retention (cfg.min_save_delta / cfg.keep_checkpoints):
+                # early-stop bookkeeping above is the reference's; only
+                # the DISK writes are bounded — skip checkpoints whose
+                # improvement over the last saved one is below min_delta,
+                # and prune improvement checkpoints this run wrote beyond
+                # the newest N (save_fn must return the path for pruning
+                # to engage; interrupt checkpoints go through the branch
+                # above and are never recorded here, so never pruned)
+                if save_fn and valid_loss < last_saved - cfg.min_save_delta:
+                    path = save_fn(stage, epoch, runner.state.params)
+                    last_saved = valid_loss
+                    if cfg.keep_checkpoints > 0 and isinstance(path, str):
+                        written.append(path)
+                        while len(written) > cfg.keep_checkpoints:
+                            _remove_checkpoint(written.pop(0))
             else:
                 tol += 1
             if tol > cfg.patience:
                 break
     return runners
+
+
+def _remove_checkpoint(path: str) -> None:
+    r"""Prune one orbax checkpoint directory (retention policy). Only
+    ever called on paths the CURRENT run's save_fn returned — resumed
+    runs never delete a previous run's checkpoints."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)

@@ -134,6 +134,72 @@ class TestCascadeDriver:
                   for s in salts]
         assert orders[0] != orders[1]           # epochs actually reshuffle
 
+    def test_checkpoint_retention_keep(self, nira, packed, tmp_path):
+        """keep_checkpoints=N: only the newest N improvement checkpoints
+        this run wrote survive; discovery/restore still find the best
+        (VERDICT r4 #6 — the 55-checkpoint deep-decay pileup bound)."""
+        tc = TrainConfig(batch_size=4, max_epochs=5, patience=5,
+                         keep_checkpoints=2)
+        cfg, params = make_stage(1, nira, hidden=8)
+        runners = {1: StageRunner(1, cfg, params, tc, steps_per_epoch=1)}
+        losses = iter([5.0, 4.0, 3.0, 2.0, 1.0])   # improves every epoch
+        run_cascade_training(
+            runners, lambda: DP.Sampler(packed, 4, seed=0),
+            lambda: DP.Sampler(packed, 4, shuffle=False), tc,
+            save_fn=lambda st, ep, p: save_params(p, str(tmp_path), st, ep),
+            valid_fn=lambda r: next(losses))
+        import glob as _glob
+        kept = sorted(_glob.glob(str(tmp_path / "checkpoint_model1_*")))
+        assert len(kept) == 2, kept                  # newest two only
+        assert kept[0].endswith("_3") and kept[1].endswith("_4")
+        path, epoch = discover_latest(str(tmp_path), 1)
+        assert epoch == 4
+        restore_params(path, params)                 # still restorable
+
+    def test_checkpoint_retention_min_delta(self, nira, packed, tmp_path):
+        """min_save_delta: improvements below the delta do not WRITE a
+        checkpoint but early-stop bookkeeping is unchanged (all epochs
+        still run when every epoch improves)."""
+        tc = TrainConfig(batch_size=4, max_epochs=5, patience=0,
+                         min_save_delta=0.5)
+        cfg, params = make_stage(1, nira, hidden=8)
+        runners = {1: StageRunner(1, cfg, params, tc, steps_per_epoch=1)}
+        losses = iter([5.0, 4.9, 4.85, 3.0, 2.95])
+        events = []
+        run_cascade_training(
+            runners, lambda: DP.Sampler(packed, 4, seed=0),
+            lambda: DP.Sampler(packed, 4, shuffle=False), tc,
+            save_fn=lambda st, ep, p: save_params(p, str(tmp_path), st, ep),
+            log_fn=events.append, valid_fn=lambda r: next(losses))
+        assert len(events) == 5     # every epoch improved -> no early stop
+        import glob as _glob
+        kept = sorted(_glob.glob(str(tmp_path / "checkpoint_model1_*")))
+        # 5.0 saved (first), 4.9/4.85 below the 0.5 delta vs 5.0, 3.0
+        # saved, 2.95 below the delta vs 3.0
+        assert [p.rsplit("_", 1)[1] for p in kept] == ["0", "3"]
+
+    def test_retention_spares_previous_runs(self, nira, packed, tmp_path):
+        """Pruning only touches checkpoints the CURRENT run wrote: a
+        resumed/second run with keep=1 must not delete the first run's
+        files (this is also what protects interrupt checkpoints)."""
+        cfg, params = make_stage(1, nira, hidden=8)
+        # "previous run" artifact (stands in for an interrupt checkpoint)
+        save_params(params, str(tmp_path), 1, 0)
+        tc = TrainConfig(batch_size=4, max_epochs=3, patience=3,
+                         keep_checkpoints=1, start_epoch=1)
+        runners = {1: StageRunner(1, cfg, params, tc, steps_per_epoch=1)}
+        losses = iter([3.0, 2.0])
+        run_cascade_training(
+            runners, lambda: DP.Sampler(packed, 4, seed=0),
+            lambda: DP.Sampler(packed, 4, shuffle=False), tc,
+            save_fn=lambda st, ep, p: save_params(p, str(tmp_path), st, ep),
+            valid_fn=lambda r: next(losses))
+        import glob as _glob
+        kept = sorted(_glob.glob(str(tmp_path / "checkpoint_model1_*")))
+        # epoch 0 (previous run) untouched; of this run's epochs 1, 2
+        # only the newest (2) kept
+        assert [p.rsplit("_", 1)[1] for p in kept] == ["0", "2"]
+
     def test_discover_prefers_pretrain(self, nira, tmp_path):
         cfg, params = make_stage(1, nira, hidden=8)
         save_params(params, str(tmp_path), 1, 3, finetuning=False)
