@@ -448,6 +448,7 @@ class TestStreamingCascade:
             assert z["pose_000"].shape == (40, 24, 3, 3)
             assert z["pose_001"].shape == (20, 24, 3, 3)
 
+    @pytest.mark.slow
     def test_cli_stream_evaluate_scores_emissions(self, model, tmp_path):
         """`stream --evaluate` prints the reference 5-metric table for
         the streamed emissions and puts sip_deg in the JSON line; it
@@ -770,6 +771,7 @@ class TestStreamingCascade:
         s3 = shard.step(ori[:, 2 * W:], acc[:, 2 * W:])
         np.testing.assert_allclose(s3, m3, atol=1e-6)
 
+    @pytest.mark.slow
     def test_mesh_lookahead_composes(self, model):
         """lookahead=K on a mesh session: the buffered emission and
         state-advance passes both route through the shard_map'd step, so
@@ -888,6 +890,7 @@ class TestStreamingCascade:
         np.testing.assert_allclose(tail0, want0, atol=2e-5)
 
 
+    @pytest.mark.slow
     def test_history_exact_construction(self, model):
         """history=P emission for window k == cascade over windows
         [k-p, k] (p = min(P, k) — best-effort at stream start) from the
@@ -987,6 +990,7 @@ class TestStreamingCascade:
         want_tail = wide.step(ori[b0 * W:], acc[b0 * W:])[-K * W:]
         np.testing.assert_allclose(tail, want_tail, atol=1e-6)
 
+    @pytest.mark.slow
     def test_history_multi_stream_composes(self, model):
         """history with streams=S: per-slot buffers make active masking
         and per-stream reset compose — each slot's emissions equal an
@@ -1071,6 +1075,7 @@ class TestStreamingCascade:
             if a is not None:
                 np.testing.assert_allclose(a, b, atol=0)
 
+    @pytest.mark.slow
     def test_flush_failure_leaves_session_consistent(self, model):
         """A device failure during flush must not poison the carried
         state or drop buffered windows (transactional, like the step
@@ -1105,6 +1110,7 @@ class TestStreamingCascade:
         sess._fn = real_fn
         np.testing.assert_allclose(sess.flush(), ref.flush(), atol=0)
 
+    @pytest.mark.slow
     def test_mesh_history_composes(self, model):
         """history=P on a mesh session: warmup-fill and steady-state
         emission passes plus the state advance all route through the
@@ -1221,6 +1227,7 @@ class TestEvaluateStreaming:
         plain2, _, _ = ev.evaluate_streaming(seqs, window=12)
         np.testing.assert_array_equal(plain, plain2)
 
+    @pytest.mark.slow
     def test_multiplexed_predictions_equal_single_slot(self, model):
         """streaming_predictions_multi (S slots, ragged lengths, slot
         recycling) == per-sequence streaming_predictions — plain AND

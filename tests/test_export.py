@@ -482,6 +482,7 @@ class TestBundle:
             np.testing.assert_allclose(
                 np.asarray(pose).reshape(want.shape), want, atol=2e-5)
 
+    @pytest.mark.slow
     def test_artifact_lookahead_matches_live_session(self, model,
                                                      tmp_path):
         """ArtifactLookaheadSession over a --lookahead bundle ==

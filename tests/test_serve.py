@@ -162,7 +162,11 @@ class TestPoseServer:
 
 
 class TestFlushConcurrency:
-    @pytest.mark.parametrize("K,P", [(1, 0), (0, 1), (1, 1)])
+    @pytest.mark.parametrize("K,P", [
+        pytest.param(1, 0, marks=pytest.mark.slow),
+        (0, 1),
+        pytest.param(1, 1, marks=pytest.mark.slow),
+    ])
     def test_random_step_flush_release_interleavings(self, setup, model,
                                                      K, P):
         """Threaded fuzz of the buffered batcher (lookahead, history,
@@ -734,6 +738,7 @@ class TestLookaheadServing:
         finally:
             srv.shutdown()
 
+    @pytest.mark.slow
     def test_flush_drains_buffered_tail(self, setup, model):
         """POST /v1/flush returns the K buffered windows as one chunk ==
         an independent session's flush(); the slot then re-warms from
@@ -946,6 +951,7 @@ class TestRecycle:
     client leaks host buffers per jit call; a long-lived server must
     survive without operator babysitting)."""
 
+    @pytest.mark.slow
     def test_snapshot_restore_roundtrip(self, setup, model):
         """snapshot -> fresh session -> restore == uninterrupted, incl.
         the buffered (K, P) window deques mid-warmup."""

@@ -178,6 +178,7 @@ class TestCascadeDriver:
         # saved, 2.95 below the delta vs 3.0
         assert [p.rsplit("_", 1)[1] for p in kept] == ["0", "3"]
 
+    @pytest.mark.slow
     def test_retention_spares_previous_runs(self, nira, packed, tmp_path):
         """Pruning only touches checkpoints the CURRENT run wrote: a
         resumed/second run with keep=1 must not delete the first run's
@@ -262,7 +263,10 @@ class TestDeviceResidentData:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6)
 
-    @pytest.mark.parametrize("accum,pad", [(1, True), (2, False)])
+    @pytest.mark.parametrize("accum,pad", [
+        (1, True),
+        pytest.param(2, False, marks=pytest.mark.slow),
+    ])
     def test_steps_per_dispatch_matches_sequential(self, nira, packed,
                                                    accum, pad):
         """steps_per_dispatch folds M optimizer steps into one lax.scan
@@ -338,6 +342,7 @@ class TestDeviceResidentData:
                                       device_data=dd),
                            jax.random.PRNGKey(0))
 
+    @pytest.mark.slow
     def test_sharded_accum_equals_monolithic(self, nira, packed):
         """--accum composes with --device_data --mesh (VERDICT r3 #5):
         the microbatched sharded-gather step must produce the same
@@ -440,6 +445,7 @@ class TestDeviceResidentData:
             seen += [g for g, wi in zip(glob, w.reshape(-1)) if wi == 1.0]
         assert sorted(seen) == list(range(10))
 
+    @pytest.mark.slow
     def test_steps_per_dispatch_on_mesh_matches_sequential(self, nira,
                                                            packed):
         """steps_per_dispatch composes with the sharded device-resident
@@ -1029,6 +1035,7 @@ class TestTailBatches:
             lambda a, b: np.testing.assert_allclose(a, b, atol=2e-6),
             state_pad.params, state_ref.params)
 
+    @pytest.mark.slow
     def test_padded_accum_equals_monolithic(self, nira, packed):
         # pads land entirely in the second microbatch: the weighted
         # combine must still reproduce the monolithic weighted gradient
