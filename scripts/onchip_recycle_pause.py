@@ -24,8 +24,11 @@ Artifacts: docs/validation/RECYCLE_PAUSE.{md,json}.
 Single-tenant chip: run serially (never alongside another chip process).
 
     python scripts/onchip_recycle_pause.py
+Single-net dip family (VERDICT r4 #1's deployment-matrix cell):
+    MODEL=dip python scripts/onchip_recycle_pause.py
 CPU smoke (tiny nets, xla-backend artifact):
     JAX_PLATFORMS=cpu HU=8 python scripts/onchip_recycle_pause.py
+    JAX_PLATFORMS=cpu HU=8 MODEL=dip python scripts/onchip_recycle_pause.py
 """
 
 import http.client
@@ -46,6 +49,10 @@ HU = int(os.environ.get("HU", "256"))
 W = int(os.environ.get("W", "60"))
 STREAMS = 8
 SMOKE = os.environ.get("JAX_PLATFORMS") == "cpu"
+# MODEL=dip drills the single-net family (DipStreamingSession live vs
+# the family="dip" artifact) — the round-4 VERDICT's missing deployment
+# cell; writes RECYCLE_PAUSE_DIP.{md,json} instead
+MODEL = os.environ.get("MODEL", "a3gc")
 
 
 def _req(addr, method, path, body=None, timeout=900):
@@ -194,18 +201,42 @@ def main():
             cell="a3gc", units_in=ui, units_out=uo, units_hidden=h),
             rotsize=rot)
 
-    cfg = CascadeConfig(stage1=g(12, 3, HU, 3),
-                        stage2=g(15, 3, max(HU // 4, 8), 3),
-                        stage3=g(15, 9, max(HU // 2, 8), 9))
-    for i, c in enumerate((cfg.stage1, cfg.stage2, cfg.stage3)):
-        save_params(init_pose_net(jax.random.PRNGKey(i), c, nira),
-                    os.path.join(work, "ckpts"), i + 1, 0,
-                    finetuning=True)
+    if MODEL == "dip":
+        # single-net dip: one checkpoint + the mandatory stats file in
+        # the --data_root layout (the dip input prep always normalizes)
+        cfg = PoseNetConfig(net=N.DIPConfig(n_input=60, n_output=15 * 9,
+                                            n_hidden=HU), rotsize=9)
+        save_params(init_pose_net(jax.random.PRNGKey(0), cfg),
+                    os.path.join(work, "ckpts"), 1, 0, finetuning=True)
+        stats_dir = os.path.join(work, "stats")
+        os.makedirs(stats_dir, exist_ok=True)
+        rng_s = np.random.default_rng(3)
+        np.savez(os.path.join(stats_dir, "all_train_stats.npz"),
+                 ori_mean_channel=(rng_s.normal(size=54) * 0.1
+                                   ).astype(np.float32),
+                 ori_std_channel=(1.0 + rng_s.random(54)
+                                  ).astype(np.float32),
+                 acc_mean_channel=(rng_s.normal(size=18) * 0.1
+                                   ).astype(np.float32),
+                 acc_std_channel=(1.0 + rng_s.random(18)
+                                  ).astype(np.float32))
+    else:
+        cfg = CascadeConfig(stage1=g(12, 3, HU, 3),
+                            stage2=g(15, 3, max(HU // 4, 8), 3),
+                            stage3=g(15, 9, max(HU // 2, 8), 9))
+        for i, c in enumerate((cfg.stage1, cfg.stage2, cfg.stage3)):
+            save_params(init_pose_net(jax.random.PRNGKey(i), c, nira),
+                        os.path.join(work, "ckpts"), i + 1, 0,
+                        finetuning=True)
     smpl = write_synthetic_smpl_pickle(os.path.join(work, "smpl.pkl"),
                                        n_vertices=432)
 
-    size = ["--hu1", str(HU), "--hu2", str(max(HU // 4, 8)),
-            "--hu3", str(max(HU // 2, 8))]
+    if MODEL == "dip":
+        size = ["--model", "dip", "--hu1", str(HU),
+                "--data_root", work]
+    else:
+        size = ["--hu1", str(HU), "--hu2", str(max(HU // 4, 8)),
+                "--hu3", str(max(HU // 2, 8))]
     base = ["--path", os.path.join(work, "ckpts"), "--smpl", smpl,
             "--window", str(W), "--streams", str(STREAMS)]
 
@@ -238,19 +269,20 @@ def main():
                 "--window", str(W)], work, probe_ori, probe_acc),
     ]
 
-    result = {"window": W, "streams": STREAMS, "hu1": HU,
+    tag = "" if MODEL == "a3gc" else f"_{MODEL.upper()}"
+    result = {"model": MODEL, "window": W, "streams": STREAMS, "hu1": HU,
               "backend": backend, "export_s": export_s,
               "smoke": SMOKE, "rows": rows}
     os.makedirs(OUT, exist_ok=True)
-    with open(os.path.join(OUT, "RECYCLE_PAUSE.json"), "w") as f:
+    with open(os.path.join(OUT, f"RECYCLE_PAUSE{tag}.json"), "w") as f:
         json.dump(result, f, indent=1)
     live, arti = rows
-    md = f"""# Recycle pause: live checkpoints vs deployment artifact
+    md = f"""# Recycle pause: live checkpoints vs deployment artifact ({MODEL})
 
 One step request issued the moment `POST /v1/recycle` returns — the
 client-observed outage of the state-preserving exec recycle
 (`--recycle_rss_mb` / SERVE_SOAK_RECYCLE.md), for the two deployment
-styles ({STREAMS}-slot server, W={W}, real net sizes).
+styles ({STREAMS}-slot {MODEL} server, W={W}, real net sizes).
 
 | config | startup | first step | warm step | recycle pause | fresh-slot bit-equal | carried state advanced |
 |---|---|---|---|---|---|---|
@@ -265,12 +297,12 @@ Program continuity holds in both: a fresh slot reproduces the exact
 pre-recycle bytes, and a slot with carried state resumes from its
 restored (not zeroed) state.
 
-Raw: RECYCLE_PAUSE.json.
+Raw: RECYCLE_PAUSE{tag}.json.
 """
-    with open(os.path.join(OUT, "RECYCLE_PAUSE.md"), "w") as f:
+    with open(os.path.join(OUT, f"RECYCLE_PAUSE{tag}.md"), "w") as f:
         f.write(md)
     print(json.dumps(result, indent=1))
-    print("wrote", os.path.join(OUT, "RECYCLE_PAUSE.md"))
+    print("wrote", os.path.join(OUT, f"RECYCLE_PAUSE{tag}.md"))
 
 
 if __name__ == "__main__":

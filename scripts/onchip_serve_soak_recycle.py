@@ -79,8 +79,9 @@ def _req(addr, method, path, body=None, timeout=180):
         conn.close()
 
 
-def _bin_step(addr, slot, ori, acc, timeout=180):
-    body = (np.asarray([slot], "<u4").tobytes()
+def _bin_step(addr, slot, ori, acc, timeout=180, seq=None):
+    head = [slot] if seq is None else [slot, seq]
+    body = (np.asarray(head, "<u4").tobytes()
             + np.ascontiguousarray(ori, "<f4").tobytes()
             + np.ascontiguousarray(acc, "<f4").tobytes())
     conn = http.client.HTTPConnection(*addr, timeout=timeout)
@@ -180,7 +181,12 @@ def main():
     slock = threading.Lock()
 
     def client(ci):
-        slot = None
+        # each client tags steps with a per-slot sequence number and, on
+        # failure, retries the SAME window: the server's seq cache makes
+        # the retry at-most-once even when the lost response was eaten
+        # AFTER the window was applied (e.g. across an exec-recycle) —
+        # the carried state can never absorb a window twice
+        slot, seq, pending = None, 0, None
         while not stop.is_set():
             try:
                 if slot is None:
@@ -189,20 +195,30 @@ def main():
                     if st != 200:
                         time.sleep(2.0)
                         continue
-                    slot = out["slot"]
-                ori = Rotation.random(W * 6).as_matrix().reshape(
-                    W, 54).astype(np.float32)
-                acc = np.random.default_rng().normal(
-                    scale=0.5, size=(W, 18)).astype(np.float32)
-                _bin_step(addr, slot, ori, acc, timeout=30)
+                    slot, seq, pending = out["slot"], 0, None
+                if pending is None:
+                    pending = (
+                        Rotation.random(W * 6).as_matrix().reshape(
+                            W, 54).astype(np.float32),
+                        np.random.default_rng().normal(
+                            scale=0.5, size=(W, 18)).astype(np.float32))
+                _bin_step(addr, slot, *pending, timeout=30, seq=seq)
                 with slock:
                     stats["requests"] += 1
+                    if stats.get("_retrying_%d" % ci):
+                        stats["recovered_retries"] = stats.get(
+                            "recovered_retries", 0) + 1
+                        stats["_retrying_%d" % ci] = False
+                pending = None
+                seq += 1
             except Exception:
                 with slock:
                     stats["failures"] += 1
                     stats["fail_windows"].append(round(time.time() - t0,
                                                        1))
-                time.sleep(2.0)     # recycle pause: back off + retry
+                    stats["_retrying_%d" % ci] = True
+                time.sleep(2.0)     # recycle pause: back off, retry the
+                                    # same (seq, window)
 
     t0 = time.time()
     threads = [threading.Thread(target=client, args=(i,), daemon=True)
@@ -249,6 +265,7 @@ def main():
         "window": W, "streams": STREAMS, "hu1": HU,
         "requests": stats["requests"],
         "failures": stats["failures"],
+        "recovered_retries": stats.get("recovered_retries", 0),
         "failure_windows_s": stats["fail_windows"][:100],
         "recycles_observed": recycles,
         "probes": len(probes),
