@@ -151,6 +151,17 @@ def run_train_bench(args):
     # warmup: compile + settle
     state, loss = runner.train_step(runner.state, staged[0], rng)
     np.asarray(loss)
+    # fence the staging: jnp.asarray is ASYNC through the relay, and the
+    # warmup fetch above only forces staged[0] — without draining the
+    # remaining H2D transfers the timed loop pays for whatever is still
+    # in flight (observed as spurious 2-7x dips on the biggest-upload
+    # rows, e.g. b512 accum2 staging ~1.1 GB). One jitted reduction over
+    # every staged leaf (single compile, single scalar fetch) forces all
+    # buffers resident before t0.
+    fence = jax.jit(lambda t: jax.tree_util.tree_reduce(
+        lambda a, b: a + b.ravel()[0].astype(jnp.float32),
+        t, jnp.zeros((), jnp.float32)))
+    np.asarray(fence(staged))
     t0 = time.perf_counter()
     for i, b in enumerate(staged):
         state, loss = runner.train_step(state, b,
