@@ -194,3 +194,60 @@ def test_client_input_validation(setup, model):
         c.release()                         # idempotent no-op
     finally:
         srv.shutdown()
+
+
+@pytest.mark.slow
+def test_client_rides_exec_recycle(setup, model, tmp_path):
+    """PoseClient steps through a state-preserving exec recycle with no
+    caller-visible interruption: its retry budget absorbs the pause
+    (requests queue in the inherited listening socket or fail and are
+    re-sent with the SAME seq), and the post-recycle windows equal an
+    uninterrupted local session's."""
+    import os
+    import subprocess
+    import sys
+
+    from a3gc_tpu.client import PoseClient
+    from a3gc_tpu.data import load_adjacency_template
+    from a3gc_tpu.eval.streaming import StreamingCascade
+    from a3gc_tpu.smpl import write_synthetic_smpl_pickle
+    from a3gc_tpu.utils import save_params
+
+    cfg, params3 = setup
+    ckpt = tmp_path / "ckpts"
+    for i, p in enumerate(params3):
+        save_params(p, str(ckpt), i + 1, 0, finetuning=True)
+    smpl = write_synthetic_smpl_pickle(str(tmp_path / "s.pkl"),
+                                       n_vertices=120)
+    W = 6
+    env = {"PATH": os.environ.get("PATH", ""),
+           "PYTHONPATH": os.path.dirname(os.path.dirname(
+               os.path.abspath(__file__))),
+           "JAX_PLATFORMS": "cpu", "HOME": os.environ.get("HOME", "/"),
+           "TMPDIR": str(tmp_path)}
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "a3gc_tpu.cli", "serve",
+         "--hu1", "8", "--hu2", "8", "--hu3", "8",
+         "--path", str(ckpt), "--smpl", smpl, "--window", str(W),
+         "--streams", "2", "--port", "0", "--recycle_rss_mb", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True, env=env)
+    try:
+        import json as _json
+        addr_str = _json.loads(proc.stdout.readline())["serving"]
+        host, port = addr_str.rsplit("//", 1)[1].rsplit(":", 1)
+
+        wins = _windows(3, W, seed=4)
+        ref = StreamingCascade(params3, cfg, model, window=W)
+        with PoseClient(host, int(port), retry_s=180.0,
+                        retry_interval=1.0) as c:
+            np.testing.assert_allclose(c.step(*wins[0]),
+                                       ref.step(*wins[0]), atol=3e-5)
+            c.recycle()     # exec handoff; the next step rides the pause
+            for ori, acc in wins[1:]:
+                np.testing.assert_allclose(c.step(ori, acc),
+                                           ref.step(ori, acc), atol=3e-5)
+            assert c.stats()["active_sessions"] == 1
+    finally:
+        proc.kill()
+        proc.wait()
