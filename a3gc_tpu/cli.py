@@ -400,8 +400,9 @@ def _train_dip(args, tc, train, valid, steps):
     from a3gc_tpu.train import GracefulInterrupt
     multihost = jax.process_count() > 1
 
+    from a3gc_tpu.train.loop import CheckpointRetention
     best, tol = float("inf"), 0
-    last_saved, written = float("inf"), []
+    retention = CheckpointRetention(tc)
     with GracefulInterrupt() as gi:
         _interrupted = interrupt_checker(gi, mesh)
         runner.interrupt = None if multihost else gi
@@ -424,17 +425,11 @@ def _train_dip(args, tc, train, valid, steps):
                  "valid_loss": valid_loss})
             if valid_loss < best:
                 best, tol = valid_loss, 0
-                # same retention policy as run_cascade_training: bound
-                # disk, leave the early-stop bookkeeping untouched
-                if valid_loss < last_saved - tc.min_save_delta:
-                    path = save_params(runner.state.params, save_dir, 1,
-                                       epoch, finetuning=tc.finetuning)
-                    last_saved = valid_loss
-                    if tc.keep_checkpoints > 0:
-                        from a3gc_tpu.train.loop import _remove_checkpoint
-                        written.append(path)
-                        while len(written) > tc.keep_checkpoints:
-                            _remove_checkpoint(written.pop(0))
+                # shared retention policy (train/loop.CheckpointRetention):
+                # bound disk, leave the early-stop bookkeeping untouched
+                retention.save(valid_loss, lambda: save_params(
+                    runner.state.params, save_dir, 1, epoch,
+                    finetuning=tc.finetuning))
             else:
                 tol += 1
             if tol > tc.patience:
@@ -735,10 +730,6 @@ def cmd_stream(args):
             print("[a3gc_tpu] --mesh is not wired for the single-net dip "
                   "session (KB-scale net — scale out by replication); "
                   "running single-device", file=sys.stderr)
-        _require(not args.pipelined
-                 or not (args.lookahead or args.history),
-                 "--pipelined does not compose with --lookahead/"
-                 "--history; drop one")
         model = _load_body_model(args)
         stats = _load_stats(args)
         _require(stats is not None,

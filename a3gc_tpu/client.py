@@ -36,10 +36,12 @@ releasing or the tail is discarded.
 
 from __future__ import annotations
 
+import hashlib
 import http.client
 import json
 import socket
 import time
+import uuid
 from typing import Optional
 
 import numpy as np
@@ -91,6 +93,9 @@ class PoseClient:
         self.slot: Optional[int] = None
         self.window: Optional[int] = None
         self._seq = 0
+        self._unacked: Optional[str] = None     # digest of a window whose
+        #                                         fate is unknown (transport
+        #                                         failure after retries)
 
     # -- wire ----------------------------------------------------------
     def _roundtrip(self, method: str, path: str, body: Optional[bytes],
@@ -111,7 +116,8 @@ class PoseClient:
         r"""One request, optionally retried within the ``retry_s``
         budget. Only ``retry=True`` calls may be re-sent after a
         transport failure — steps are safe (seq-deduplicated
-        server-side); acquire/release/stats are idempotent; flush is
+        server-side); acquire is idempotent via its token, release via
+        the 404-after-success rule, stats is read-only; flush is
         retried only on failures where the request cannot have been
         processed (connection refused)."""
         deadline = time.monotonic() + self.retry_s
@@ -142,14 +148,21 @@ class PoseClient:
     # -- session lifecycle ---------------------------------------------
     def acquire(self, wait: bool = True) -> int:
         r"""Take a slot (``POST /v1/session``). ``wait=True`` keeps
-        retrying a full server (503) within the ``retry_s`` budget."""
+        retrying a full server (503) within the ``retry_s`` budget.
+
+        The request carries a fresh idempotency token: a retried acquire
+        whose 200 response was lost (typical across a recycle pause) is
+        answered with the ORIGINAL slot instead of consuming — and
+        leaking — a second one."""
         if self.slot is not None:
             return self.slot
-        _, _, raw = self._request("POST", "/v1/session", retry=True,
-                                  retry_503=wait)
+        body = json.dumps({"token": uuid.uuid4().hex}).encode()
+        _, _, raw = self._request("POST", "/v1/session", body,
+                                  retry=True, retry_503=wait)
         out = json.loads(raw)
         self.slot, self.window = int(out["slot"]), int(out["window"])
         self._seq = 0
+        self._unacked = None
         return self.slot
 
     def release(self) -> None:
@@ -159,6 +172,7 @@ class PoseClient:
         if self.slot is None:
             return
         slot, self.slot, self.window = self.slot, None, None
+        self._unacked = None
         try:
             self._request("DELETE", f"/v1/session/{slot}", retry=True)
         except ServerError as e:
@@ -178,7 +192,17 @@ class PoseClient:
         returns ``pose [W,24,3,3]`` — or ``None`` while a lookahead
         server is warming this slot up (the frames were accepted and
         buffered). Tagged with a per-slot seq and retried at-most-once
-        on failure."""
+        on failure.
+
+        The seq only advances when the server ANSWERED: a definitive
+        error (``ServerError``) means the window was not applied, so the
+        next window safely reuses the number. A transport failure that
+        exhausts the retry budget leaves the window's fate UNKNOWN — the
+        server may have applied it and lost the response — so the only
+        safe continuations are re-calling :meth:`step` with the SAME
+        window (same seq: an applied window is answered from the
+        server's cache) or :meth:`release`; submitting a DIFFERENT
+        window raises."""
         if self.slot is None:
             raise RuntimeError("no slot: call acquire() first")
         W = self.window
@@ -187,23 +211,42 @@ class PoseClient:
         if ori.shape != (W, 54) or acc.shape != (W, 18):
             raise ValueError(f"need ori [{W},54] and acc [{W},18], got "
                              f"{ori.shape} and {acc.shape}")
-        seq, self._seq = self._seq, self._seq + 1
-        if self.binary:
-            body = (np.asarray([self.slot, seq], "<u4").tobytes()
-                    + ori.tobytes() + acc.tobytes())
-            status, _, raw = self._request(
-                "POST", "/v1/step", body,
-                content_type="application/octet-stream", retry=True)
-            if status == 202:
-                return None
-            return np.frombuffer(raw, "<f4").reshape(W, 24, 3, 3)
-        status, _, raw = self._request(
-            "POST", "/v1/step",
-            json.dumps({"slot": self.slot, "seq": seq,
-                        "ori": ori.tolist(),
-                        "acc": acc.tolist()}).encode(), retry=True)
+        digest = hashlib.sha1(ori.tobytes() + acc.tobytes()).hexdigest()
+        if self._unacked is not None and digest != self._unacked:
+            raise RuntimeError(
+                "the previous window's fate is unknown (transport failure "
+                "after retries): the server may have applied it. Retry "
+                "step() with the SAME window, or release() the slot — a "
+                "new window here could double-apply the old one's state")
+        seq = self._seq
+        try:
+            if self.binary:
+                body = (np.asarray([self.slot, seq], "<u4").tobytes()
+                        + ori.tobytes() + acc.tobytes())
+                status, _, raw = self._request(
+                    "POST", "/v1/step", body,
+                    content_type="application/octet-stream", retry=True)
+            else:
+                status, _, raw = self._request(
+                    "POST", "/v1/step",
+                    json.dumps({"slot": self.slot, "seq": seq,
+                                "ori": ori.tolist(),
+                                "acc": acc.tolist()}).encode(), retry=True)
+        except ServerError:
+            # definitive server answer: the window was NOT applied (the
+            # seq cache was not advanced) — the next window may reuse seq
+            self._unacked = None
+            raise
+        except Exception:
+            # transport failure after the retry budget: fate unknown —
+            # only the same window (same seq) may be submitted next
+            self._unacked = digest
+            raise
+        self._seq, self._unacked = seq + 1, None
         if status == 202:
             return None
+        if self.binary:
+            return np.frombuffer(raw, "<f4").reshape(W, 24, 3, 3)
         return np.asarray(json.loads(raw)["pose"], np.float32)
 
     def flush(self) -> Optional[np.ndarray]:

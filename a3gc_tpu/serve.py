@@ -119,6 +119,12 @@ class _Batcher:
         # the window to the carried state a SECOND time
         self.seq_applied = {}       # slot -> last applied seq
         self.seq_result = {}        # slot -> its (non-error) result
+        self.tick_seqs = {}         # slot -> seq inside the EXECUTING tick
+        # acquire idempotency: POST /v1/session may carry a client token;
+        # a retried acquire whose 200 response was lost (e.g. eaten by a
+        # recycle pause) re-presents the token and gets its ORIGINAL slot
+        # back instead of leaking it and consuming a second one
+        self.acquire_tokens = {}    # token -> slot
         self.releasing = set()      # slots whose reset the dispatcher owes
         self.flushing = set()       # slots whose lookahead-tail drain the
                                     # dispatcher owes (see flush())
@@ -139,14 +145,24 @@ class _Batcher:
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
-    def acquire(self) -> Optional[int]:
+    def acquire(self, token: Optional[str] = None) -> Optional[int]:
         with self.lock:
+            if token is not None:
+                held = self.acquire_tokens.get(token)
+                if held is not None and held not in self.free:
+                    return held     # idempotent retry of a lost response
             if not self.free or self.recycling:
                 return None
             slot = self.free.pop()
             self.results.pop(slot, None)   # drop any orphan of a dead waiter
             self.seq_applied.pop(slot, None)
             self.seq_result.pop(slot, None)
+            # a stale token from a PREVIOUS tenancy of this slot must not
+            # be able to claim it now that it has a new owner
+            self.acquire_tokens = {t: s for t, s in
+                                   self.acquire_tokens.items() if s != slot}
+            if token is not None:
+                self.acquire_tokens[token] = slot
             return slot
 
     def release(self, slot: int) -> bool:
@@ -157,6 +173,11 @@ class _Batcher:
         with self.cond:
             if not (0 <= slot < self.S) or slot in self.free:
                 return False
+            if self.recycling:
+                # a release mutating slot/seq state between quiesce() and
+                # the snapshot would tear the snapshot (or resurrect a
+                # freed slot as occupied after the exec) — defer it
+                raise RuntimeError("server recycling; retry shortly")
             self.releasing.add(slot)
             self.cond.notify_all()
             while slot not in self.free and not self.stop:
@@ -173,11 +194,46 @@ class _Batcher:
                 # both waiters share the results[slot] mailbox — a step
                 # racing a flush would cross-wire the two responses
                 raise ValueError(f"slot {slot} has a flush in flight")
-            if seq is not None and self.seq_applied.get(slot) == seq:
-                # retried already-applied window (the response was lost —
-                # e.g. across an exec-recycle): answer from the cache,
-                # do NOT advance the carried state a second time
-                return self.seq_result[slot]
+            if seq is not None:
+                applied = self.seq_applied.get(slot)
+                if applied == seq:
+                    # retried already-applied window (the response was
+                    # lost — e.g. across an exec-recycle): answer from the
+                    # cache, do NOT advance the carried state a second time
+                    return self.seq_result[slot]
+                if applied is not None and seq < applied:
+                    # a stale retry of an OLDER window: its cached result
+                    # is gone; re-applying it would corrupt the state
+                    raise ValueError(
+                        f"stale seq {seq} for slot {slot} "
+                        f"(last applied {applied})")
+                pend = self.pending.get(slot)
+                if ((pend is not None and pend[2] == seq)
+                        or self.tick_seqs.get(slot) == seq):
+                    # duplicate of an IN-FLIGHT window (the original sits
+                    # in pending or inside the executing tick — typical
+                    # when both the original and the retry were queued in
+                    # the listening-socket backlog across a recycle
+                    # pause): wait for the ORIGINAL's completion instead
+                    # of re-enqueueing. Re-enqueueing would apply the
+                    # window to the carried state twice (in-tick case) or
+                    # leave one of two mailbox waiters spinning forever
+                    # (pending case — results[slot] pops once).
+                    while self.seq_applied.get(slot) != seq:
+                        if self.stop:
+                            raise RuntimeError("server shutting down")
+                        if slot in self.free or slot in self.releasing:
+                            raise ValueError(
+                                f"slot {slot} is not an active session")
+                        if (self.pending.get(slot, (0, 0, None))[2] != seq
+                                and self.tick_seqs.get(slot) != seq):
+                            # the original finished WITHOUT applying
+                            # (device error) — its waiter got the error;
+                            # tell this one to retry
+                            raise RuntimeError(
+                                "original request failed; retry")
+                        self.cond.wait(timeout=0.1)
+                    return self.seq_result[slot]
             if self.recycling:
                 raise RuntimeError("server recycling; retry shortly")
             self.pending[slot] = (ori, acc, seq)
@@ -235,6 +291,10 @@ class _Batcher:
         returns False if the batcher stopped before applying them."""
         applied = threading.Event()
         with self.cond:
+            if self.recycling:
+                # a param swap between quiesce() and the snapshot would
+                # tear the snapshot (params swapping mid-pickle)
+                raise RuntimeError("server recycling; retry shortly")
             self.reload_queue.append((params3, applied))
             self.cond.notify_all()
             while not applied.is_set() and not self.stop:
@@ -338,6 +398,9 @@ class _Batcher:
                         self.results[slot] = ("error", "session released")
                     self.seq_applied.pop(slot, None)
                     self.seq_result.pop(slot, None)
+                    self.acquire_tokens = {
+                        t: s for t, s in self.acquire_tokens.items()
+                        if s != slot}
                     self.free.add(slot)
                 if self.releasing:
                     self.releasing.clear()
@@ -360,6 +423,12 @@ class _Batcher:
                     if len(self.pending) < n_busy:
                         self.cond.wait(timeout=self.max_wait)
                     batch, self.pending = self.pending, {}
+                    # same locked section as the pending pop: a duplicate
+                    # seq arriving mid-tick must always find its original
+                    # in pending OR tick_seqs OR seq_applied (step() infers
+                    # "original failed" from absence in all three)
+                    self.tick_seqs = {i: s for i, (_, _, s) in batch.items()
+                                      if s is not None}
                     self.ticking = True
             if flush_now:
                 # drains execute lock-free; the next loop iteration
@@ -425,7 +494,8 @@ class _Batcher:
                         # is answered from cache instead of re-applied
                         self.seq_applied[i] = seq
                         self.seq_result[i] = self.results[i]
-                self.cond.notify_all()
+                self.tick_seqs = {}     # after seq_applied: atomic to
+                self.cond.notify_all()  # duplicate-seq waiters
 
 
 class PoseServer:
@@ -492,6 +562,9 @@ class PoseServer:
                     # answered from cache, not re-applied to the state
                     self.batcher.seq_applied[slot] = seq
                     self.batcher.seq_result[slot] = res
+                # carried so an acquire retried ACROSS the recycle gets
+                # its original slot back instead of leaking it
+                self.batcher.acquire_tokens.update(snap.get("tokens", {}))
             os.unlink(restore)
             print(f"[a3gc_tpu.serve] recycled: restored "
                   f"{len(snap['occupied'])} live session(s)",
@@ -518,7 +591,23 @@ class PoseServer:
 
             def do_POST(self):
                 if self.path == "/v1/session":
-                    slot = batcher.acquire()
+                    # optional idempotency token: a retried acquire whose
+                    # 200 was lost re-presents it and gets the SAME slot
+                    token = None
+                    n = int(self.headers.get("Content-Length", 0) or 0)
+                    if n:
+                        try:
+                            token = json.loads(self.rfile.read(n)
+                                               ).get("token")
+                        except (ValueError, AttributeError):
+                            token = None
+                        if token is not None and not (
+                                isinstance(token, str)
+                                and 0 < len(token) <= 64):
+                            return self._json(
+                                400, {"error": "token must be a "
+                                               "non-empty string <=64"})
+                    slot = batcher.acquire(token=token)
                     if slot is None:
                         return self._json(503, {"error": "no free slots"})
                     try:
@@ -550,7 +639,11 @@ class PoseServer:
                     except Exception as e:
                         return self._json(500,
                                           {"error": f"reload failed: {e!r}"})
-                    if not batcher.swap_params(new_params3):
+                    try:
+                        ok = batcher.swap_params(new_params3)
+                    except RuntimeError as e:       # recycling
+                        return self._json(500, {"error": str(e)})
+                    if not ok:
                         return self._json(503, {
                             "error": "server shutting down; reload not "
                                      "applied"})
@@ -684,7 +777,11 @@ class PoseServer:
                         slot = int(self.path.rsplit("/", 1)[1])
                     except ValueError:
                         return self._json(400, {"error": "bad slot"})
-                    if not batcher.release(slot):
+                    try:
+                        ok = batcher.release(slot)
+                    except RuntimeError as e:       # recycling: retry
+                        return self._json(500, {"error": str(e)})
+                    if not ok:
                         return self._json(404,
                                           {"error": f"slot {slot} is not "
                                            "an active session"})
@@ -777,11 +874,17 @@ class PoseServer:
             prefix="a3gc_serve_recycle_", suffix=".pkl",
             dir=os.environ.get("TMPDIR", "/tmp"))
         with os.fdopen(tmp_fd, "wb") as f:
-            pickle.dump({"session": session_snapshot(self.batcher.sess),
-                         "occupied": occupied,
-                         "seq": {s: (self.batcher.seq_applied[s],
-                                     self.batcher.seq_result.get(s))
-                                 for s in self.batcher.seq_applied}}, f)
+            # under the batcher lock: every mutator is recycling-gated by
+            # now, but a consistent point-in-time snapshot should not
+            # depend on that invariant alone
+            with self.batcher.lock:
+                snap = {"session": session_snapshot(self.batcher.sess),
+                        "occupied": occupied,
+                        "seq": {s: (self.batcher.seq_applied[s],
+                                    self.batcher.seq_result.get(s))
+                                for s in self.batcher.seq_applied},
+                        "tokens": dict(self.batcher.acquire_tokens)}
+            pickle.dump(snap, f)
         fd = self.httpd.fileno()
         os.set_inheritable(fd, True)
         env = dict(os.environ)

@@ -935,7 +935,7 @@ def run_cascade_training(
         # processes would break at different steps and diverge)
         runner.interrupt = None if multihost else interrupt
         best, tol = float("inf"), 0
-        last_saved, written = float("inf"), []
+        retention = CheckpointRetention(cfg)
         for epoch in range(cfg.start_epoch, cfg.max_epochs):
             t0 = time.time()
             salt = stage * 10000 + epoch
@@ -962,21 +962,12 @@ def run_cascade_training(
                         "seconds": time.time() - t0})
             if valid_loss < best:
                 best, tol = valid_loss, 0
-                # retention (cfg.min_save_delta / cfg.keep_checkpoints):
-                # early-stop bookkeeping above is the reference's; only
-                # the DISK writes are bounded — skip checkpoints whose
-                # improvement over the last saved one is below min_delta,
-                # and prune improvement checkpoints this run wrote beyond
-                # the newest N (save_fn must return the path for pruning
-                # to engage; interrupt checkpoints go through the branch
-                # above and are never recorded here, so never pruned)
-                if save_fn and valid_loss < last_saved - cfg.min_save_delta:
-                    path = save_fn(stage, epoch, runner.state.params)
-                    last_saved = valid_loss
-                    if cfg.keep_checkpoints > 0 and isinstance(path, str):
-                        written.append(path)
-                        while len(written) > cfg.keep_checkpoints:
-                            _remove_checkpoint(written.pop(0))
+                # bound DISK writes only (see CheckpointRetention);
+                # interrupt checkpoints go through the branch above and
+                # are never recorded, so never pruned
+                if save_fn:
+                    retention.save(valid_loss, lambda: save_fn(
+                        stage, epoch, runner.state.params))
             else:
                 tol += 1
             if tol > cfg.patience:
@@ -991,3 +982,35 @@ def _remove_checkpoint(path: str) -> None:
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
+
+
+class CheckpointRetention:
+    r"""Save-on-improvement disk bounding shared by the cascade driver
+    and the cli dip trainer (``--keep N`` / ``--min_delta D``): skip
+    checkpoints whose improvement over the LAST SAVED loss is below
+    ``min_save_delta``, and prune improvement checkpoints THIS run wrote
+    beyond the newest ``keep_checkpoints``. The early-stop bookkeeping
+    (best/patience) is untouched — only disk writes are bounded — and
+    interrupt checkpoints never pass through here, so they are never
+    pruned. Reset per stage (ref: train_a3gc_tp.py:254-262, whose
+    save-on-improvement semantics this preserves at the defaults:
+    min_delta 0 / keep 0 = save every improvement, keep all)."""
+
+    def __init__(self, cfg: TrainConfig):
+        self.min_delta = cfg.min_save_delta
+        self.keep = cfg.keep_checkpoints
+        self.last_saved = float("inf")
+        self.written = []
+
+    def save(self, valid_loss: float, do_save) -> bool:
+        r"""``do_save: () -> path | None`` runs only when the min-delta
+        gate passes; returns whether a write happened."""
+        if not (valid_loss < self.last_saved - self.min_delta):
+            return False
+        path = do_save()
+        self.last_saved = valid_loss
+        if self.keep > 0 and isinstance(path, str):
+            self.written.append(path)
+            while len(self.written) > self.keep:
+                _remove_checkpoint(self.written.pop(0))
+        return True

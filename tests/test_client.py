@@ -251,3 +251,43 @@ def test_client_rides_exec_recycle(setup, model, tmp_path):
     finally:
         proc.kill()
         proc.wait()
+
+
+def test_client_unknown_fate_window_guard(setup, model):
+    """After a transport failure that exhausts the retry budget, the
+    window's fate is unknown: the client refuses a DIFFERENT next window
+    (it could double-apply the old one), accepts a retry of the SAME
+    window, and the seq numbering stays consistent with the server."""
+    from a3gc_tpu.client import PoseClient
+    from a3gc_tpu.eval.streaming import StreamingCascade
+    from a3gc_tpu.serve import PoseServer
+
+    cfg, params3 = setup
+    W = 6
+    srv = PoseServer(params3, cfg, model, window=W, streams=1, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        ref = StreamingCascade(params3, cfg, model, window=W)
+        wins = _windows(3, W, seed=5)
+        c = PoseClient(*srv.address, retry_s=0.0)
+        c.acquire()
+        np.testing.assert_allclose(c.step(*wins[0]), ref.step(*wins[0]),
+                                   atol=2e-5)
+        # transport dies before the request reaches the server
+        real = c._roundtrip
+        c._roundtrip = lambda *a, **k: (_ for _ in ()).throw(
+            ConnectionError("wire cut"))
+        with pytest.raises(ConnectionError):
+            c.step(*wins[1])
+        c._roundtrip = real
+        # a DIFFERENT window is refused while wins[1]'s fate is unknown
+        with pytest.raises(RuntimeError, match="unknown"):
+            c.step(*wins[2])
+        # retrying the SAME window succeeds and applies exactly once
+        np.testing.assert_allclose(c.step(*wins[1]), ref.step(*wins[1]),
+                                   atol=2e-5)
+        np.testing.assert_allclose(c.step(*wins[2]), ref.step(*wins[2]),
+                                   atol=2e-5)
+        c.release()
+    finally:
+        srv.shutdown()

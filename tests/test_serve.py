@@ -1126,3 +1126,169 @@ class TestRecycleE2E:
         finally:
             proc.kill()
             proc.wait()
+
+
+class TestSeqInFlightDuplicate:
+    """A retry racing its ORIGINAL request (both queued concurrently —
+    typical when the listening-socket backlog drains after a recycle
+    pause): the duplicate must wait for the original's completion, NOT
+    re-enqueue the window (re-enqueueing would apply it to the carried
+    state twice, or leave one of two mailbox waiters spinning forever)."""
+
+    def test_duplicate_of_in_flight_seq_applies_once(self, setup, model):
+        import time as _time
+
+        from a3gc_tpu.eval.streaming import StreamingCascade
+        from a3gc_tpu.serve import PoseServer
+        from scipy.spatial.transform import Rotation
+
+        cfg, params3 = setup
+        W = 5
+        srv = PoseServer(params3, cfg, model, window=W, streams=2, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        addr = srv.address
+        try:
+            sess = srv.batcher.sess
+            gate, entered = threading.Event(), threading.Event()
+
+            class SlowSess:
+                def __getattr__(self, name):        # reset/flush/params3
+                    return getattr(sess, name)
+
+                def step(self, *a, **k):
+                    entered.set()
+                    assert gate.wait(30)
+                    return sess.step(*a, **k)
+
+            ori = Rotation.random(2 * W * 6, random_state=50).as_matrix(
+            ).reshape(2, W, 54).astype(np.float32)
+            acc = np.random.default_rng(51).normal(
+                scale=0.5, size=(2, W, 18)).astype(np.float32)
+            _, info = _request(addr, "POST", "/v1/session")
+            slot = info["slot"]
+            srv.batcher.sess = SlowSess()
+            try:
+                payload = {"slot": slot, "seq": 0, "ori": ori[0].tolist(),
+                           "acc": acc[0].tolist()}
+                with ThreadPoolExecutor(2) as ex:
+                    f1 = ex.submit(_request, addr, "POST", "/v1/step",
+                                   payload)
+                    assert entered.wait(30)   # original is INSIDE the tick
+                    f2 = ex.submit(_request, addr, "POST", "/v1/step",
+                                   payload)
+                    _time.sleep(0.3)          # duplicate reaches step()
+                    gate.set()
+                    st1, out1 = f1.result(60)
+                    st2, out2 = f2.result(60)
+            finally:
+                srv.batcher.sess = sess
+            assert st1 == 200 and st2 == 200
+            np.testing.assert_array_equal(np.asarray(out1["pose"]),
+                                          np.asarray(out2["pose"]))
+            # applied exactly ONCE: the next window matches the
+            # single-application oracle
+            st, out3 = _request(addr, "POST", "/v1/step", {
+                "slot": slot, "seq": 1, "ori": ori[1].tolist(),
+                "acc": acc[1].tolist()})
+            assert st == 200
+            ref = StreamingCascade(params3, cfg, model, window=W)
+            ref.step(ori[0], acc[0])
+            np.testing.assert_allclose(
+                np.asarray(out3["pose"], np.float32),
+                ref.step(ori[1], acc[1]), atol=3e-5)
+        finally:
+            srv.shutdown()
+
+    def test_stale_older_seq_rejected(self, setup, model):
+        """A very stale retry (an OLDER seq than the last applied) has no
+        cached answer left — it must be refused, not re-applied."""
+        from a3gc_tpu.serve import PoseServer
+        from scipy.spatial.transform import Rotation
+
+        cfg, params3 = setup
+        W = 4
+        srv = PoseServer(params3, cfg, model, window=W, streams=1, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        addr = srv.address
+        try:
+            ori = Rotation.random(W * 6, random_state=52).as_matrix(
+            ).reshape(W, 54).astype(np.float32)
+            acc = np.random.default_rng(53).normal(
+                scale=0.5, size=(W, 18)).astype(np.float32)
+            _, info = _request(addr, "POST", "/v1/session")
+            slot = info["slot"]
+            for seq in (0, 1):
+                st, _ = _request(addr, "POST", "/v1/step", {
+                    "slot": slot, "seq": seq, "ori": ori.tolist(),
+                    "acc": acc.tolist()})
+                assert st == 200
+            st, out = _request(addr, "POST", "/v1/step", {
+                "slot": slot, "seq": 0, "ori": ori.tolist(),
+                "acc": acc.tolist()})
+            assert st == 400 and "stale seq" in out["error"]
+        finally:
+            srv.shutdown()
+
+
+class TestAcquireIdempotency:
+    """POST /v1/session with a client token: a retried acquire whose 200
+    was lost re-presents the token and gets its ORIGINAL slot back
+    instead of consuming (and leaking) a second one."""
+
+    def test_token_retry_returns_same_slot(self, setup, model):
+        from a3gc_tpu.serve import PoseServer
+
+        cfg, params3 = setup
+        srv = PoseServer(params3, cfg, model, window=4, streams=2, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        addr = srv.address
+        try:
+            st, a = _request(addr, "POST", "/v1/session", {"token": "t-1"})
+            assert st == 200
+            st, b = _request(addr, "POST", "/v1/session", {"token": "t-1"})
+            assert st == 200 and b["slot"] == a["slot"]
+            _, stats = _request(addr, "GET", "/v1/stats")
+            assert stats["active_sessions"] == 1    # no leak
+            st, c = _request(addr, "POST", "/v1/session", {"token": "t-2"})
+            assert st == 200 and c["slot"] != a["slot"]
+            # release purges the token: re-presenting it is a FRESH
+            # acquire (and must NOT claim the slot's next tenant)
+            _request(addr, "DELETE", f"/v1/session/{a['slot']}")
+            st, d = _request(addr, "POST", "/v1/session", {"token": "t-1"})
+            assert st == 200
+            _, stats = _request(addr, "GET", "/v1/stats")
+            assert stats["active_sessions"] == 2
+            # bad token type rejected
+            st, e = _request(addr, "POST", "/v1/session", {"token": 7})
+            assert st == 400
+        finally:
+            srv.shutdown()
+
+
+class TestRecyclingGates:
+    """Every batcher mutator must refuse work between quiesce() and the
+    exec: a release or reload mutating slot/seq/param state mid-snapshot
+    would tear the snapshot (or resurrect a freed slot after the exec)."""
+
+    def test_release_and_reload_rejected_while_recycling(self, setup,
+                                                         model):
+        from a3gc_tpu.serve import PoseServer
+
+        cfg, params3 = setup
+        srv = PoseServer(params3, cfg, model, window=4, streams=1, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            slot = srv.batcher.acquire()
+            assert slot is not None
+            with srv.batcher.lock:
+                srv.batcher.recycling = True
+            with pytest.raises(RuntimeError, match="recycling"):
+                srv.batcher.release(slot)
+            with pytest.raises(RuntimeError, match="recycling"):
+                srv.batcher.swap_params(params3)
+            assert srv.batcher.acquire() is None
+            with srv.batcher.lock:
+                srv.batcher.recycling = False
+            assert srv.batcher.release(slot) is True
+        finally:
+            srv.shutdown()
