@@ -96,23 +96,50 @@ class PoseClient:
         self._unacked: Optional[str] = None     # digest of a window whose
         #                                         fate is unknown (transport
         #                                         failure after retries)
+        self._token: Optional[str] = None       # this slot's acquire token
+        self._conn = None                       # kept-alive connection
 
     # -- wire ----------------------------------------------------------
     def _roundtrip(self, method: str, path: str, body: Optional[bytes],
-                   content_type: str):
-        conn = http.client.HTTPConnection(*self.addr, timeout=self.timeout)
+                   content_type: str, reuse: bool = True):
+        r"""One HTTP round trip. ``reuse=True`` rides a kept-alive
+        connection when one is cached (saves a TCP handshake per step on
+        the ~33 ms serving hot path); a request that must not be
+        ambiguous on failure (``flush`` — see :meth:`flush`) passes
+        ``reuse=False`` so a stale kept-alive socket cannot make
+        "connection died" mean "maybe processed"."""
+        conn = self._conn if reuse else None
+        self._conn = None
+        if conn is None:
+            conn = http.client.HTTPConnection(*self.addr,
+                                              timeout=self.timeout)
         try:
             conn.request(method, path, body=body,
                          headers={} if body is None else
                          {"Content-Type": content_type})
             resp = conn.getresponse()
-            return resp.status, dict(resp.getheaders()), resp.read()
-        finally:
+            out = resp.status, dict(resp.getheaders()), resp.read()
+        except Exception:
+            conn.close()
+            raise
+        # cache only after the response was fully read (HTTP/1.0 servers
+        # close per-request: will_close reconnects next time)
+        if resp.will_close:
+            conn.close()
+        else:
+            self._conn = conn
+        return out
+
+    def close(self) -> None:
+        r"""Drop the kept-alive connection (idempotent)."""
+        conn, self._conn = self._conn, None
+        if conn is not None:
             conn.close()
 
     def _request(self, method: str, path: str, body: Optional[bytes] = None,
                  content_type: str = "application/json",
-                 retry: bool = False, retry_503: bool = False):
+                 retry: bool = False, retry_503: bool = False,
+                 reuse: bool = True):
         r"""One request, optionally retried within the ``retry_s``
         budget. Only ``retry=True`` calls may be re-sent after a
         transport failure — steps are safe (seq-deduplicated
@@ -124,7 +151,7 @@ class PoseClient:
         while True:
             try:
                 status, headers, raw = self._roundtrip(
-                    method, path, body, content_type)
+                    method, path, body, content_type, reuse=reuse)
             except _RETRYABLE as e:
                 refused = isinstance(e, ConnectionRefusedError)
                 if (retry or refused) and time.monotonic() < deadline:
@@ -156,28 +183,39 @@ class PoseClient:
         leaking — a second one."""
         if self.slot is not None:
             return self.slot
-        body = json.dumps({"token": uuid.uuid4().hex}).encode()
+        token = uuid.uuid4().hex
+        body = json.dumps({"token": token}).encode()
         _, _, raw = self._request("POST", "/v1/session", body,
                                   retry=True, retry_503=wait)
         out = json.loads(raw)
         self.slot, self.window = int(out["slot"]), int(out["window"])
         self._seq = 0
         self._unacked = None
+        self._token = token
         return self.slot
 
     def release(self) -> None:
-        r"""Reset + free the slot (``DELETE /v1/session/<slot>``). A 404
-        after a lost response means a previous attempt already landed —
-        treated as success."""
+        r"""Reset + free the slot (``DELETE /v1/session/<slot>``). The
+        request carries this slot's acquire token, so an auto-retried
+        DELETE whose first attempt landed (response lost) cannot release
+        the slot's NEXT tenant — the server answers 404 once the token
+        no longer owns the slot, which (like a 404 after a lost
+        response) means a previous attempt already landed — success."""
         if self.slot is None:
             return
         slot, self.slot, self.window = self.slot, None, None
+        token, self._token = self._token, None
         self._unacked = None
+        body = (json.dumps({"token": token}).encode()
+                if token is not None else None)
         try:
-            self._request("DELETE", f"/v1/session/{slot}", retry=True)
+            self._request("DELETE", f"/v1/session/{slot}", body,
+                          retry=True)
         except ServerError as e:
             if e.status != 404:     # already released by a lost retry
                 raise
+        finally:
+            self.close()
 
     def __enter__(self) -> "PoseClient":
         self.acquire()
@@ -262,14 +300,14 @@ class PoseClient:
             body = np.asarray([self.slot], "<u4").tobytes()
             _, headers, raw = self._request(
                 "POST", "/v1/flush", body,
-                content_type="application/octet-stream")
+                content_type="application/octet-stream", reuse=False)
             frames = int(headers.get("X-Frames", "0"))
             if frames == 0:
                 return None
             return np.frombuffer(raw, "<f4").reshape(frames, 24, 3, 3)
         _, _, raw = self._request(
             "POST", "/v1/flush",
-            json.dumps({"slot": self.slot}).encode())
+            json.dumps({"slot": self.slot}).encode(), reuse=False)
         out = json.loads(raw)
         if not out.get("frames"):
             return None

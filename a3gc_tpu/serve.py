@@ -120,11 +120,20 @@ class _Batcher:
         self.seq_applied = {}       # slot -> last applied seq
         self.seq_result = {}        # slot -> its (non-error) result
         self.tick_seqs = {}         # slot -> seq inside the EXECUTING tick
+        self.tick_slots = frozenset()   # ALL slots inside the EXECUTING
+        #                                 tick (tick_seqs only covers
+        #                                 seq-tagged ones) — flush() must
+        #                                 see a mid-tick step or the two
+        #                                 waiters cross-wire the mailbox
         # acquire idempotency: POST /v1/session may carry a client token;
         # a retried acquire whose 200 response was lost (e.g. eaten by a
         # recycle pause) re-presents the token and gets its ORIGINAL slot
         # back instead of leaking it and consuming a second one
         self.acquire_tokens = {}    # token -> slot
+        self.acquire_inflight = {}  # token -> handlers mid-response-write
+        self.acquire_delivered = set()  # tokens whose 200 LANDED (or were
+        #                                 restored across a recycle — see
+        #                                 acquire_outcome)
         self.releasing = set()      # slots whose reset the dispatcher owes
         self.flushing = set()       # slots whose lookahead-tail drain the
                                     # dispatcher owes (see flush())
@@ -150,7 +159,10 @@ class _Batcher:
             if token is not None:
                 held = self.acquire_tokens.get(token)
                 if held is not None and held not in self.free:
-                    return held     # idempotent retry of a lost response
+                    # idempotent retry of a lost response
+                    self.acquire_inflight[token] = \
+                        self.acquire_inflight.get(token, 0) + 1
+                    return held
             if not self.free or self.recycling:
                 return None
             slot = self.free.pop()
@@ -159,20 +171,74 @@ class _Batcher:
             self.seq_result.pop(slot, None)
             # a stale token from a PREVIOUS tenancy of this slot must not
             # be able to claim it now that it has a new owner
-            self.acquire_tokens = {t: s for t, s in
-                                   self.acquire_tokens.items() if s != slot}
+            self._purge_tokens(slot)
             if token is not None:
                 self.acquire_tokens[token] = slot
+                self.acquire_inflight[token] = \
+                    self.acquire_inflight.get(token, 0) + 1
             return slot
 
-    def release(self, slot: int) -> bool:
+    def _purge_tokens(self, slot: int) -> None:
+        r"""Drop every token record tied to ``slot`` (caller holds the
+        lock): on release and on re-tenancy of a freed slot."""
+        dead = [t for t, s in self.acquire_tokens.items() if s == slot]
+        for t in dead:
+            del self.acquire_tokens[t]
+            self.acquire_delivered.discard(t)
+
+    def acquire_outcome(self, token: Optional[str], slot: int,
+                        delivered: bool) -> None:
+        r"""Report whether an acquire's 200 response LANDED on the wire.
+        A failed write may mean the client never learned the slot — but
+        with a token, a CONCURRENT handler serving the same token (the
+        retry racing its original through the listening-socket backlog)
+        may have delivered it. Freeing the slot then would hand a
+        client-owned session to the next acquirer, so the slot is only
+        un-acquired when this was the LAST in-flight handler for the
+        token and no handler ever delivered. A token restored across an
+        exec-recycle counts as delivered (its pre-recycle fate is
+        unknowable; leaking a slot whose client vanished beats
+        corrupting one whose client didn't)."""
+        with self.lock:
+            if token is None:
+                if not delivered:
+                    # no idempotency available: the client can never
+                    # learn this slot — un-acquire (its state is still
+                    # the reset one; it was never stepped)
+                    self.results.pop(slot, None)
+                    self.free.add(slot)
+                return
+            n = self.acquire_inflight.get(token, 1) - 1
+            if n > 0:
+                self.acquire_inflight[token] = n
+            else:
+                self.acquire_inflight.pop(token, None)
+            if delivered:
+                self.acquire_delivered.add(token)
+            elif (n == 0 and token not in self.acquire_delivered
+                    and self.acquire_tokens.get(token) == slot
+                    and slot not in self.free):
+                self.results.pop(slot, None)
+                del self.acquire_tokens[token]
+                self.free.add(slot)
+
+    def release(self, slot: int, token: Optional[str] = None) -> bool:
         r"""Schedule reset+release. The actual state reset runs ON the
         dispatcher thread (serialized with device steps, so an in-flight
         tick can neither lose the reset nor leak a stale result), and the
-        slot only returns to the free pool afterwards."""
+        slot only returns to the free pool afterwards.
+
+        ``token``: the slot's acquire token, if the client has one. An
+        auto-retried DELETE whose first attempt landed (response lost)
+        could otherwise release the slot's NEXT tenant; with the token,
+        a re-tenanted (or already-freed) slot answers 404 — which the
+        client's 404-after-success rule treats as done."""
         with self.cond:
             if not (0 <= slot < self.S) or slot in self.free:
                 return False
+            if token is not None and self.acquire_tokens.get(token) != slot:
+                return False    # freed+re-tenanted since this client's
+                #                 acquire: its release already happened
             if self.recycling:
                 # a release mutating slot/seq state between quiesce() and
                 # the snapshot would tear the snapshot (or resurrect a
@@ -265,8 +331,13 @@ class _Batcher:
                 raise ValueError(f"slot {slot} is not an active session")
             if not self.buffered:
                 return None     # plain windowing buffers nothing
-            if slot in self.pending or slot in self.flushing \
-                    or slot in self.flush_inflight:
+            if slot in self.pending or slot in self.tick_slots \
+                    or slot in self.flushing or slot in self.flush_inflight:
+                # tick_slots: a step popped into the EXECUTING tick is no
+                # longer in pending, but its waiter still owns the
+                # results[slot] mailbox — a flush accepted now would
+                # cross-wire the two responses (the step waiter could
+                # read the flush tail; the flush waiter would hang)
                 raise ValueError(f"slot {slot} has a request in flight")
             if self.recycling:
                 raise RuntimeError("server recycling; retry shortly")
@@ -398,9 +469,7 @@ class _Batcher:
                         self.results[slot] = ("error", "session released")
                     self.seq_applied.pop(slot, None)
                     self.seq_result.pop(slot, None)
-                    self.acquire_tokens = {
-                        t: s for t, s in self.acquire_tokens.items()
-                        if s != slot}
+                    self._purge_tokens(slot)
                     self.free.add(slot)
                 if self.releasing:
                     self.releasing.clear()
@@ -429,6 +498,7 @@ class _Batcher:
                     # "original failed" from absence in all three)
                     self.tick_seqs = {i: s for i, (_, _, s) in batch.items()
                                       if s is not None}
+                    self.tick_slots = frozenset(batch)
                     self.ticking = True
             if flush_now:
                 # drains execute lock-free; the next loop iteration
@@ -495,7 +565,8 @@ class _Batcher:
                         self.seq_applied[i] = seq
                         self.seq_result[i] = self.results[i]
                 self.tick_seqs = {}     # after seq_applied: atomic to
-                self.cond.notify_all()  # duplicate-seq waiters
+                self.tick_slots = frozenset()   # duplicate-seq waiters
+                self.cond.notify_all()
 
 
 class PoseServer:
@@ -563,8 +634,13 @@ class PoseServer:
                     self.batcher.seq_applied[slot] = seq
                     self.batcher.seq_result[slot] = res
                 # carried so an acquire retried ACROSS the recycle gets
-                # its original slot back instead of leaking it
-                self.batcher.acquire_tokens.update(snap.get("tokens", {}))
+                # its original slot back instead of leaking it; restored
+                # tokens count as DELIVERED — their pre-recycle fate is
+                # unknowable, and a failed post-recycle retry write must
+                # not un-acquire a slot the client may already own
+                tokens = snap.get("tokens", {})
+                self.batcher.acquire_tokens.update(tokens)
+                self.batcher.acquire_delivered.update(tokens)
             os.unlink(restore)
             print(f"[a3gc_tpu.serve] recycled: restored "
                   f"{len(snap['occupied'])} live session(s)",
@@ -573,6 +649,13 @@ class PoseServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 keep-alive: every response carries Content-Length,
+            # so clients (PoseClient caches one connection) skip a TCP
+            # handshake per step on the ~33 ms serving hot path. Each
+            # kept-alive connection pins one ThreadingHTTPServer thread —
+            # fine at session-slot client counts.
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):          # quiet
                 pass
 
@@ -611,20 +694,22 @@ class PoseServer:
                     if slot is None:
                         return self._json(503, {"error": "no free slots"})
                     try:
-                        return self._json(200,
-                                          {"slot": slot, "window": W})
+                        self._json(200, {"slot": slot, "window": W})
                     except OSError:
                         # the client gave up before the response landed
                         # (typical for acquires queued in the listening
                         # socket's backlog across a recycle pause): it
-                        # never learned the slot id, so delivering it
-                        # would leak the slot forever — un-acquire. The
-                        # slot was never stepped, so its state is still
-                        # the reset one from its previous release.
-                        with batcher.lock:
-                            batcher.results.pop(slot, None)
-                            batcher.free.add(slot)
+                        # may never have learned the slot id, so keeping
+                        # it would leak the slot forever. acquire_outcome
+                        # un-acquires ONLY when no concurrent handler for
+                        # the same token delivered (a retry racing its
+                        # original can answer first — freeing then would
+                        # corrupt a client-owned session).
+                        batcher.acquire_outcome(token, slot,
+                                                delivered=False)
                         raise
+                    batcher.acquire_outcome(token, slot, delivered=True)
+                    return
                 if self.path == "/v1/reload":
                     # checkpoint hot-reload: re-discover + swap the cascade
                     # params without dropping sessions (their carried
@@ -777,8 +862,23 @@ class PoseServer:
                         slot = int(self.path.rsplit("/", 1)[1])
                     except ValueError:
                         return self._json(400, {"error": "bad slot"})
+                    # optional acquire token: an auto-retried DELETE whose
+                    # first attempt landed (response lost) must not
+                    # release the slot's NEXT tenant — with the token, a
+                    # re-tenanted slot answers 404 (client treats
+                    # 404-after-success as done)
+                    token = None
+                    n = int(self.headers.get("Content-Length", 0) or 0)
+                    if n:
+                        try:
+                            token = json.loads(self.rfile.read(n)
+                                               ).get("token")
+                        except (ValueError, AttributeError):
+                            token = None
+                        if token is not None and not isinstance(token, str):
+                            token = None
                     try:
-                        ok = batcher.release(slot)
+                        ok = batcher.release(slot, token=token)
                     except RuntimeError as e:       # recycling: retry
                         return self._json(500, {"error": str(e)})
                     if not ok:

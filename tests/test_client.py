@@ -291,3 +291,35 @@ def test_client_unknown_fate_window_guard(setup, model):
         c.release()
     finally:
         srv.shutdown()
+
+
+def test_client_keepalive_and_token_release(setup, model):
+    """The client rides ONE kept-alive connection across steps (HTTP/1.1
+    server), reconnects transparently if it drops, and its DELETE
+    carries the acquire token (release() then closes the connection)."""
+    from a3gc_tpu.client import PoseClient
+    from a3gc_tpu.serve import PoseServer
+
+    cfg, params3 = setup
+    W = 6
+    srv = PoseServer(params3, cfg, model, window=W, streams=1, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        wins = _windows(3, W, seed=9)
+        c = PoseClient(*srv.address)
+        c.acquire()
+        assert c._token is not None
+        assert c.step(*wins[0]) is not None
+        conn = c._conn
+        assert conn is not None              # kept alive after a step
+        assert c.step(*wins[1]) is not None
+        assert c._conn is conn               # SAME connection reused
+        # a dropped connection reconnects transparently
+        c._conn.close()
+        assert c.step(*wins[2]) is not None
+        c.release()
+        assert c._conn is None and c._token is None
+        # the slot is actually free again
+        assert srv.batcher.acquire() is not None
+    finally:
+        srv.shutdown()

@@ -1292,3 +1292,186 @@ class TestRecyclingGates:
             assert srv.batcher.release(slot) is True
         finally:
             srv.shutdown()
+
+
+class TestFlushVsInFlightStep:
+    """A flush arriving while the slot's step is INSIDE the executing
+    tick (already popped from pending) must be rejected, not accepted —
+    both waiters share the results[slot] mailbox, so an accepted flush
+    would cross-wire the responses (step waiter reads the flush tail;
+    flush waiter hangs on the emptied mailbox)."""
+
+    def test_flush_rejected_while_step_in_tick(self, setup, model):
+        from a3gc_tpu.serve import PoseServer
+        from scipy.spatial.transform import Rotation
+
+        cfg, params3 = setup
+        W = 5
+        srv = PoseServer(params3, cfg, model, window=W, streams=1, port=0,
+                         lookahead=1)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        addr = srv.address
+        try:
+            sess = srv.batcher.sess
+            gate, entered = threading.Event(), threading.Event()
+
+            class SlowSess:
+                def __getattr__(self, name):
+                    return getattr(sess, name)
+
+                def step(self, *a, **k):
+                    entered.set()
+                    assert gate.wait(30)
+                    return sess.step(*a, **k)
+
+            ori = Rotation.random(W * 6, random_state=60).as_matrix(
+            ).reshape(W, 54).astype(np.float32)
+            acc = np.random.default_rng(61).normal(
+                scale=0.5, size=(W, 18)).astype(np.float32)
+            _, info = _request(addr, "POST", "/v1/session")
+            slot = info["slot"]
+            srv.batcher.sess = SlowSess()
+            try:
+                with ThreadPoolExecutor(1) as ex:
+                    f1 = ex.submit(_request, addr, "POST", "/v1/step", {
+                        "slot": slot, "seq": 0, "ori": ori.tolist(),
+                        "acc": acc.tolist()})
+                    assert entered.wait(30)   # step is INSIDE the tick
+                    st, out = _request(addr, "POST", "/v1/flush",
+                                       {"slot": slot})
+                    assert st == 400 and "in flight" in out["error"]
+                    gate.set()
+                    st1, _ = f1.result(60)
+                    assert st1 == 202        # lookahead warmup window
+            finally:
+                srv.batcher.sess = sess
+            # after the tick, flush works normally again
+            st, out = _request(addr, "POST", "/v1/flush", {"slot": slot})
+            assert st == 200
+        finally:
+            srv.shutdown()
+
+
+class TestAcquireDeliveryRace:
+    """acquire_outcome: a failed response write un-acquires the slot
+    ONLY when no concurrent handler for the same token delivered it —
+    freeing a delivered slot would hand a client-owned session to the
+    next acquirer."""
+
+    def test_failed_write_after_concurrent_delivery_keeps_slot(
+            self, setup, model):
+        from a3gc_tpu.serve import PoseServer
+
+        cfg, params3 = setup
+        srv = PoseServer(params3, cfg, model, window=4, streams=2, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        b = srv.batcher
+        try:
+            # original handler allocates; retry handler rides the token
+            s1 = b.acquire(token="T")
+            s2 = b.acquire(token="T")
+            assert s1 == s2 and s1 is not None
+            # the RETRY's write lands first; the original's write fails
+            b.acquire_outcome("T", s2, delivered=True)
+            b.acquire_outcome("T", s1, delivered=False)
+            assert s1 not in b.free          # client owns it — kept
+            assert b.acquire_tokens.get("T") == s1
+            # a later failed retry (token now delivered) also keeps it
+            s3 = b.acquire(token="T")
+            assert s3 == s1
+            b.acquire_outcome("T", s3, delivered=False)
+            assert s1 not in b.free
+        finally:
+            srv.shutdown()
+
+    def test_all_writes_failed_frees_slot(self, setup, model):
+        from a3gc_tpu.serve import PoseServer
+
+        cfg, params3 = setup
+        srv = PoseServer(params3, cfg, model, window=4, streams=2, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        b = srv.batcher
+        try:
+            s1 = b.acquire(token="U")
+            s2 = b.acquire(token="U")
+            assert s1 == s2
+            b.acquire_outcome("U", s1, delivered=False)
+            assert s1 not in b.free          # a sibling is still in flight
+            b.acquire_outcome("U", s2, delivered=False)
+            assert s1 in b.free              # last one out un-acquires
+            assert "U" not in b.acquire_tokens
+            # tokenless failed write frees immediately (no idempotency)
+            s3 = b.acquire()
+            b.acquire_outcome(None, s3, delivered=False)
+            assert s3 in b.free
+        finally:
+            srv.shutdown()
+
+    def test_restored_tokens_count_as_delivered(self, setup, model):
+        """Across an exec-recycle the delivered set is rebuilt from the
+        snapshot's tokens: a post-recycle retry whose write fails must
+        not un-acquire a slot the client may already own."""
+        from a3gc_tpu.serve import PoseServer
+
+        cfg, params3 = setup
+        srv = PoseServer(params3, cfg, model, window=4, streams=2, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        b = srv.batcher
+        try:
+            s1 = b.acquire(token="V")
+            b.acquire_outcome("V", s1, delivered=True)
+            # simulate the restore path's bookkeeping in a fresh process:
+            # tokens carried, delivered rebuilt from them
+            b.acquire_inflight.clear()
+            b.acquire_delivered.clear()
+            b.acquire_delivered.update({"V": s1})
+            s2 = b.acquire(token="V")
+            assert s2 == s1
+            b.acquire_outcome("V", s2, delivered=False)
+            assert s1 not in b.free
+        finally:
+            srv.shutdown()
+
+
+class TestReleaseToken:
+    """DELETE /v1/session/<slot> with the acquire token: a retried
+    DELETE whose first attempt landed (response lost) must not release
+    the slot's NEXT tenant — once the token no longer owns the slot the
+    server answers 404, which the client treats as already-done."""
+
+    def test_stale_delete_cannot_release_next_tenant(self, setup, model):
+        from a3gc_tpu.serve import PoseServer
+        from scipy.spatial.transform import Rotation
+
+        cfg, params3 = setup
+        W = 4
+        srv = PoseServer(params3, cfg, model, window=W, streams=1, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        addr = srv.address
+        try:
+            st, a = _request(addr, "POST", "/v1/session", {"token": "t-A"})
+            assert st == 200
+            st, _ = _request(addr, "DELETE", f"/v1/session/{a['slot']}",
+                             {"token": "t-A"})
+            assert st == 200
+            # next tenant takes the same slot (streams=1)
+            st, c = _request(addr, "POST", "/v1/session", {"token": "t-B"})
+            assert st == 200 and c["slot"] == a["slot"]
+            # A's auto-retried DELETE arrives late: 404, tenant unharmed
+            st, out = _request(addr, "DELETE", f"/v1/session/{a['slot']}",
+                               {"token": "t-A"})
+            assert st == 404
+            _, stats = _request(addr, "GET", "/v1/stats")
+            assert stats["active_sessions"] == 1
+            ori = Rotation.random(W * 6, random_state=62).as_matrix(
+            ).reshape(W, 54).astype(np.float32)
+            acc = np.zeros((W, 18), np.float32)
+            st, _ = _request(addr, "POST", "/v1/step", {
+                "slot": c["slot"], "seq": 0, "ori": ori.tolist(),
+                "acc": acc.tolist()})
+            assert st == 200                 # B's session still live
+            # tokenless DELETE keeps legacy semantics
+            st, _ = _request(addr, "DELETE", f"/v1/session/{c['slot']}")
+            assert st == 200
+        finally:
+            srv.shutdown()
