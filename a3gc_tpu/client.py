@@ -108,11 +108,24 @@ class PoseClient:
         ambiguous on failure (``flush`` — see :meth:`flush`) passes
         ``reuse=False`` so a stale kept-alive socket cannot make
         "connection died" mean "maybe processed"."""
-        conn = self._conn if reuse else None
-        self._conn = None
-        if conn is None:
-            conn = http.client.HTTPConnection(*self.addr,
-                                              timeout=self.timeout)
+        conn, self._conn = self._conn, None
+        if not reuse and conn is not None:
+            conn.close()                # don't ride a stale socket
+            conn = None
+        if conn is not None:
+            try:
+                return self._once(conn, method, path, body, content_type)
+            except Exception:
+                # stale kept-alive socket (server idled/recycled it out):
+                # every reuse=True request is idempotent by design (seq /
+                # token protected — flush opts out), so retry ONCE on a
+                # fresh connection before surfacing anything
+                pass
+        conn = http.client.HTTPConnection(*self.addr, timeout=self.timeout)
+        return self._once(conn, method, path, body, content_type)
+
+    def _once(self, conn, method: str, path: str, body: Optional[bytes],
+              content_type: str):
         try:
             conn.request(method, path, body=body,
                          headers={} if body is None else
@@ -331,3 +344,6 @@ class PoseClient:
         server acknowledged; the pause is observed by the NEXT request
         (which this client retries through)."""
         self._request("POST", "/v1/recycle", b"{}")
+        # the server shuts this connection down as it execs — drop it so
+        # the next request reconnects instead of failing once first
+        self.close()

@@ -31,7 +31,6 @@ CPU smoke (tiny nets, xla-backend artifact):
     JAX_PLATFORMS=cpu HU=8 MODEL=dip python scripts/onchip_recycle_pause.py
 """
 
-import http.client
 import json
 import os
 import subprocess
@@ -45,6 +44,10 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 OUT = os.path.join(ROOT, "docs", "validation")
 
+from a3gc_tpu.client import PoseClient  # noqa: E402 (the shipped wire
+#                                         client — the drill measures the
+#                                         code path users actually run)
+
 HU = int(os.environ.get("HU", "256"))
 W = int(os.environ.get("W", "60"))
 STREAMS = 8
@@ -53,35 +56,6 @@ SMOKE = os.environ.get("JAX_PLATFORMS") == "cpu"
 # the family="dip" artifact) — the round-4 VERDICT's missing deployment
 # cell; writes RECYCLE_PAUSE_DIP.{md,json} instead
 MODEL = os.environ.get("MODEL", "a3gc")
-
-
-def _req(addr, method, path, body=None, timeout=900):
-    conn = http.client.HTTPConnection(*addr, timeout=timeout)
-    try:
-        conn.request(method, path,
-                     body=None if body is None else json.dumps(body),
-                     headers={"Content-Type": "application/json"})
-        resp = conn.getresponse()
-        return resp.status, json.loads(resp.read())
-    finally:
-        conn.close()
-
-
-def _bin_step(addr, slot, ori, acc, timeout=900):
-    body = (np.asarray([slot], "<u4").tobytes()
-            + np.ascontiguousarray(ori, "<f4").tobytes()
-            + np.ascontiguousarray(acc, "<f4").tobytes())
-    conn = http.client.HTTPConnection(*addr, timeout=timeout)
-    try:
-        conn.request("POST", "/v1/step", body=body,
-                     headers={"Content-Type": "application/octet-stream"})
-        resp = conn.getresponse()
-        raw = resp.read()
-        if resp.status != 200:
-            raise RuntimeError(f"step {resp.status}: {raw[:200]!r}")
-        return np.frombuffer(raw, "<f4")
-    finally:
-        conn.close()
 
 
 def _serve_env():
@@ -111,26 +85,28 @@ def _drill(name, args_tail, work, probe_ori, probe_acc):
                                  os.path.join(work, f"{name}.err"))
     print(f"[{name}] serving on {addr} after {startup}s", flush=True)
     try:
-        # cold start: first step pays whatever compile startup deferred
-        _, out = _req(addr, "POST", "/v1/session")
-        slot = out["slot"]
+        # cold start: first step pays whatever compile startup deferred.
+        # PoseClient is the shipped wire client (seq-tagged at-most-once
+        # steps, idempotency-token acquire/release): the drill measures
+        # the code path users actually run.
+        c1 = PoseClient(*addr, timeout=900, retry_s=0.0)
+        c1.acquire()
         t0 = time.time()
-        pre = _bin_step(addr, slot, probe_ori, probe_acc)
+        pre = c1.step(probe_ori, probe_acc)
         cold = time.time() - t0
         print(f"[{name}] first step {cold:.1f}s", flush=True)
         # steady-state request for contrast
         t0 = time.time()
-        _bin_step(addr, slot, probe_ori, probe_acc)
+        c1.step(probe_ori, probe_acc)
         warm = time.time() - t0
         # a second slot holds CARRIED state across the recycle: step it
         # once pre-recycle, once post — the post step must differ from
         # the first (state advanced), proving restore didn't zero it
-        _, out2 = _req(addr, "POST", "/v1/session")
-        slot2 = out2["slot"]
-        carried_pre = _bin_step(addr, slot2, probe_ori, probe_acc)
+        c2 = PoseClient(*addr, timeout=900, retry_s=0.0)
+        c2.acquire()
+        carried_pre = c2.step(probe_ori, probe_acc)
 
-        st, _ = _req(addr, "POST", "/v1/recycle")
-        assert st == 200, f"recycle returned {st}"
+        c1.recycle()
         t0 = time.time()
         # recovery probe on the ALREADY-HELD slot (acquiring fresh
         # sessions during the pause leaks slots: the 30 s-timeout client
@@ -138,12 +114,14 @@ def _drill(name, args_tail, work, probe_ori, probe_acc):
         # permanently occupies a slot, and after S retries every acquire
         # 503s forever; reusing the held slot is also what a real client
         # does). A single long-timeout step rides the inherited socket's
-        # backlog through exec+init+compile and times the whole outage.
+        # backlog through exec+init+compile and times the whole outage;
+        # PoseClient retries the SAME (seq, window), so the reviving
+        # server applies it exactly once.
         deadline = time.time() + 1800
-        ok = False
+        c1.timeout, ok = 1500, False
         while time.time() < deadline:
             try:
-                _bin_step(addr, slot, probe_ori, probe_acc, timeout=1500)
+                c1.step(probe_ori, probe_acc)
                 ok = True
                 break
             except Exception:
@@ -152,12 +130,10 @@ def _drill(name, args_tail, work, probe_ori, probe_acc):
         assert ok, f"{name}: no recovery within 30 min"
         # a FRESH slot post-recovery: zero state + same params ⇒ its
         # first step must equal the pre-recycle first step bit-for-bit
-        st, out = _req(addr, "POST", "/v1/session", timeout=60)
-        assert st == 200, f"post-recovery acquire returned {st}"
-        post = _bin_step(addr, out["slot"], probe_ori, probe_acc,
-                         timeout=120)
+        with PoseClient(*addr, timeout=120, retry_s=30.0) as c3:
+            post = c3.step(probe_ori, probe_acc)
         print(f"[{name}] recycle pause {pause:.1f}s", flush=True)
-        carried_post = _bin_step(addr, slot2, probe_ori, probe_acc)
+        carried_post = c2.step(probe_ori, probe_acc)
         return {
             "config": name,
             "startup_s": startup,
@@ -270,6 +246,8 @@ def main():
     ]
 
     tag = "" if MODEL == "a3gc" else f"_{MODEL.upper()}"
+    if SMOKE:
+        tag += "_SMOKE"     # never clobber committed chip artifacts
     result = {"model": MODEL, "window": W, "streams": STREAMS, "hu1": HU,
               "backend": backend, "export_s": export_s,
               "smoke": SMOKE, "rows": rows}

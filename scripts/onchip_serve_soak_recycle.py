@@ -29,7 +29,6 @@ CPU smoke (tiny nets, low limit to force recycles):
         python scripts/onchip_serve_soak_recycle.py
 """
 
-import http.client
 import json
 import os
 import subprocess
@@ -44,6 +43,10 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 OUT = os.path.join(ROOT, "docs", "validation")
 
+from a3gc_tpu.client import PoseClient  # noqa: E402 (the shipped wire
+#                                         client — the soak measures the
+#                                         code path users actually run)
+
 SOAK_SECONDS = int(os.environ.get("SOAK_SECONDS", "5400"))
 RSS_LIMIT_MB = int(os.environ.get("RSS_LIMIT_MB", "3600"))
 HU = int(os.environ.get("HU", "256"))
@@ -54,6 +57,8 @@ STREAMS = 8
 # minutes — docs/validation/RECYCLE_PAUSE.md)
 ARTIFACT = os.environ.get("ARTIFACT", "") == "1"
 TAG = "_ARTIFACT" if ARTIFACT else ""
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    TAG += "_SMOKE"         # never clobber committed chip artifacts
 
 
 def rss_mb(pid: int) -> float:
@@ -65,36 +70,6 @@ def rss_mb(pid: int) -> float:
     except OSError:
         pass
     return -1.0
-
-
-def _req(addr, method, path, body=None, timeout=180):
-    conn = http.client.HTTPConnection(*addr, timeout=timeout)
-    try:
-        conn.request(method, path,
-                     body=None if body is None else json.dumps(body),
-                     headers={"Content-Type": "application/json"})
-        resp = conn.getresponse()
-        return resp.status, json.loads(resp.read())
-    finally:
-        conn.close()
-
-
-def _bin_step(addr, slot, ori, acc, timeout=180, seq=None):
-    head = [slot] if seq is None else [slot, seq]
-    body = (np.asarray(head, "<u4").tobytes()
-            + np.ascontiguousarray(ori, "<f4").tobytes()
-            + np.ascontiguousarray(acc, "<f4").tobytes())
-    conn = http.client.HTTPConnection(*addr, timeout=timeout)
-    try:
-        conn.request("POST", "/v1/step", body=body,
-                     headers={"Content-Type": "application/octet-stream"})
-        resp = conn.getresponse()
-        raw = resp.read()
-        if resp.status != 200:
-            raise RuntimeError(f"step {resp.status}: {raw[:200]!r}")
-        return np.frombuffer(raw, "<f4")
-    finally:
-        conn.close()
 
 
 def main():
@@ -171,6 +146,21 @@ def main():
     pid = proc.pid
     print(f"serving {info['serving']} pid {pid}", flush=True)
 
+    # keep draining the server's stdout so the pipe can never fill
+    threading.Thread(target=lambda: proc.stdout.read(),
+                     daemon=True).start()
+
+    def count_recycles() -> int:
+        r"""The authoritative count: each restored generation prints
+        '[a3gc_tpu.serve] recycled: restored ...' to STDERR (captured in
+        server.err) — robust at smoke scale, where the RSS sawtooth is
+        smaller than the 200 MB drop heuristic."""
+        try:
+            with open(os.path.join(work, "server.err")) as f:
+                return sum("recycled: restored" in ln for ln in f)
+        except OSError:
+            return -1
+
     rng = np.random.default_rng(0)
     probe_ori = Rotation.random(W * 6, random_state=1).as_matrix() \
         .reshape(W, 54).astype(np.float32)
@@ -181,28 +171,31 @@ def main():
     slock = threading.Lock()
 
     def client(ci):
-        # each client tags steps with a per-slot sequence number and, on
-        # failure, retries the SAME window: the server's seq cache makes
-        # the retry at-most-once even when the lost response was eaten
-        # AFTER the window was applied (e.g. across an exec-recycle) —
-        # the carried state can never absorb a window twice
-        slot, seq, pending = None, 0, None
+        # the SHIPPED wire client drives the soak (PoseClient auto-tags
+        # the per-slot seq; the server's seq cache makes a retried
+        # window at-most-once even when the lost response was eaten
+        # AFTER it was applied, e.g. across an exec-recycle). retry_s=0
+        # keeps retrying in THIS loop so every failure is timestamped;
+        # PoseClient's unacked-window guard enforces that the retry is
+        # the SAME (seq, window).
+        c = PoseClient(*addr, timeout=30, retry_s=0.0)
+        pending = None
         while not stop.is_set():
             try:
-                if slot is None:
-                    st, out = _req(addr, "POST", "/v1/session",
-                                   timeout=30)
-                    if st != 200:
-                        time.sleep(2.0)
+                if c.slot is None:
+                    try:
+                        c.acquire(wait=False)
+                    except Exception:
+                        time.sleep(2.0)     # full / recycling: back off
                         continue
-                    slot, seq, pending = out["slot"], 0, None
+                    pending = None
                 if pending is None:
                     pending = (
                         Rotation.random(W * 6).as_matrix().reshape(
                             W, 54).astype(np.float32),
                         np.random.default_rng().normal(
                             scale=0.5, size=(W, 18)).astype(np.float32))
-                _bin_step(addr, slot, *pending, timeout=30, seq=seq)
+                c.step(*pending)
                 with slock:
                     stats["requests"] += 1
                     if stats.get("_retrying_%d" % ci):
@@ -210,13 +203,17 @@ def main():
                             "recovered_retries", 0) + 1
                         stats["_retrying_%d" % ci] = False
                 pending = None
-                seq += 1
-            except Exception:
+            except Exception as e:
                 with slock:
                     stats["failures"] += 1
                     stats["fail_windows"].append(round(time.time() - t0,
                                                        1))
                     stats["_retrying_%d" % ci] = True
+                from a3gc_tpu.client import ServerError
+                if (isinstance(e, ServerError)
+                        and e.status in (400, 404)):
+                    # session gone server-side: re-acquire, fresh stream
+                    c.slot, c._unacked, pending = None, None, None
                 time.sleep(2.0)     # recycle pause: back off, retry the
                                     # same (seq, window)
 
@@ -242,17 +239,13 @@ def main():
         last_rss = cur
         # deterministic probe: fresh slot, fixed window, fixed pose
         try:
-            st, out = _req(addr, "POST", "/v1/session", timeout=30)
-            if st == 200:
-                slot = out["slot"]
-                pose = _bin_step(addr, slot, probe_ori, probe_acc,
-                                 timeout=60)
-                _req(addr, "DELETE", f"/v1/session/{slot}", timeout=30)
-                if probe_ref is None:
-                    probe_ref = pose
-                    probes.append(True)
-                else:
-                    probes.append(bool(np.array_equal(pose, probe_ref)))
+            with PoseClient(*addr, timeout=60, retry_s=0.0) as probe:
+                pose = probe.step(probe_ori, probe_acc)
+            if probe_ref is None:
+                probe_ref = pose
+                probes.append(True)
+            else:
+                probes.append(bool(np.array_equal(pose, probe_ref)))
         except Exception:
             pass                    # probe raced a recycle; skip
     stop.set()
@@ -267,7 +260,8 @@ def main():
         "failures": stats["failures"],
         "recovered_retries": stats.get("recovered_retries", 0),
         "failure_windows_s": stats["fail_windows"][:100],
-        "recycles_observed": recycles,
+        "recycles_observed": count_recycles(),
+        "rss_sawtooth_drops": recycles,
         "probes": len(probes),
         "probes_bit_exact": int(sum(probes)),
         "rss_max_mb": max(r["rss_mb"] for r in rss_series),
@@ -289,7 +283,8 @@ def main():
 
 - requests served: {result['requests']} ({result['failures']} failures,
   all inside recycle pauses — timestamps in the JSON)
-- recycles observed (RSS sawtooth drops): {recycles}
+- recycles observed (server log): {result['recycles_observed']}
+  (RSS sawtooth drops ≥200 MB: {recycles})
 - RSS max: {result['rss_max_mb']} MB (limit {RSS_LIMIT_MB} MB +
   one generation's growth)
 - determinism probes: {result['probes_bit_exact']}/{result['probes']}
