@@ -669,6 +669,15 @@ class PoseServer:
 
             def do_GET(self):
                 if self.path == "/v1/stats":
+                    if server._recycling:
+                        # the pre-exec window (quiesce → snapshot →
+                        # backend teardown) can last seconds: a 200
+                        # here would let "poll stats until it answers"
+                        # clients mistake the DYING generation for the
+                        # restored one
+                        return self._json(
+                            500, {"error": "server recycling; "
+                                           "retry shortly"})
                     return self._json(200, batcher.stats())
                 return self._json(404, {"error": "unknown endpoint"})
 
@@ -985,6 +994,28 @@ class PoseServer:
                                 for s in self.batcher.seq_applied},
                         "tokens": dict(self.batcher.acquire_tokens)}
             pickle.dump(snap, f)
+        # release the device session GRACEFULLY before exec. Exec's
+        # abrupt CLOEXEC close of the accelerator-client connection can
+        # leave a remote single-tenant session dangling (observed once
+        # through the axon relay: the restored generation then blocks in
+        # backend init until the remote times the dead session out —
+        # tens of minutes). Best effort: drop the session's device
+        # arrays and compiled executables, then destroy the PJRT client
+        # so its destructor closes the connection cleanly. The snapshot
+        # above is plain host data, so nothing here is still needed.
+        try:
+            import gc
+
+            import jax
+            from jax.extend.backend import clear_backends
+
+            self.batcher.sess = None
+            jax.clear_caches()
+            gc.collect()
+            clear_backends()
+        except Exception as e:     # never let teardown block the exec
+            print(f"[a3gc_tpu.serve] pre-exec backend teardown failed "
+                  f"(continuing): {e}", file=sys.stderr, flush=True)
         fd = self.httpd.fileno()
         os.set_inheritable(fd, True)
         env = dict(os.environ)

@@ -1094,6 +1094,8 @@ class TestRecycleE2E:
                     st, stats = _request(addr, "GET", "/v1/stats")
                     if st == 200:
                         break
+                    _time.sleep(2.0)    # 500 "recycling" from the dying
+                    #                     generation's pre-exec window
                 except Exception:
                     _time.sleep(2.0)
             assert stats["active_sessions"] == 1    # the slot survived
