@@ -1069,6 +1069,26 @@ def cmd_serve(args):
     from a3gc_tpu.data import load_adjacency_template
     from a3gc_tpu.serve import PoseServer
 
+    # NOTE: construction happens inside this helper so its frame (and the
+    # session/params/model locals pinning device buffers) is POPPED before
+    # serve_forever runs. An exec recycle's pre-exec backend teardown
+    # (serve._do_recycle) can only destroy the device client if nothing
+    # else references its buffers — a long-lived cmd_serve frame holding
+    # `session` would keep the client alive and the connection open, and
+    # the abrupt close at exec can wedge a remote single-tenant device
+    # session for tens of minutes.
+    srv, streams, window = _build_server(args, PoseServer,
+                                         load_adjacency_template)
+    host, port = srv.address[:2]
+    print(_json.dumps({"serving": f"http://{host}:{port}",
+                       "streams": streams, "window": window}),
+          flush=True)
+    srv.serve_forever()
+
+
+def _build_server(args, PoseServer, load_adjacency_template):
+    r"""Build the PoseServer for cmd_serve (see note there: short-lived
+    frame by design — do not inline into cmd_serve)."""
     if args.artifact:
         # serve straight from a deployment artifact: no checkpoints, stats
         # files, SMPL assets, or model code needed (geometry from the
@@ -1091,8 +1111,8 @@ def cmd_serve(args):
                          lookahead=args.lookahead, history=args.history,
                          recycle_rss_mb=args.recycle_rss_mb,
                          allow_recycle=True)
-        streams, window = session.streams, session.window
-    elif args.model == "dip":
+        return srv, session.streams, session.window
+    if args.model == "dip":
         # single-net dip serving (the reference's online mode,
         # ref: net_aagc.py:1022-1031, behind the same HTTP batcher as
         # the cascade — raw IMU in, full local poses out)
@@ -1121,40 +1141,34 @@ def cmd_serve(args):
                          # /v1/reload re-discovers the latest dip
                          # checkpoint and hot-swaps it
                          reload_fn=lambda: _load_dip(args)[1])
-        streams, window = args.streams, args.window
-    else:
-        args.window = args.window or 60
-        args.streams = args.streams or 8
-        model = _load_body_model(args)
-        nira = load_adjacency_template()
-        cascade, is_graph = _stage_configs(
-            args, precision=args.precision or "default")
-        params3 = _load_cascade_params(args, cascade, is_graph, nira)
-        stats = _load_stats(args) if args.norm else None
-        mesh = None
-        if args.mesh:
-            from a3gc_tpu.parallel import make_mesh
-            mesh = make_mesh()   # all devices on the data axis
+        return srv, args.streams, args.window
+    args.window = args.window or 60
+    args.streams = args.streams or 8
+    model = _load_body_model(args)
+    nira = load_adjacency_template()
+    cascade, is_graph = _stage_configs(
+        args, precision=args.precision or "default")
+    params3 = _load_cascade_params(args, cascade, is_graph, nira)
+    stats = _load_stats(args) if args.norm else None
+    mesh = None
+    if args.mesh:
+        from a3gc_tpu.parallel import make_mesh
+        mesh = make_mesh()   # all devices on the data axis
 
-        srv = PoseServer(params3, cascade, model, window=args.window,
-                         streams=args.streams, stats=stats,
-                         normalize=args.norm, host=args.host,
-                         port=args.port, max_wait_ms=args.max_wait_ms,
-                         mesh=mesh, lookahead=args.lookahead,
-                         history=args.history,
-                         recycle_rss_mb=args.recycle_rss_mb,
-                         allow_recycle=True,
-                         # POST /v1/reload re-discovers the latest
-                         # checkpoints (training can keep writing to
-                         # --path) and hot-swaps them into live sessions
-                         reload_fn=lambda: _load_cascade_params(
-                             args, cascade, is_graph, nira))
-        streams, window = args.streams, args.window
-    host, port = srv.address[:2]
-    print(_json.dumps({"serving": f"http://{host}:{port}",
-                       "streams": streams, "window": window}),
-          flush=True)
-    srv.serve_forever()
+    srv = PoseServer(params3, cascade, model, window=args.window,
+                     streams=args.streams, stats=stats,
+                     normalize=args.norm, host=args.host,
+                     port=args.port, max_wait_ms=args.max_wait_ms,
+                     mesh=mesh, lookahead=args.lookahead,
+                     history=args.history,
+                     recycle_rss_mb=args.recycle_rss_mb,
+                     allow_recycle=True,
+                     # POST /v1/reload re-discovers the latest
+                     # checkpoints (training can keep writing to
+                     # --path) and hot-swaps them into live sessions
+                     reload_fn=lambda: _load_cascade_params(
+                         args, cascade, is_graph, nira))
+    return srv, args.streams, args.window
 
 
 def cmd_worst_frames(args):
